@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.QueryDef
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every operator module's declared queries. Each entry has a
+  * matching DuckDB oracle in [[oracleSql]] unless the operator is not
+  * SQL-expressible (probabilistic dedup/ANN), in which case the driver
+  * records a rows-only check and ScalaTest covers semantics.
+  */
 object SparkEntry {
+
+  /** All declared capabilities, one QueryDef per operator (SURVEY.md §2). */
+  def allDefs: Seq[QueryDef] =
+    operators.Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q05_multiway_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryDef.toQueriesMap(allDefs)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    QueryDef.toOracleMap(allDefs)
 }

@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table registry for the harness testdata star schema.
+  *
+  * Mirrors the reference's source model — a fixed, declared schema bound at
+  * scan time (`decorateCMSPhase2SimTree`, reference `phaseII-analysis.py:16-18`)
+  * — except the physical format is Parquet and the schema is carried by the
+  * files themselves. At 100 TB each `table(...)` is a distributed columnar
+  * scan; Catalyst prunes columns and pushes predicates into the Parquet
+  * reader, so callers should never pre-materialize.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
