@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All declared capabilities, one QueryDef per operator (SURVEY.md §2). */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++ operators.EventOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
