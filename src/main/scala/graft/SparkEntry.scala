@@ -14,7 +14,9 @@ object SparkEntry {
 
   /** All declared capabilities, one QueryDef per operator (SURVEY.md §2). */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.defs ++ operators.EventOps.defs
+    operators.Relational.defs ++ operators.EventOps.defs ++
+      operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+      operators.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives over string columns — tokenization, shingling,
+  * fingerprinting, language scoring, quality metrics. All row-local Column
+  * compositions: no UDFs, no shuffle, linear scale-out.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles — the dedup unit for MinHash/Jaccard.
+    * Documents shorter than n tokens yield an empty array (guarded: Spark's
+    * `sequence(1, 0)` would count DOWN, not produce empty). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))))
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
+    * alphanumeric-only text — exact-dup detection robust to formatting. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Count of tokens present in a fixed stopword list. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  /** Per-language stopword evidence for the n-gram/stopword language-ID
+    * heuristic. Ordered map: first max wins on ties (deterministic). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "las"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  /** Predicted language = argmax of per-language stopword counts, ties
+    * resolved in `langMarkers` order, "und" (undetermined) when all zero. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, words) => lang -> stopwordCount(text, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: blends length, lexical diversity,
+    * and mean token length — the shape of production quality filters. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val distinctRatio = size(array_distinct(tokens(text))).cast("double") / n
+    val meanTokLen = (length(text) - (n - 1)) / n
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.4) * distinctRatio +
+      lit(0.2) * least(meanTokLen / lit(8.0), lit(1.0)), 6)
+  }
+
+  /** Order-sensitive document fingerprint (vs the md5 canonical form, which
+    * normalizes order-insensitively at the char level): a left fold chaining
+    * each token through xxhash64(acc, token) — overflow-free under ANSI
+    * arithmetic, deterministic across executors. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector algebra over `array<float>` columns — pure higher-order
+  * Column compositions (codegen'd, row-local, shuffle-free).
+  *
+  * Float elements are widened to double BEFORE any arithmetic and folded
+  * left-to-right, making results reproducible across engines — required for
+  * the DuckDB correctness gate and for deterministic re-runs at scale.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Σ aᵢ² in double precision. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  /** Cosine similarity (null-safe for zero vectors: returns null via /0→null? No —
+    * guarded with nullif so 0-norm yields null rather than NaN). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") - y.cast("double")),
+      lit(0.0), (acc, x) => acc + x * x)
+
+  /** Random-hyperplane (SimHash-style) LSH signature: `nBits` sign bits of
+    * projections onto deterministic Rademacher (±1) hyperplanes derived from
+    * `hash(dimension, plane)` — no stored model, any executor recomputes the
+    * same planes, so signatures are consistent across a 1000-node cluster.
+    * Returns a BIGINT bucket id (nBits ≤ 63). */
+  def hyperplaneSignature(v: Column, nBits: Int): Column = {
+    require(nBits > 0 && nBits <= 63)
+    val bits: Seq[Column] = (0 until nBits).map { p =>
+      // projection_p = Σ_i v_i · sign(hash(i, p))
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - lit(1)),
+          (x, i) => when(pmod(hash(i, lit(p)), lit(2)) === 0, x.cast("double"))
+            .otherwise(-x.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

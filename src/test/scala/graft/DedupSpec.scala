@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.core.Tables.documents(spark, sf0001)
+
+  test("shingles: correct trigrams, short docs yield empty") {
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+    assert(got(3L) == Seq("p q r"))
+  }
+
+  test("minhash LSH recall vs brute-force jaccard >= 0.8") {
+    val sh = Dedup.withShingles(docs)
+    val (inter, uni) = Dedup.jaccardCols($"a.sh", $"b.sh")
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"), inter.as("i"), uni.as("u"))
+      .filter($"i" * 5 >= $"u" * 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    // LSH must find nearly all true pairs and add none below threshold
+    // (precision is exact by construction: candidates are jaccard-verified).
+    assert(lsh.subsetOf(truth), s"LSH produced non-verified pairs: ${lsh -- truth}")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${lsh.size}/${truth.size})")
+  }
+
+  test("simhash: identical token sets collide, disjoint texts are far") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),   // same token set → same simhash
+      (3L, "totally different words here entirely unrelated")).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val ham = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(ham > 5, s"unrelated docs should be far in hamming space, got $ham")
+  }
+
+  test("fingerprint is invariant to case/punctuation/whitespace") {
+    val df = Seq(
+      (1L, "Hello,   World! 42"),
+      (2L, "hello world 42"),
+      (3L, "different text")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("exact-dup summary counts distinct texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val r = df.agg(countDistinct($"text").as("d"), count(lit(1)).as("n")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language with most stopword evidence") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is here"),
+      (2L, "der hund und die katze ist das tier"),
+      (3L, "le chat et la maison est les arbres"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "und")
+  }
+
+  test("quality score is bounded and ranks rich text above degenerate text") {
+    val df = Seq(
+      (1L, (1 to 120).map(i => s"word$i").mkString(" ")), // long, diverse
+      (2L, Seq.fill(120)("spam").mkString(" ")),          // long, degenerate
+      (3L, "ok")).toDF("doc_id", "text")
+    val q = df.select($"doc_id", TextOps.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L), s"diverse ${q(1L)} should beat degenerate ${q(2L)}")
+    assert(q(1L) > q(3L))
+  }
+
+  test("rolling hash distinguishes token order, unlike the canonical fingerprint") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a")).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TextOps.rollingHash($"text").as("rh"),
+      TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(r(1L)._1 != r(2L)._1, "order-sensitive hash must differ")
+  }
+
+  test("tokenCount / stopwordCount basics") {
+    val df = Seq((1L, "the quick the lazy the end")).toDF("doc_id", "text")
+    val r = df.select(
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.stopwordCount($"text", Seq("the", "and")).as("sw")).head()
+    assert(r.getInt(0) == 6 && r.getInt(1) == 3)
+  }
+}
