@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet-backed table registry for the harness testdata star schema.
   *
@@ -26,7 +28,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
+    * its µs TimestampType. We read it as a raw nanosecond long
+    * (`nanosAsLong`) and truncate to a µs timestamp — the same floor
+    * DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) applies, keeping oracle
+    * arithmetic bit-identical. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

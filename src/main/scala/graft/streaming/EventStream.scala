@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming pipelines over the event log (SURVEY.md §7 step 6
+  * — a harness extension; the reference itself is batch-only, §2.9).
+  *
+  * Each pipeline is the incremental form of a batch query in
+  * [[graft.operators.Streams]]; StreamingSpec drives both and asserts
+  * agreement. Scale design: all state is keyed (window/user), watermarks
+  * bound state size, and the parquet file source scales by splitting input
+  * files across executors — the same code runs against a 100 TB event lake
+  * with `readStream` pointed at the lake path.
+  */
+object EventStream {
+
+  /** events.parquet schema (file sources need an explicit schema). ts is
+    * TIMESTAMP(NANOS) parquet — declared as a nanosecond long (see
+    * Tables.events) and truncated to a µs timestamp after the scan. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Tumbling 5-minute counts with a 10-minute watermark (late data beyond
+    * the watermark is dropped; state per (window, type) is evicted once the
+    * watermark passes window end). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with the built-in session_window (30-minute
+    * inactivity gap), the streaming twin of q54. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("s_start"),
+        unix_timestamp(col("w.end")).as("s_end"), col("n_ev"))
+
+  /** Exactly-once stream dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
+
+  // ---- custom state: running per-user counters via flatMapGroupsWithState --
+
+  final case class EvIn(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state (the reference has none; this is the
+    * mapGroupsWithState escape hatch for semantics windows can't express):
+    * running per-user event count + value total, updated per micro-batch. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[EvIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[EvIn], state: GroupState[UserTotal]) => {
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+        })
+      .toDF()
+  }
+
+  /** Drive a streaming DataFrame to completion against a static source and
+    * return the materialized result (memory sink; test/demo harness). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

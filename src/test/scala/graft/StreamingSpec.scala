@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+
+/** Streaming/batch agreement: every incremental pipeline must reproduce its
+  * batch twin when driven over the same static parquet. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The file stream source requires a DIRECTORY — stage the single parquet
+  // into a temp dir (symlink; testdata is read-only).
+  private lazy val eventsPath: String = {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_events_stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      Paths.get(s"$sf0001/events.parquet"))
+    dir.toString
+  }
+  private lazy val batch = graft.core.Tables.events(spark, sf0001)
+
+  test("windowed counts: streaming equals batch") {
+    val stream = EventStream.windowedCounts(EventStream.readEvents(spark, eventsPath))
+    val got = EventStream.runToMemory(spark, stream, "win_counts")
+      .select($"win_start", $"event_type", $"n", round($"sum_value", 6).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val exp = batch
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("sv"))
+      .select(unix_timestamp($"w.start"), $"event_type", $"n", $"sv")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("session windows: streaming equals batch session_window, and matches q54 session counts") {
+    val stream = EventStream.sessionWindows(EventStream.readEvents(spark, eventsPath))
+    val got = EventStream.runToMemory(spark, stream, "sessions")
+    val gotPerUser = got.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cross-check against the lag/cumsum sessionization (q54)
+    val q54 = graft.operators.Streams.defs.find(_.name == "q54_sessionization").get
+      .build(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPerUser == q54,
+      s"session_window vs gap-SQL mismatch: ${gotPerUser.toSet diff q54.toSet}")
+  }
+
+  test("stream dedup drops nothing on an already-unique stream") {
+    val stream = EventStream.dedupStream(EventStream.readEvents(spark, eventsPath))
+    val got = EventStream.runToMemory(spark, stream, "dedup", OutputMode.Append())
+    assert(got.count() == batch.count())
+  }
+
+  test("flatMapGroupsWithState running totals equal batch group totals") {
+    val stream = EventStream.runningUserTotals(spark, EventStream.readEvents(spark, eventsPath))
+    val got = EventStream.runToMemory(spark, stream, "totals", OutputMode.Update())
+    // Update mode emits one row per key per batch; AvailableNow over a static
+    // source may produce several batches — keep the last emission per key.
+    val latest = got.withColumn("rn", monotonically_increasing_id())
+      .groupBy($"user_id").agg(max(struct($"rn", $"n", $"total")).as("s"))
+      .select($"user_id", $"s.n".as("n"), round($"s.total", 6).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exp = batch.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(latest == exp)
+  }
+}
