@@ -16,7 +16,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++ operators.EventOps.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
-      operators.Similarity.defs ++ operators.Streams.defs
+      operators.Similarity.defs ++ operators.Streams.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
