@@ -1,24 +1,43 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times the headline queries over
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Methodology: each query is forced end-to-end through the `noop` sink
+  * (full plan execution, no result materialization on the driver, no disk
+  * write in the timing), after one warmup pass of the cheapest query to
+  * amortize JVM/codegen startup out of the numbers.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val headline = SparkEntry.allDefs.filter(_.headline)
+    // JVM + codegen warmup on the cheapest headline query (untimed).
+    headline.headOption.foreach { q =>
+      q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = headline.map { q =>
+      val t0 = System.nanoTime()
+      try q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

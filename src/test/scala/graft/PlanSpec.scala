@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan quality gates — the 100 TB design assertions. A query can
+  * be value-correct and still be wrong at scale; these tests pin the plan
+  * shapes that make the difference:
+  *  - scans prune columns and push predicates (I/O ∝ referenced data),
+  *  - dimension joins broadcast (no fact-table shuffle),
+  *  - aggregations are partial before the exchange (shuffle ∝ groups),
+  *  - the multi-histogram pass reads its source exactly once.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = physicalPlan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), s"quantity filter not pushed:\n$p")
+    // pruned read schema: only the 5 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q03/q05: dimension joins broadcast, no shuffle of the fact side") {
+    val p3 = physicalPlan("q03_join_topk")
+    assert(p3.contains("BroadcastHashJoin"), "customer join should broadcast")
+    val p5 = physicalPlan("q05_multiway_join")
+    assert(p5.contains("BroadcastHashJoin"), "nation/region join should broadcast")
+  }
+
+  test("q01: aggregation is partial (map-side) before the exchange") {
+    val p = physicalPlan("q01_pricing_summary")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+    // AQE prints the pre-execution plan (no codegen spans yet) — partial_*
+    // functions in the first HashAggregate are the map-side-combine proof.
+    assert(p.contains("partial_sum"), "no partial aggregation before exchange")
+  }
+
+  test("q03: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = physicalPlan("q03_join_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"limit+orderBy should be top-k:\n$p")
+  }
+
+  test("histogram pass scans its source exactly once for many plots") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf0001)
+    val root = graft.flow.Selection.root("all", col("l_quantity"))
+    val plots = (1 to 20).map(i =>
+      graft.flow.Plot(s"h$i", col("l_extendedprice") * i, root,
+        graft.flow.EquidistantBinning(20, 0, 200000)))
+    val plan = graft.flow.HistogramPass.run(li, plots)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 parquet scan for 20 plots, got $scans")
+  }
+
+  test("q51: streaming-twin window agg keeps partial aggregation") {
+    val p = physicalPlan("q51_window_tumbling")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+}
