@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All declared capabilities, one QueryDef per operator (SURVEY.md §2). */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.defs ++ operators.EventOps.defs ++
+    operators.Relational.defs ++ operators.RelationalExt.defs ++
+      operators.EventOps.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Streams.defs ++
       operators.Multimodal.defs

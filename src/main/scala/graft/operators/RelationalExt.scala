@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Harness-extension relational operators beyond the reference surface:
+  * exact percentiles, cube grouping sets, and sketch-based distinct counts.
+  */
+object RelationalExt {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q23: exact interpolated percentiles -------------------------------
+    // Both engines implement the continuous (type-7) quantile: order
+    // statistics + linear interpolation on identical doubles — exact parity.
+    QueryDef(
+      "q23_percentiles",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             |  round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q24: cube grouping sets -------------------------------------------
+    QueryDef(
+      "q24_cube",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- q25: sketch-based distinct count (HLL++) --------------------------
+    // Rows-only: HLL implementations differ across engines by design.
+    // RelationalExtSpec asserts <5% relative error vs the exact count.
+    QueryDef(
+      "q25_approx_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey").as("approx_parts"),
+            countDistinct($"l_partkey").as("exact_parts"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+  )
+}
