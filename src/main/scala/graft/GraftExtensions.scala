@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+import graft.expressions.DeltaRExpr
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions on any session built with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.GraftExtensions` — the deployment-grade
+  * registration path (cluster-wide, survives session cloning), vs the
+  * per-session `DeltaRExpr.register`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("delta_r"),
+      new ExpressionInfo(classOf[DeltaRExpr].getName, "delta_r"),
+      (exprs: Seq[Expression]) => DeltaRExpr(
+        Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
+        Cast(exprs(2), DoubleType), Cast(exprs(3), DoubleType))))
+  }
+}

@@ -36,8 +36,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
+    // `ts div 1000`: integer division — `/` would go through double and
+    // lose microsecond accuracy at 1.7e18-scale nanosecond values.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{QueryDef, Tables}
+
+/** Generator (row-producing) and temporal-correlation operators. */
+object Generators {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q26: explode / posexplode (generator surface) ---------------------
+    // Flatten embedding vectors to (vec_id, pos, value) rows and aggregate
+    // back per position bucket — the lateral-view shape.
+    QueryDef(
+      "q26_explode_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .filter($"vec_id" < 100)
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy(($"pos" % 8).as("pos_mod"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"v".cast("double")), 4).as("sum_v"),
+            round(max($"v".cast("double")), 6).as("max_v"))
+          .orderBy($"pos_mod")
+      },
+      // DuckDB's generate_series cannot reference lateral columns — use a
+      // literal upper bound (vectors are 64-dim) guarded by len().
+      Some("""WITH u AS (
+             |  SELECT vec_id, g.pos - 1 AS pos, embedding[g.pos] AS v
+             |  FROM embeddings CROSS JOIN generate_series(1, 4096) AS g(pos)
+             |  WHERE vec_id < 100 AND g.pos <= len(embedding))
+             |SELECT pos % 8 AS pos_mod, count(*) AS n,
+             |  round(sum(CAST(v AS DOUBLE)), 4) AS sum_v,
+             |  round(max(CAST(v AS DOUBLE)), 6) AS max_v
+             |FROM u GROUP BY 1 ORDER BY pos_mod""".stripMargin)),
+
+    // ---- q27: as-of join (temporal correlation) -----------------------------
+    // For every 'purchase' event, the most recent preceding 'click' by the
+    // same user — the as-of join, composed from built-ins (union + window
+    // last_value over preceding rows) so it shuffles each side once on the
+    // join key and never materializes a range product.
+    QueryDef(
+      "q27_asof_join",
+      (s, d) => {
+        import s.implicits._
+        // integer-microsecond epochs: the gap is a BIGINT difference, so no
+        // floating-point formulation can diverge between engines.
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("t"))
+          .filter($"event_type".isin("purchase", "click"))
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_click_t",
+            last(when($"event_type" === "click", $"t"), ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id",
+            ($"t" - $"last_click_t").as("us_since_click"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events WHERE event_type IN ('purchase', 'click')),
+             |m AS (
+             |  SELECT user_id, event_id, event_type, t,
+             |    last_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY t, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_t
+             |  FROM ev)
+             |SELECT user_id, event_id, t - last_click_t AS us_since_click
+             |FROM m WHERE event_type = 'purchase'
+             |ORDER BY user_id, event_id""".stripMargin)),
+  )
+}

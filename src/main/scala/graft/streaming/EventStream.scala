@@ -31,7 +31,7 @@ object EventStream {
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventSchema).parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 5-minute counts with a 10-minute watermark (late data beyond
