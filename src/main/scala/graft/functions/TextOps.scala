@@ -55,14 +55,21 @@ object TextOps {
   }
 
   /** Heuristic quality score in [0,1]: blends length, lexical diversity,
-    * and mean token length — the shape of production quality filters. */
+    * and mean token length — the shape of production quality filters.
+    *
+    * Quantized via floor(x·10⁶ + 0.5)/10⁶ rather than round(): the score is
+    * pure rational arithmetic, so it can land exactly on a decimal tie,
+    * where Spark's round (BigDecimal of the shortest decimal repr) and
+    * other engines' binary rounding disagree. The floor form is plain IEEE
+    * ops — bit-identical on any engine. */
   def qualityScore(text: Column): Column = {
     val n = tokenCount(text).cast("double")
     val distinctRatio = size(array_distinct(tokens(text))).cast("double") / n
     val meanTokLen = (length(text) - (n - 1)) / n
     val lenScore = least(n / lit(100.0), lit(1.0))
-    round(lit(0.4) * lenScore + lit(0.4) * distinctRatio +
-      lit(0.2) * least(meanTokLen / lit(8.0), lit(1.0)), 6)
+    val q = lit(0.4) * lenScore + lit(0.4) * distinctRatio +
+      lit(0.2) * least(meanTokLen / lit(8.0), lit(1.0))
+    floor(q * lit(1e6) + lit(0.5)) / lit(1e6)
   }
 
   /** Order-sensitive document fingerprint (vs the md5 canonical form, which

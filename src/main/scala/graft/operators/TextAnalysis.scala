@@ -24,16 +24,18 @@ object TextAnalysis {
             TextOps.tokenCount($"text").as("n_tokens"),
             length($"text").as("n_chars_computed"),
             size(array_distinct(TextOps.tokens($"text"))).as("n_distinct"),
-            round(size(array_distinct(TextOps.tokens($"text"))).cast("double") /
-              TextOps.tokenCount($"text"), 6).as("distinct_ratio"))
+            // floor-quantized, not round(): the ratio is pure rational, so
+            // decimal ties are possible and engine round semantics differ
+            (floor(size(array_distinct(TextOps.tokens($"text"))).cast("double") /
+              TextOps.tokenCount($"text") * 1e6 + 0.5) / 1e6).as("distinct_ratio"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
              |  len(string_split(text, ' ')) AS n_tokens,
              |  length(text) AS n_chars_computed,
              |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
-             |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |        / len(string_split(text, ' ')), 6) AS distinct_ratio
+             |  floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |        / len(string_split(text, ' ')) * 1e6 + 0.5) / 1e6 AS distinct_ratio
              |FROM documents ORDER BY doc_id""".stripMargin),
       headline = true),
 
@@ -52,9 +54,9 @@ object TextAnalysis {
              |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
              |  FROM documents)
              |SELECT doc_id,
-             |  round(0.4 * least(n / 100.0, 1.0)
+             |  floor((0.4 * least(n / 100.0, 1.0)
              |      + 0.4 * (nd / n)
-             |      + 0.2 * least(((length(text) - (n - 1)) / n) / 8.0, 1.0), 6) AS quality
+             |      + 0.2 * least(((length(text) - (n - 1)) / n) / 8.0, 1.0)) * 1e6 + 0.5) / 1e6 AS quality
              |FROM t ORDER BY doc_id""".stripMargin)),
 
     // ---- q42: language identification (stopword-evidence argmax) ----------
