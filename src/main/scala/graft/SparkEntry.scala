@@ -15,6 +15,7 @@ object SparkEntry {
   /** All declared capabilities, one QueryDef per operator (SURVEY.md §2). */
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++ operators.RelationalExt.defs ++
+      operators.Relational2.defs ++
       operators.EventOps.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Streams.defs ++

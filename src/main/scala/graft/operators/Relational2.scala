@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Outer-join and string/null-function coverage. */
+object Relational2 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q28: outer joins with null-aware aggregation ----------------------
+    // Left join keeps order-less customers; coalesce folds the null side.
+    QueryDef(
+      "q28_outer_joins",
+      (s, d) => {
+        import s.implicits._
+        val custOrders = Tables.customer(s, d)
+          .join(Tables.orders(s, d).filter($"o_totalprice" > 150000),
+            $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_big_orders"),
+            round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("big_total"))
+        custOrders
+          .filter($"c_custkey" <= 200)
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+             |  round(coalesce(sum(o_totalprice), 0.0), 2) AS big_total
+             |FROM customer
+             |LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 150000
+             |GROUP BY c_custkey
+             |HAVING c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- q29: string + null scalar function zoo -----------------------------
+    QueryDef(
+      "q29_string_null_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter($"doc_id" < 200)
+          .select(
+            $"doc_id",
+            regexp_extract($"source", "src(\\d+)", 1).cast("int").as("src_num"),
+            translate($"lang", "aeiou", "AEIOU").as("lang_caps_vowels"),
+            lpad($"lang", 5, "_").as("lang_pad"),
+            reverse($"lang").as("lang_rev"),
+            trim(lit("  x  ")).as("trimmed"),
+            nullif($"lang", lit("en")).as("lang_or_null"),
+            coalesce(nullif($"lang", lit("en")), lit("default")).as("lang_coalesced"),
+            substring($"text", 1, 10).as("text_head"),
+            instr($"text", "the").as("the_pos"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+             |  translate(lang, 'aeiou', 'AEIOU') AS lang_caps_vowels,
+             |  lpad(lang, 5, '_') AS lang_pad,
+             |  reverse(lang) AS lang_rev,
+             |  trim('  x  ') AS trimmed,
+             |  nullif(lang, 'en') AS lang_or_null,
+             |  coalesce(nullif(lang, 'en'), 'default') AS lang_coalesced,
+             |  substr(text, 1, 10) AS text_head,
+             |  CAST(instr(text, 'the') AS INT) AS the_pos
+             |FROM documents WHERE doc_id < 200
+             |ORDER BY doc_id""".stripMargin)),
+  )
+}
