@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.flow._
+
+/** ScalaCheck properties over generated inputs (SURVEY.md §5 test plan):
+  * refine monotonicity, histogram/cutflow conservation, sumw2 positivity,
+  * deltaPhi range — invariants that must hold for ANY data, not just the
+  * fixtures. (Raw ScalaCheck generators with fixed seeds — the
+  * scalatest-scalacheck bridge isn't in the offline dependency cache.) */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[T](g: Gen[T], minSuccessful: Int = 8)(body: T => Unit): Unit =
+    (0 until minSuccessful).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val rowsGen: Gen[List[(Double, Double, Int)]] =
+    Gen.nonEmptyListOf(for {
+      x <- Gen.choose(-50.0, 150.0)
+      w <- Gen.choose(0.1, 5.0)
+      g <- Gen.choose(0, 3)
+    } yield (x, w, g))
+
+  test("property: refine chain yields are monotone and sumw2 non-negative") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("x", "w", "g")
+      val root = Selection.root("all", $"w")
+      val a = root.refine("a", $"x" > 0)
+      val b = a.refine("b", $"x" > 50)
+      val cf = CutFlowReport.report(df, Seq(root, a, b))
+      assert(cf.map(_.sumw).sliding(2).forall { case Seq(p, c) => c <= p + 1e-9; case _ => true })
+      assert(cf.map(_.n).sliding(2).forall { case Seq(p, c) => c <= p; case _ => true })
+      assert(cf.forall(_.sumw2 >= 0))
+      assert(cf.forall(e => e.stepEff >= 0 && e.stepEff <= 1.0 + 1e-12))
+    }
+  }
+
+  test("property: histogram total SumW + N conserve the selection totals") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("x", "w", "g")
+      val root = Selection.root("all", $"w")
+      val h = HistogramPass.run(df, Seq(
+        Plot("hx", $"x", root, EquidistantBinning(7, 0.0, 100.0))))
+      val (histN, histW) = h.agg(sum($"n"), sum($"sumw")).head() match {
+        case r => (r.getLong(0), r.getDouble(1))
+      }
+      val cf = CutFlowReport.report(df, Seq(root)).head
+      assert(histN == cf.n, "every row lands in exactly one bucket (incl. flows)")
+      assert(math.abs(histW - cf.sumw) < 1e-9 * math.max(1.0, math.abs(cf.sumw)))
+    }
+  }
+
+  test("property: deltaPhi always lands in (-pi, pi] and deltaR >= |deltaEta|") {
+    val phis = Gen.nonEmptyListOf(for {
+      p1 <- Gen.choose(-10.0, 10.0); p2 <- Gen.choose(-10.0, 10.0)
+      e1 <- Gen.choose(-5.0, 5.0); e2 <- Gen.choose(-5.0, 5.0)
+    } yield (p1, p2, e1, e2))
+    forAll(phis) { rows =>
+      val df = rows.toDF("p1", "p2", "e1", "e2")
+      val bad = df.select(
+        graft.functions.PhysicsFunctions.deltaPhi($"p1", $"p2").as("dphi"),
+        graft.functions.PhysicsFunctions.deltaR($"e1", $"p1", $"e2", $"p2").as("dr"),
+        abs($"e1" - $"e2").as("deta"))
+        .filter($"dphi" <= -math.Pi - 1e-12 || $"dphi" > math.Pi + 1e-12 ||
+          $"dr" < $"deta" - 1e-9)
+        .count()
+      assert(bad == 0)
+    }
+  }
+
+  test("property: variable binning bucket is consistent with its edges") {
+    val edgesGen = Gen.chooseNum(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100.0, 100.0)).map(_.distinct.sorted).suchThat(_.size >= 2))
+    forAll(edgesGen.flatMap(e => Gen.nonEmptyListOf(Gen.choose(-150.0, 150.0)).map(x => (e, x)))) {
+      case (edges, xs) =>
+        val b = VariableBinning(edges)
+        val got = xs.toDF("x").select(b.bucket($"x").as("b")).as[Int].collect()
+        xs.zip(got).foreach { case (x, bucket) =>
+          val expected =
+            if (x < edges.head) -1
+            else if (x >= edges.last) edges.size - 1
+            else edges.sliding(2).indexWhere(e => x >= e.head && x < e(1))
+          assert(bucket == expected, s"x=$x edges=$edges")
+        }
+    }
+  }
+}
