@@ -23,6 +23,12 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        v = v.tolist()  # numpy arrays / scalars from nested parquet
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
 
 

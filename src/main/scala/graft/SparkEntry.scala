@@ -19,7 +19,8 @@ object SparkEntry {
       operators.EventOps.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Streams.defs ++
-      operators.Multimodal.defs ++ operators.Generators.defs
+      operators.Multimodal.defs ++ operators.Generators.defs ++
+      operators.NestedTypes.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
