@@ -20,7 +20,7 @@ object SparkEntry {
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Streams.defs ++
       operators.Multimodal.defs ++ operators.Generators.defs ++
-      operators.NestedTypes.defs
+      operators.NestedTypes.defs ++ operators.Temporal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

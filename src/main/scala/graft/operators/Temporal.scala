@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.flow.{HistogramPass, Plot, Selection, VariableBinning}
+
+/** Pivot, datetime-function breadth, and variable-edge histograms. */
+object Temporal {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q60: pivot (explicit value list — deterministic columns) ----------
+    QueryDef(
+      "q60_pivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .filter($"user_id" < 40)
+          .groupBy($"user_id")
+          .pivot($"event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+             |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+             |FROM events WHERE user_id < 40
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- q61: datetime function breadth ------------------------------------
+    QueryDef(
+      "q61_datetime_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .filter($"o_orderkey" <= 300)
+          .select($"o_orderkey",
+            $"o_orderdate".cast("date").as("od"),
+            date_add($"o_orderdate".cast("date"), 30).as("plus30"),
+            last_day($"o_orderdate".cast("date")).as("month_end"),
+            trunc($"o_orderdate".cast("date"), "month").as("month_start"),
+            dayofweek($"o_orderdate").as("dow"),
+            quarter($"o_orderdate").as("qtr"),
+            weekofyear($"o_orderdate").as("woy"),
+            datediff(lit("2000-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_y2k"))
+          .orderBy($"o_orderkey")
+      },
+      // Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday → +1.
+      // Spark weekofyear = ISO week; DuckDB weekofyear is ISO too.
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate AS DATE) AS od,
+             |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+             |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+             |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+             |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS woy,
+             |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+             |FROM orders WHERE o_orderkey <= 300
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- q62: variable-edge histogram through the gate ----------------------
+    QueryDef(
+      "q62_variable_binning",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val root = Selection.root("all", $"l_quantity")
+        val edges = Seq(0.0, 5.0, 10.0, 25.0, 50.0)
+        HistogramPass.run(li,
+            Seq(Plot("qty_varbin", $"l_quantity", root, VariableBinning(edges))))
+          .select($"plot", $"bucket", $"n", round($"sumw", 2).as("sumw"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT 'qty_varbin' AS plot,
+             |  CASE WHEN l_quantity < 0.0 THEN -1
+             |       WHEN l_quantity >= 0.0 AND l_quantity < 5.0 THEN 0
+             |       WHEN l_quantity >= 5.0 AND l_quantity < 10.0 THEN 1
+             |       WHEN l_quantity >= 10.0 AND l_quantity < 25.0 THEN 2
+             |       WHEN l_quantity >= 25.0 AND l_quantity < 50.0 THEN 3
+             |       ELSE 4 END AS bucket,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS sumw
+             |FROM lineitem GROUP BY 2 ORDER BY bucket""".stripMargin)),
+  )
+}

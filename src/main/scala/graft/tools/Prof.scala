@@ -25,6 +25,9 @@ object Prof {
     time("docs count")(docs.count())
     val sh = Dedup.withShingles(docs)
     time("shingles")(sh.write.mode("overwrite").format("noop").save())
+    // (measured: trigram shingles via element_at over hashed tokens are 2×
+    // SLOWER than slice+concat_ws string shingles — random array access in
+    // a transform doesn't beat the string path; keep the string form)
     time("shingle hash once")(
       sh.select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("h"))
         .write.mode("overwrite").format("noop").save())
