@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{QueryDef, Tables}
@@ -17,6 +18,43 @@ import graft.functions.VectorOps
   * same LSH bucketing to avoid O(n²).
   */
 object Similarity {
+
+  /** IVF-style ANN: a k-means coarse quantizer (MLlib, fixed seed) assigns
+    * every vector to a cell; each query probes its `nProbe` nearest
+    * centroids and runs exact cosine only within those cells. The 100 TB
+    * shape: the quantizer trains on a sample, assignment is one map pass,
+    * and search shuffles only (query, cell) candidates — cells play the
+    * role LSH buckets play in q50, but data-adaptively. */
+  def ivfTopK(spark: SparkSession, embeddings: DataFrame,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 2, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.select($"vec_id", $"embedding",
+      array_to_vector($"embedding").as("fv"))
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(feat)
+    val assigned = model.transform(feat).select($"vec_id", $"embedding", $"cell")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "cvec")
+    val probeW = Window.partitionBy($"qid").orderBy($"cdist", $"cell")
+    val probes = assigned.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", VectorOps.l2sq($"qv", $"cvec"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter($"pr" <= nProbe)
+      .select($"qid", $"qv", $"cell")
+    val rankW = Window.partitionBy($"qid").orderBy(round($"cos", 6).desc, $"nid")
+    probes.join(assigned.select($"vec_id".as("nid"), $"embedding".as("nv"), $"cell"), Seq("cell"))
+      .filter($"qid" =!= $"nid")
+      .select($"qid", $"nid", VectorOps.cosine($"qv", $"nv").as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter($"rank" <= k)
+      .select($"qid", $"nid", $"rank", round($"cos", 4).as("cos"))
+      .orderBy($"qid", $"rank")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -107,6 +145,14 @@ object Similarity {
           .select($"qid", $"nid", $"rank", round($"cos", 4).as("cos"))
           .orderBy($"qid", $"rank")
       },
+      None),
+
+    // ---- q63: IVF-bucketed approximate nearest neighbors -------------------
+    // Rows-only (k-means initialization is engine-specific);
+    // SimilaritySpec measures recall vs the q49 brute force.
+    QueryDef(
+      "q63_ann_ivf",
+      (s, d) => ivfTopK(s, Tables.embeddings(s, d)),
       None),
   )
 }

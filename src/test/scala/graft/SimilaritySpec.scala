@@ -39,6 +39,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.toSet.size > 8, "6-bit signature should spread the corpus")
   }
 
+  test("IVF ANN recall against brute-force top-5 (probed k-means cells)") {
+    val brute = graft.operators.Similarity.defs.find(_.name == "q49_cosine_topk").get
+      .build(spark, sf0001).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.Similarity.ivfTopK(
+      spark, graft.core.Tables.embeddings(spark, sf0001), nQueries = 10)
+      .select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    // data-adaptive cells beat random hyperplanes on this corpus
+    assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
   test("LSH ANN recall against brute-force top-5 (bucketed candidates)") {
     val brute = graft.operators.Similarity.defs.find(_.name == "q49_cosine_topk").get
       .build(spark, sf0001).select("qid", "nid")
