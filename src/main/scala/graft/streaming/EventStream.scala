@@ -59,6 +59,26 @@ object EventStream {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
+  /** Watermarked stream-stream interval join: each purchase joined to the
+    * same user's clicks in the preceding 30 minutes. Both sides carry
+    * watermarks so the join state is bounded — the streaming form of the
+    * as-of/interval correlation (batch twin q27). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+              click_ts >= purchase_ts - INTERVAL 30 MINUTES AND
+              click_ts < purchase_ts"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   // ---- custom state: running per-user counters via flatMapGroupsWithState --
 
   final case class EvIn(user_id: Long, value: Double)

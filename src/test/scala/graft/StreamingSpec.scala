@@ -47,6 +47,24 @@ class StreamingSpec extends SparkSpec {
       s"session_window vs gap-SQL mismatch: ${gotPerUser.toSet diff q54.toSet}")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = EventStream.purchaseClickJoin(EventStream.readEvents(spark, eventsPath))
+    val got = EventStream.runToMemory(spark, stream, "ssj", OutputMode.Append())
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clicks = batch.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val purchases = batch.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"), $"event_id".as("purchase_id"))
+    val exp = purchases.join(clicks,
+        expr("""p_user = c_user AND
+                click_ts >= purchase_ts - INTERVAL 30 MINUTES AND
+                click_ts < purchase_ts"""))
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exp.nonEmpty && got == exp)
+  }
+
   test("stream dedup drops nothing on an already-unique stream") {
     val stream = EventStream.dedupStream(EventStream.readEvents(spark, eventsPath))
     val got = EventStream.runToMemory(spark, stream, "dedup", OutputMode.Append())
