@@ -11,8 +11,10 @@ import graft.core.{AnalysisConfig, SampleConfig}
   * comparison).
   *
   * Results layout under `outDir`:
+  *   results/{sample}/all/          combined single-pass aggregate
   *   results/{sample}/histograms/   (plot, bucket, n, sumw, sumw2)
-  *   results/{sample}/cutflow/      (sel, n, sumw, sumw2)
+  *   results/{sample}/cutflow/      (sel, n, sumw, sumw2) — selections with
+  *                                  zero passing events have no row (= 0)
   *   results/{sample}/counters/     (file, n_events) — mergeCounters parity
   *     (reference phaseII-analysis.py:21-35): per-input-file event counts
   *     persisted next to results, read back for normalization checks.
@@ -21,8 +23,17 @@ object SampleRunner {
 
   final case class SampleResult(sample: SampleConfig, scale: Double)
 
+  private val CutPrefix = "__cutflow__"
+
   /** One analysis pass for one sample. `analysis` supplies the object
-    * definitions + selections + plots (e.g. ZMuMuAnalysis). */
+    * definitions + selections + plots (e.g. ZMuMuAnalysis).
+    *
+    * TRUE single pass (the reference's one-event-loop model, SURVEY.md §4):
+    * the cutflow rides the histogram pass as one-bin pseudo-plots per
+    * selection node, so ALL histograms AND the cutflow come from one scan;
+    * the combined aggregate (O(plots × bins) rows) is written once and the
+    * two result tables are split from that tiny output. Only the per-file
+    * counter sidecar is a second (count-only, column-pruned) pass. */
   def runSample(
       spark: SparkSession,
       events: DataFrame,
@@ -33,9 +44,18 @@ object SampleRunner {
       sample: SampleConfig): Unit = {
     val objs = withObjects(events)
     val (noSel, chain) = selections()
-    val hists = HistogramPass.run(objs, plots(noSel, chain))
-    hists.write.mode("overwrite").parquet(s"$outDir/results/${sample.name}/histograms")
-    CutFlowReport.wide(objs, chain)
+    val cutflowPlots = chain.map(s =>
+      Plot(CutPrefix + s.name, lit(0.5), s, EquidistantBinning(1, 0, 1)))
+    val combined = HistogramPass.run(objs, plots(noSel, chain) ++ cutflowPlots)
+    val allPath = s"$outDir/results/${sample.name}/all"
+    combined.write.mode("overwrite").parquet(allPath)
+    val all = spark.read.parquet(allPath)
+    all.filter(!col("plot").startsWith(CutPrefix))
+      .write.mode("overwrite").parquet(s"$outDir/results/${sample.name}/histograms")
+    all.filter(col("plot").startsWith(CutPrefix))
+      .select(
+        expr(s"substring(plot, ${CutPrefix.length + 1})").as("sel"),
+        col("n"), col("sumw"), col("sumw2"))
       .write.mode("overwrite").parquet(s"$outDir/results/${sample.name}/cutflow")
     // counter sidecar: per-input-file event counts (counter-merge sink)
     events.groupBy(input_file_name().as("file"))

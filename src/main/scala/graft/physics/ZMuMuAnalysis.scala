@@ -65,20 +65,91 @@ object ZMuMuAnalysis {
     (noSel, Seq(noSel, sel1, sel2, sel3, sel4, sel5))
   }
 
-  /** Representative plot set (of the reference's 61; same binnings,
-    * py:368-498) — all evaluated in ONE pass by HistogramPass. */
+  /** The reference's COMPLETE 61-plot set (py:368-498), identical names,
+    * observables, and binnings — all evaluated in ONE pass by
+    * HistogramPass. `muons[i]` plots index the pre-ID selected muons
+    * (py:310-312), nMu/InvMass use the identified muons — as in the
+    * reference. */
   def plots(noSel: Selection, chain: Seq[Selection]): Seq[Plot] = {
-    val sel5 = chain.last
+    def eqb(n: Int, lo: Double, hi: Double) = EquidistantBinning(n, lo, hi)
+    val nJets = rngLen(col("good_jets"))
+    val nBtag = rngLen(col("btag_jets"))
+    val nMu = rngLen(col("id_muon"))
+    def muPt(i: Int) = nth(col("sel_muon"), i)("pt")
+    def muEta(i: Int) = nth(col("sel_muon"), i)("eta")
+    def jetPt(i: Int) = nth(col("good_jets"), i)("pt")
+    def jetEta(i: Int) = nth(col("good_jets"), i)("eta")
+    val mass = col("inv_mass_mumu")
+    val met = col("met_pt")
+    val Seq(sel1, sel2, sel3, sel4, sel5) = chain.drop(1)
+
     Seq(
-      Plot("nJetsNoSel", rngLen(col("good_jets")), noSel, EquidistantBinning(10, 0, 10)),
-      Plot("nbtaggedJetsNoSel", rngLen(col("btag_jets")), noSel, EquidistantBinning(10, 0, 10)),
-      Plot("nMuNoSel", rngLen(col("id_muon")), noSel, EquidistantBinning(10, 0, 10)),
-      Plot("metNoSel", col("met_pt"), noSel, EquidistantBinning(50, 0, 250)),
-      Plot("leadMuPt", nth(col("id_muon"), 0)("pt"), chain(1), EquidistantBinning(50, 0, 250)),
-      Plot("subleadMuPt", nth(col("id_muon"), 1)("pt"), chain(1), EquidistantBinning(50, 0, 250)),
-      Plot("invMassMuMu", col("inv_mass_mumu"), chain(1), EquidistantBinning(60, 0, 300)),
-      Plot("leadJetPt", nth(col("good_jets"), 0)("pt"), chain(3), EquidistantBinning(50, 0, 500)),
-      Plot("metSel5", col("met_pt"), sel5, EquidistantBinning(50, 0, 250)))
+      Plot("nJetsNoSel", nJets, noSel, eqb(10, 0, 10)),
+      Plot("nbtaggedJetsNoSel", nBtag, noSel, eqb(10, 0, 10)),
+      Plot("nMuNoSel", nMu, noSel, eqb(15, 0, 15)),
+      Plot("METptNoSel", met, noSel, eqb(50, 0, 250)),
+
+      Plot("nJetsSel1", nJets, sel1, eqb(10, 0, 10)),
+      Plot("nbtaggedJetsSel1", nBtag, sel1, eqb(10, 0, 10)),
+      Plot("nMuSel1", nMu, sel1, eqb(10, 0, 10)),
+      Plot("InvMassTwoMuonsSel1", mass, sel1, eqb(30, 0, 300)),
+      Plot("LeadingMuonPTSel1", muPt(0), sel1, eqb(30, 0, 250)),
+      Plot("SubLeadingMuonPTSel1", muPt(1), sel1, eqb(30, 0, 250)),
+      Plot("LeadingMuonEtaSel1", muEta(0), sel1, eqb(30, -3, 3)),
+      Plot("SubLeadingMuonEtaSel1", muEta(1), sel1, eqb(30, -3, 3)),
+      Plot("METptSel1", met, sel1, eqb(50, 0, 250)),
+
+      Plot("nJetsSel2", nJets, sel2, eqb(10, 0, 10)),
+      Plot("nbtaggedJetsSel2", nBtag, sel2, eqb(10, 0, 10)),
+      Plot("nMuSel2", nMu, sel2, eqb(10, 0, 10)),
+      Plot("InvMassTwoMuonsSel2", mass, sel2, eqb(20, 20, 300)),
+      Plot("LeadingMuonPTSel2", muPt(0), sel2, eqb(30, 0, 250)),
+      Plot("SubLeadingMuonPTSel2", muPt(1), sel2, eqb(30, 0, 200)),
+      Plot("LeadingMuonEtaSel2", muEta(0), sel2, eqb(30, -3, 3)),
+      Plot("SubLeadingMuonEtaSel2", muEta(1), sel2, eqb(30, -3, 3)),
+      Plot("METptSel2", met, sel2, eqb(50, 0, 250)),
+
+      Plot("nJetsSel3", nJets, sel3, eqb(10, 0, 10)),
+      Plot("nbtaggedJetsSel3", nBtag, sel3, eqb(10, 0, 10)),
+      Plot("LeadingJetPTSel3", jetPt(0), sel3, eqb(50, 0, 350)),
+      Plot("SubLeadingJetPTSel3", jetPt(1), sel3, eqb(50, 0, 350)),
+      Plot("LeadingJetEtaSel3", jetEta(0), sel3, eqb(30, -3, 3)),
+      Plot("SubLeadingJetEtaSel3", jetEta(1), sel3, eqb(30, -3, 3)),
+      Plot("nMuSel3", nMu, sel3, eqb(10, 0, 10)),
+      Plot("LeadingMuonPTSel3", muPt(0), sel3, eqb(30, 0, 250)),
+      Plot("SubLeadingMuonPTSel3", muPt(1), sel3, eqb(30, 0, 200)),
+      Plot("LeadingMuonEtaSel3", muEta(0), sel3, eqb(30, -3, 3)),
+      Plot("SubLeadingMuonEtaSel3", muEta(1), sel3, eqb(30, -3, 3)),
+      Plot("InvMassTwoMuonsSel3", mass, sel3, eqb(30, 0, 300)),
+      Plot("METptSel3", met, sel3, eqb(50, 0, 250)),
+
+      Plot("nJetsSel4", nJets, sel4, eqb(10, 0, 10)),
+      Plot("nbtaggedJetsSel4", nBtag, sel4, eqb(10, 0, 10)),
+      Plot("LeadingJetPTSel4", jetPt(0), sel4, eqb(50, 0, 250)),
+      Plot("SubLeadingJetPTSel4", jetPt(1), sel4, eqb(50, 0, 250)),
+      Plot("LeadingJetEtaSel4", jetEta(0), sel4, eqb(30, -3, 3)),
+      Plot("SubLeadingJetEtaSel4", jetEta(1), sel4, eqb(30, -3, 3)),
+      Plot("nMuSel4", nMu, sel4, eqb(10, 0, 10)),
+      Plot("LeadingMuonPTSel4", muPt(0), sel4, eqb(30, 0, 250)),
+      Plot("SubLeadingMuonPTSel4", muPt(1), sel4, eqb(30, 0, 200)),
+      Plot("LeadingMuonEtaSel4", muEta(0), sel4, eqb(30, -3, 3)),
+      Plot("SubLeadingMuonEtaSel4", muEta(1), sel4, eqb(30, -3, 3)),
+      Plot("InvMassTwoMuonsSel4", mass, sel4, eqb(30, 0, 300)),
+      Plot("METptSel4", met, sel4, eqb(50, 0, 250)),
+
+      Plot("nJetsSel5", nJets, sel5, eqb(10, 0, 10)),
+      Plot("nbtaggedJetsSel5", nBtag, sel5, eqb(10, 0, 10)),
+      Plot("LeadingJetPTSel5", jetPt(0), sel5, eqb(50, 0, 250)),
+      Plot("SubLeadingJetPTSel5", jetPt(1), sel5, eqb(50, 0, 250)),
+      Plot("LeadingJetEtaSel5", jetEta(0), sel5, eqb(30, -3, 3)),
+      Plot("SubLeadingJetEtaSel5", jetEta(1), sel5, eqb(30, -3, 3)),
+      Plot("nMuSel5", nMu, sel5, eqb(10, 0, 10)),
+      Plot("LeadingMuonPTSel5", muPt(0), sel5, eqb(30, 0, 250)),
+      Plot("SubLeadingMuonPTSel5", muPt(1), sel5, eqb(30, 0, 200)),
+      Plot("LeadingMuonEtaSel5", muEta(0), sel5, eqb(30, -3, 3)),
+      Plot("SubLeadingMuonEtaSel5", muEta(1), sel5, eqb(30, -3, 3)),
+      Plot("InvMassTwoMuonsSel5", mass, sel5, eqb(30, 0, 300)),
+      Plot("METptSel5", met, sel5, eqb(50, 0, 250)))
   }
 
   /** Full single-pass run: (histograms DF, cutflow entries). */

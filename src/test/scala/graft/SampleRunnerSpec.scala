@@ -46,6 +46,14 @@ class SampleRunnerSpec extends SparkSpec {
       assert(h.count() > 0)
       assert(h.columns.toSet == Set("plot", "bucket", "n", "sumw", "sumw2"))
       assert(SampleRunner.readCounters(spark, outDir, s.name) == 1000L)
+      // single-pass cutflow: long-format rows per selection, noSel = all events
+      val cf = spark.read.parquet(s"$outDir/results/${s.name}/cutflow")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cf("noSel") == 1000L)
+      assert(cf.contains("nmumu") && cf("nmumu") <= cf("noSel"))
+      // no histogram rows leak the cutflow prefix
+      assert(h.filter(org.apache.spark.sql.functions.col("plot")
+        .startsWith("__cutflow__")).count() == 0)
     }
   }
 
@@ -57,8 +65,8 @@ class SampleRunnerSpec extends SparkSpec {
     // equal raw sumw × scale for the single-sample group
     val ttScale = cfg.scaleFor(cfg.samples.find(_.name == "TT").get)
     val rawTT = spark.read.parquet(s"$outDir/results/TT/histograms")
-      .filter(col("plot") === "metNoSel").agg(sum("sumw")).head().getDouble(0)
-    val stackedTT = stacked.filter(col("group") === "Top" && col("plot") === "metNoSel")
+      .filter(col("plot") === "METptNoSel").agg(sum("sumw")).head().getDouble(0)
+    val stackedTT = stacked.filter(col("group") === "Top" && col("plot") === "METptNoSel")
       .agg(sum("sumw")).head().getDouble(0)
     assert(math.abs(stackedTT - rawTT * ttScale) < 1e-6 * math.abs(stackedTT))
   }
