@@ -71,6 +71,7 @@ object Generators {
              |  FROM ev)
              |SELECT user_id, event_id, t - last_click_t AS us_since_click
              |FROM m WHERE event_type = 'purchase'
-             |ORDER BY user_id, event_id""".stripMargin)),
+             |ORDER BY user_id, event_id""".stripMargin),
+      headline = true),
   )
 }

@@ -29,7 +29,8 @@ object RelationalExt {
              |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
              |  round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      headline = true),
 
     // ---- q24: cube grouping sets -------------------------------------------
     QueryDef(
@@ -57,7 +58,8 @@ object RelationalExt {
           .groupBy($"l_returnflag")
           .agg(
             approx_count_distinct($"l_partkey").as("approx_parts"),
-            countDistinct($"l_partkey").as("exact_parts"))
+            countDistinct($"l_partkey").as("exact_parts"),
+            round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2).as("approx_median"))
           .orderBy($"l_returnflag")
       },
       None),

@@ -114,7 +114,8 @@ object Streams {
              |  FROM sid GROUP BY 1, 2)
              |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
              |  round(sum(dur), 2) AS total_dur
-             |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
+             |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin),
+      headline = true),
 
     // ---- q55: per-day top-user leaderboard (windowed rank over time bucket) --
     QueryDef(
