@@ -47,6 +47,7 @@ object JetValidationAnalysis {
           mu => mediumWP(mu("isopass")) && mediumWP(mu("idpass"))))
       .withColumn("cleaned_jets",
         crossClean(crossClean(col("jetpuppi"), col("id_elec"), 0.3), col("id_muon"), 0.3))
+      .withColumn("met_pt", leading(col("metpuppi"))("pt"))
     ptThresholds.foldLeft(base) { (acc, pt) =>
       etaRegions.foldLeft(acc) { case (acc2, (region, pred)) =>
         acc2.withColumn(jetsCol(pt, region),
@@ -66,26 +67,34 @@ object JetValidationAnalysis {
     (noSel, noSel +: grid)
   }
 
-  /** nJets spectra per grid cell + leading-jet pt/η at each multiplicity
-    * step (reference binnings: EqB(15,0,15), EqB(50,0,4000), η ±5). */
+  /** The reference's COMPLETE 66-plot set (jet_test.py:524-724), identical
+    * names and binnings: per threshold — nJets EqB(15,0,15), MET at the
+    * ≥1-jet node EqB(50,0,1000), and for each jet index k∈1..4 at the
+    * matching ≥k node: pt EqB(50,0,4000), η EqB(30,−3,3), and per-region
+    * pt spectra indexed into the region collections. */
   def plots(noSel: Selection, chain: Seq[Selection]): Seq[Plot] = {
     val byName = chain.map(s => s.name -> s).toMap
-    val nJetPlots = for {
-      pt <- ptThresholds
-      (region, _) <- etaRegions
-    } yield Plot(s"nJets_${pt}_$region", rngLen(col(jetsCol(pt, region))), noSel,
-      EquidistantBinning(15, 0, 15))
-    val kinPlots = for {
-      pt <- ptThresholds
-      k <- 1 to 4
-      sel = byName(s"nJet${pt}_all_ge$k")
-      p <- Seq(
-        Plot(s"Jet${k}_pT_jetPT_${pt}GeV", nth(col(jetsCol(pt, "all")), k - 1)("pt"),
-          sel, EquidistantBinning(50, 0, 4000)),
-        Plot(s"Jet${k}_eta_jetPT_${pt}GeV", nth(col(jetsCol(pt, "all")), k - 1)("eta"),
-          sel, EquidistantBinning(50, -5, 5)))
-    } yield p
-    nJetPlots ++ kinPlots // 12 + 24 = 36 histograms in one pass
+    ptThresholds.flatMap { pt =>
+      val base = Seq(
+        Plot(s"nJets_jetPT_${pt}GeV", rngLen(col(jetsCol(pt, "all"))), noSel,
+          EquidistantBinning(15, 0, 15)),
+        Plot(s"MET_jetPT_${pt}GeV", col("met_pt"), byName(s"nJet${pt}_all_ge1"),
+          EquidistantBinning(50, 0, 1000)))
+      val perK = (1 to 4).flatMap { k =>
+        val allSel = byName(s"nJet${pt}_all_ge$k")
+        Seq(
+          Plot(s"Jet${k}_pT_jetPT_${pt}GeV", nth(col(jetsCol(pt, "all")), k - 1)("pt"),
+            allSel, EquidistantBinning(50, 0, 4000)),
+          Plot(s"Jet${k}_eta_jetPT_${pt}GeV", nth(col(jetsCol(pt, "all")), k - 1)("eta"),
+            allSel, EquidistantBinning(30, -3, 3))) ++
+          etaRegions.collect { case (region, _) if region != "all" =>
+            Plot(s"Jet${k}_pT_${region}_jetPT_${pt}GeV",
+              nth(col(jetsCol(pt, region)), k - 1)("pt"),
+              byName(s"nJet${pt}_${region}_ge$k"), EquidistantBinning(50, 0, 4000))
+          }
+      }
+      base ++ perK // 2 + 4×5 = 22 per threshold → 66 total
+    }
   }
 
   def run(events: DataFrame): (DataFrame, Seq[CutFlowReport.Entry]) = {

@@ -33,11 +33,19 @@ class JetValidationSpec extends SparkSpec {
       "eta regions must partition (reference's mid-eta tautology corrected)")
   }
 
-  test("36 histograms fill in one pass with populated content") {
+  test("all 66 reference histograms fill in one pass") {
+    val objs = JVA.withObjects(events)
+    val (noSel, chain) = JVA.selections()
+    val registered = JVA.plots(noSel, chain)
+    assert(registered.size == 66, s"expected 66 plots, got ${registered.size}")
     val perPlot = result._1.groupBy("plot").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(perPlot.size == 36, s"expected 36 plots, got ${perPlot.size}")
-    assert(perPlot.values.forall(_ > 0))
+    // deep grid cells (e.g. 4 forward jets >100 GeV) may legitimately be
+    // empty on 2000 synthetic events; the broad ones must be populated
+    assert(perPlot.getOrElse("nJets_jetPT_30GeV", 0L) > 0)
+    assert(perPlot.getOrElse("Jet1_pT_jetPT_30GeV", 0L) > 0)
+    assert(perPlot.getOrElse("MET_jetPT_30GeV", 0L) > 0)
+    assert(perPlot.size >= 40, s"only ${perPlot.size} of 66 plots non-empty")
   }
 
   test("4-entry cutflow mirrors the reference report") {
