@@ -57,6 +57,23 @@ object CutFlowReport {
     }
   }
 
+  /** LaTeX yields table (reference printCutFlowReports → yields.tex,
+    * phaseII-analysis.py:168-262: per-step and total efficiencies with the
+    * same tabular shape). Underscores escaped for TeX. */
+  def renderLatex(entries: Seq[Entry], caption: String = "Cutflow yields"): String = {
+    def tex(s: String) = s.replace("_", "\\_")
+    val rows = entries.map { e =>
+      f"${tex(e.name)} & ${e.n}%d & ${e.sumw}%.3f & ${e.stepEff * 100}%.2f\\%% & ${e.totalEff * 100}%.2f\\%% \\\\"
+    }
+    (Seq(
+      "\\begin{table}[h]", "\\centering",
+      "\\begin{tabular}{lrrrr}", "\\hline",
+      "selection & N & SumW & step eff & total eff \\\\", "\\hline") ++
+      rows ++
+      Seq("\\hline", "\\end{tabular}", s"\\caption{${tex(caption)}}", "\\end{table}"))
+      .mkString("\n")
+  }
+
   /** yields-table text rendering (reference printCutFlowReports → yields.tex,
     * phaseII-analysis.py:168-262). */
   def render(entries: Seq[Entry]): String = {

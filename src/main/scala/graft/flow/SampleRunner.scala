@@ -37,16 +37,14 @@ object SampleRunner {
   def runSample(
       spark: SparkSession,
       events: DataFrame,
-      withObjects: DataFrame => DataFrame,
-      selections: () => (Selection, Seq[Selection]),
-      plots: (Selection, Seq[Selection]) => Seq[Plot],
+      module: AnalysisModule,
       outDir: String,
       sample: SampleConfig): Unit = {
-    val objs = withObjects(events)
-    val (noSel, chain) = selections()
+    val objs = module.withObjects(events)
+    val (noSel, chain) = module.selections()
     val cutflowPlots = chain.map(s =>
       Plot(CutPrefix + s.name, lit(0.5), s, EquidistantBinning(1, 0, 1)))
-    val combined = HistogramPass.run(objs, plots(noSel, chain) ++ cutflowPlots)
+    val combined = HistogramPass.run(objs, module.plots(noSel, chain) ++ cutflowPlots)
     val allPath = s"$outDir/results/${sample.name}/all"
     combined.write.mode("overwrite").parquet(allPath)
     val all = spark.read.parquet(allPath)

@@ -19,7 +19,7 @@ import graft.flow._
   * We implement the evidently intended region 1.5 ≤ |η| ≤ 3 — capability
   * parity, not bug parity.
   */
-object JetValidationAnalysis {
+object JetValidationAnalysis extends AnalysisModule {
 
   val ptThresholds: Seq[Int] = Seq(30, 50, 100)
   val etaRegions: Seq[(String, Column => Column)] = Seq(
@@ -97,7 +97,7 @@ object JetValidationAnalysis {
     }
   }
 
-  def run(events: DataFrame): (DataFrame, Seq[CutFlowReport.Entry]) = {
+  override def run(events: DataFrame): (DataFrame, Seq[CutFlowReport.Entry]) = {
     val objs = withObjects(events)
     val (noSel, chain) = selections()
     val hists = HistogramPass.run(objs, plots(noSel, chain))

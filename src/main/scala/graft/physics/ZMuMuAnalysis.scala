@@ -21,7 +21,7 @@ import graft.flow._
   * Selection chain (py:349-363):
   *  nmumu → InvM (Z-window veto) → njet → btag → MET
   */
-object ZMuMuAnalysis {
+object ZMuMuAnalysis extends AnalysisModule {
 
   def mediumWP(c: Column): Column = passWorkingPoint(c, 2)
 
@@ -152,12 +152,5 @@ object ZMuMuAnalysis {
       Plot("METptSel5", met, sel5, eqb(50, 0, 250)))
   }
 
-  /** Full single-pass run: (histograms DF, cutflow entries). */
-  def run(events: DataFrame): (DataFrame, Seq[CutFlowReport.Entry]) = {
-    val objs = withObjects(events)
-    val (noSel, chain) = selections()
-    val hists = HistogramPass.run(objs, plots(noSel, chain))
-    val cutflow = CutFlowReport.report(objs, chain)
-    (hists, cutflow)
-  }
+  // single-pass run(events) inherited from AnalysisModule
 }

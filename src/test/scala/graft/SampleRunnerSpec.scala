@@ -34,9 +34,7 @@ class SampleRunnerSpec extends SparkSpec {
 
   private lazy val ran: Unit = cfg.samples.zipWithIndex.foreach { case (s, i) =>
     val events = EventGen.dataFrame(spark, 1000).withColumn("event_id", col("event_id") + i * 100000)
-    SampleRunner.runSample(spark, events,
-      ZMuMuAnalysis.withObjects, ZMuMuAnalysis.selections _,
-      ZMuMuAnalysis.plots, outDir, s)
+    SampleRunner.runSample(spark, events, ZMuMuAnalysis, outDir, s)
   }
 
   test("per-sample results and counter sidecars are written and readable") {

@@ -54,4 +54,12 @@ class SelectionFlowSpec extends SparkSpec {
     val txt = CutFlowReport.render(CutFlowReport.report(df, sels))
     assert(txt.contains("gt5") && txt.contains("SumW"))
   }
+
+  test("renderLatex produces a compilable-shaped yields.tex table") {
+    val (_, sels) = chain()
+    val tex = CutFlowReport.renderLatex(CutFlowReport.report(df, sels), caption = "smoke_test")
+    assert(tex.contains("\\begin{tabular}{lrrrr}"))
+    assert(tex.contains("gt5 & 1 & 3.000 & 40.00\\% & 28.57\\% \\\\"))
+    assert(tex.contains("smoke\\_test"))
+  }
 }
