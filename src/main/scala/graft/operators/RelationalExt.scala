@@ -47,6 +47,35 @@ object RelationalExt {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // ---- q64: typed per-group imperative logic (mapGroups) -----------------
+    // The KeyValueGroupedDataset tier: arbitrary Scala per group, shuffled
+    // once on the key — the batch twin of the streaming state operator.
+    // Order-insensitive group logic (sorted copy inside) keeps it exact.
+    QueryDef(
+      "q64_typed_mapgroups",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_suppkey", $"l_extendedprice")
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .mapGroups { (k, it) =>
+            val prices = it.map(_._2).toArray
+            java.util.Arrays.sort(prices)
+            val n = prices.length
+            (k, n.toLong, prices(n - 1), if (n > 1) prices(n - 2) else Double.NaN)
+          }
+          .toDF("l_suppkey", "n_items", "max_price", "second_price")
+          .select($"l_suppkey", $"n_items",
+            round($"max_price", 2).as("max_price"),
+            round($"second_price", 2).as("second_price"))
+          .orderBy($"l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS n_items,
+             |  round(max(l_extendedprice), 2) AS max_price,
+             |  round(list_sort(list(l_extendedprice), 'DESC')[2], 2) AS second_price
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
     // ---- q25: sketch-based distinct count (HLL++) --------------------------
     // Rows-only: HLL implementations differ across engines by design.
     // RelationalExtSpec asserts <5% relative error vs the exact count.
