@@ -86,6 +86,30 @@ object Prof {
       cand.select(col("a.doc_id"), col("b.doc_id")).distinct().count()))
     time("full pipeline")(
       Dedup.minhashLshPairs(docs, 0.8).write.mode("overwrite").format("noop").save())
+
+    // widest single-pass plan: jet module (66 plots + 49-node cutflow as
+    // pseudo-plots = 115 exploded structs/row) over 20k synthetic events
+    {
+      import graft.physics.{EventGen, JetValidationAnalysis => JVA}
+      val ev = time("eventgen 20k materialize") {
+        val e = EventGen.dataFrame(spark, 20000)
+        e.write.mode("overwrite").format("noop").save(); e
+      }
+      val objs = time("withObjects noop")(
+        { val o = JVA.withObjects(ev); o.write.mode("overwrite").format("noop").save(); o })
+      val (noSel, chain) = JVA.selections()
+      val h66 = graft.flow.HistogramPass.run(objs, JVA.plots(noSel, chain))
+      val plan = h66.queryExecution.executedPlan.toString
+      println(s"[prof] plan size=${plan.length} chars")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/jet_plan.txt"), plan)
+      time("66 plots only (first run)")(h66.write.mode("overwrite").format("noop").save())
+      time("66 plots + 49 cutflow pseudo-plots") {
+        val cut = chain.map(s => graft.flow.Plot("__c__" + s.name,
+          org.apache.spark.sql.functions.lit(0.5), s, graft.flow.EquidistantBinning(1, 0, 1)))
+        graft.flow.HistogramPass.run(objs, JVA.plots(noSel, chain) ++ cut)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
     spark.stop()
   }
 }
