@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.{QueryDef, Tables}
 
 /** Outer-join and string/null-function coverage. */
@@ -64,5 +65,39 @@ object Relational2 {
              |  CAST(instr(text, 'the') AS INT) AS the_pos
              |FROM documents WHERE doc_id < 200
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q65: RANGE frames + ntile + first/nth_value ------------------------
+    // Sliding time-window aggregation without a join: events per user in
+    // the preceding 10 minutes via a RANGE frame over integer epoch
+    // seconds (exact arithmetic on both engines).
+    QueryDef(
+      "q65_range_frame",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t")
+        val range10m = w.rangeBetween(-600L, Window.currentRow)
+        Tables.events(s, d)
+          .filter($"user_id" < 20)
+          .select($"user_id", $"event_id", unix_timestamp($"ts").as("t"))
+          .withColumn("n_last_10min", count(lit(1)).over(range10m))
+          .withColumn("quartile", ntile(4).over(Window.partitionBy($"user_id").orderBy($"t", $"event_id")))
+          .withColumn("first_t", first($"t").over(
+            Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select($"user_id", $"event_id", $"n_last_10min", $"quartile",
+            ($"t" - $"first_t").as("secs_since_first"))
+          .orderBy($"user_id", $"t", $"event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+             |  FROM events WHERE user_id < 20)
+             |SELECT user_id, event_id,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY t
+             |                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_last_10min,
+             |  ntile(4) OVER (PARTITION BY user_id ORDER BY t, event_id) AS quartile,
+             |  t - first_value(t) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS secs_since_first
+             |FROM e ORDER BY user_id, t, event_id""".stripMargin)),
   )
 }
