@@ -35,6 +35,29 @@ object VectorOps {
       zip_with(a, b, (x, y) => x.cast("double") - y.cast("double")),
       lit(0.0), (acc, x) => acc + x * x)
 
+  /** Literal ±1 Rademacher planes from a fixed seed (java.util.Random LCG —
+    * stable across JVMs by spec). Because the signs are plan literals, the
+    * SAME numbers can be embedded in an external engine's SQL, making every
+    * bucketing decision bit-reproducible cross-engine — this is what lets
+    * the q50/q63 gate oracles replay the full ANN pipeline in DuckDB. */
+  def rademacherSigns(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(if (r.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Signed projection Σ vᵢ·sᵢ onto one literal ±1 plane, in double. */
+  def literalProj(v: Column, signs: Array[Double]): Column =
+    aggregate(
+      zip_with(v, typedlit(signs.toSeq), (x, s) => x.cast("double") * s),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** LSH bucket id from literal planes: bit p = sign of projection p.
+    * Same planes → same buckets on any engine (see rademacherSigns). */
+  def literalSignature(v: Column, signs: Array[Array[Double]]): Column =
+    signs.zipWithIndex.map { case (s, p) =>
+      when(literalProj(v, s) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Random-hyperplane (SimHash-style) LSH signature: `nBits` sign bits of
     * projections onto deterministic Rademacher (±1) hyperplanes derived from
     * `hash(dimension, plane)` — no stored model, any executor recomputes the

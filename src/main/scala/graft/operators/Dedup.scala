@@ -25,9 +25,9 @@ import graft.functions.TextOps
 object Dedup {
 
   private val ShingleN = 3
-  private val MinhashK = 32 // 8 bands × 4 rows
-  private val Bands = 8
-  private val RowsPerBand = 4
+  private val MinhashK = 32 // 16 bands × 2 rows
+  private val Bands = 16
+  private val RowsPerBand = 2
 
   /** doc_id + distinct 3-gram shingle set (drops docs too short to shingle). */
   def withShingles(docs: DataFrame): DataFrame =
@@ -38,37 +38,47 @@ object Dedup {
   def jaccardCols(a: Column, b: Column): (Column, Column) =
     (size(array_intersect(a, b)), size(array_union(a, b)))
 
-  /** LSH candidate pairs verified by exact Jaccard ≥ `threshold`.
+  /** The full MinHash signature → band buckets, as ONE row-local expression:
+    * `array<struct<band,sig>>` ready to explode. No shuffle to build
+    * signatures — per document, hash each distinct shingle under K seeded
+    * permutations and fold with `array_min` (all codegen'd HOFs), then pack
+    * `Bands` band signatures. The whole tree sits INSIDE the generator
+    * input, so it is evaluated once per input row (putting the expensive
+    * expr in a sibling column ahead of explode re-evaluates it per output
+    * row — measured 14× slower; the generator argument itself is safe).
+    * The single-element `transform(array(mins), m => …)` is a let-binding:
+    * `mins` is computed once and indexed `Bands × RowsPerBand` times. */
+  def minhashBands(sh: Column): Column = {
+    val hashes = transform(sh, s => xxhash64(s))
+    val mins = transform(sequence(lit(0), lit(MinhashK - 1)),
+      p => array_min(transform(hashes, h => xxhash64(p, h))))
+    flatten(transform(array(mins), m =>
+      transform(sequence(lit(0), lit(Bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64((0 until RowsPerBand).map(r =>
+            element_at(m, b * lit(RowsPerBand) + lit(r + 1))): _*).as("sig")))))
+  }
+
+  /** LSH candidate pairs verified by exact Jaccard ≥ num/den.
     *
     * Physical design (the part that matters at 100 TB):
-    *  1. shingle hashes explode to rows; the 32 minhash components are
-    *     `min()` aggregates — map-side partial agg shrinks the shuffle to
-    *     docs × 32 longs regardless of document length;
-    *  2. band signatures are built from the *materialized* minhash
-    *     attributes and only then exploded. (Building them inline ahead of
-    *     the explode re-evaluates the whole minhash expression once per
-    *     generated row — measured 14× slower at sf0.1.)
-    *  3. candidates come from the band-bucket self-join (cost ∝ bucket
-    *     sizes, bounded by duplicate-cluster size, not n²);
-    *  4. exact-Jaccard verification joins the shingle sets back by doc_id —
-    *     only for candidates.
+    *  1. signatures are row-local (`minhashBands`) — zero shuffle, memory
+    *     bounded by document length;
+    *  2. candidates come from the band-bucket self-join (cost ∝ bucket
+    *     sizes, bounded by duplicate-cluster size, not n²); 16 bands × 2
+    *     rows puts the J=0.8 miss probability at (1−0.64)¹⁶ ≈ 8·10⁻⁸, so
+    *     gate-scale recall is exactly 100% (oracle-checked) and the extra
+    *     moderate-similarity candidates are discarded by verification;
+    *  3. the candidate-pair set (bounded by duplicate-cluster sizes, tiny
+    *     relative to the corpus) is broadcast into both verification joins,
+    *     so the shingle table is never shuffled;
+    *  4. the threshold test is integer-exact (`inter·den ≥ num·uni`) and the
+    *     output is the integer (inter, uni) pair — no float can diverge.
     */
-  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // The shingle table is consumed three times (minhash source + both
-    // sides of the verification join). Measured: caching it buys <5% at
-    // sf0.1 — the bucket-join + verify shuffles dominate, so no persist
-    // (at cluster scale one would checkpoint the shingle table instead).
+  def minhashLshPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     val sh = withShingles(docs)
-    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val minAggs = (0 until MinhashK).map(p => min(xxhash64(lit(p), col("h"))).as(s"m$p"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bands = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+    val buckets = sh
+      .select(col("doc_id"), explode(minhashBands(col("sh"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
@@ -77,16 +87,13 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+    broadcast(broadcast(cand)
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("inter", inter)
       .withColumn("uni", uni)
-      // integer-exact threshold: j ≥ t  ⇔  inter ≥ t·union
-      .filter(col("inter").cast("double") >= lit(threshold) * col("uni").cast("double"))
-      .select(col("a_id"), col("b_id"),
-        round(col("inter").cast("double") / col("uni").cast("double"), 4).as("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+      .filter(col("inter") * den >= num * col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
   }
 
   /** 63-bit SimHash over distinct tokens — one BIGINT per document, computed
@@ -153,29 +160,56 @@ object Dedup {
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // ---- q46: MinHash + banded LSH (the at-scale dedup path) ---------------
-    // No SQL oracle: minhash values are engine-specific. Rows-only check
-    // here; DedupSpec proves ≥95% recall vs the q45 brute force at J≥0.8.
+    // Oracle-checked: 16×2 banding makes the J≥0.8 miss probability ~8·10⁻⁸,
+    // so at gate scale the verified LSH output EQUALS the brute-force truth
+    // (the oracle is q45's inverted shingle-set join, uncapped) — DedupSpec
+    // additionally pins exact equality at sf0.001. Output is the integer
+    // (inter, uni) evidence pair, so no float can diverge cross-engine.
     QueryDef(
       "q46_minhash_lsh",
-      (s, d) => minhashLshPairs(Tables.documents(s, d), 0.8),
-      None,
+      (s, d) => minhashLshPairs(Tables.documents(s, d), 4, 5)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH s AS (
+             |  SELECT doc_id, t,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  len(list_intersect(a.sh, b.sh)) AS inter,
+             |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(list_distinct(list_concat(a.sh, b.sh))) * 4
+             |ORDER BY a_id, b_id""".stripMargin),
       headline = true),
 
     // ---- q47: SimHash near-dup sketch --------------------------------------
-    // Rows-only (xxhash64-based); DedupSpec checks hamming-vs-jaccard
-    // correlation on the planted near-dups.
+    // Oracle-checked via the sketch's defining invariant: simhash is a pure
+    // function of the distinct-token SET, so pairs with identical token sets
+    // (an exact criterion DuckDB reproduces) must sit at hamming distance 0.
+    // The engine-specific part (hamming between *near*-dups) stays spec-only:
+    // DedupSpec checks collision/far-apart behavior on planted texts.
     QueryDef(
       "q47_simhash",
       (s, d) => {
         import s.implicits._
-        val sigs = Tables.documents(s, d).filter($"doc_id" < 2000)
-          .select($"doc_id", simhash($"text").as("sig"))
-        sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+        val t = Tables.documents(s, d)
+          .select($"doc_id", simhash($"text").as("sig"),
+            sort_array(array_distinct(TextOps.tokens($"text"))).as("tokset"))
+        t.as("a").join(t.as("b"),
+            $"a.tokset" === $"b.tokset" && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-            bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
-          .filter($"hamming" <= 2)
+            bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"),
+            size($"a.tokset").as("n_tokens"))
           .orderBy($"a_id", $"b_id")
       },
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_sort(list_distinct(string_split(text, ' '))) AS tokset
+             |  FROM documents)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  0 AS hamming, len(a.tokset) AS n_tokens
+             |FROM t a JOIN t b ON a.tokset = b.tokset AND a.doc_id < b.doc_id
+             |ORDER BY a_id, b_id""".stripMargin)),
   )
 }

@@ -14,6 +14,11 @@ object NestedTypes {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q57: struct columns through the sink ------------------------------
+    // Structs are built, then every gate column is read *back out of* the
+    // struct (field access proves the machinery) — the gate output itself is
+    // flat scalars, because the driver's pandas-based checker cannot sort
+    // dict-valued columns. NestedTypesSpec covers the struct-through-parquet
+    // round-trip that used to be emitted here.
     QueryDef(
       "q57_struct_ops",
       (s, d) => {
@@ -25,17 +30,22 @@ object NestedTypes {
               $"o_orderpriority".as("prio")).as("o"),
             struct($"o_orderstatus".as("st"),
               year($"o_orderdate").as("yr")).as("meta"))
-          .withColumn("cust_again", $"o.cust")
-          .withColumn("pricey", $"o.price" > 100000)
+          .select($"o_orderkey",
+            $"o.cust".as("cust"), $"o.price".as("price"), $"o.prio".as("prio"),
+            $"meta.st".as("st"), $"meta.yr".as("yr"),
+            ($"o.price" > 100000).as("pricey"))
           .orderBy($"o_orderkey")
       },
-      Some("""SELECT o_orderkey,
-             |  struct_pack(cust := o_custkey, price := o_totalprice, prio := o_orderpriority) AS o,
-             |  struct_pack(st := o_orderstatus, yr := CAST(year(o_orderdate) AS INT)) AS meta,
-             |  o_custkey AS cust_again,
-             |  o_totalprice > 100000 AS pricey
-             |FROM orders WHERE o_orderkey <= 200
-             |ORDER BY o_orderkey""".stripMargin)),
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    struct_pack(cust := o_custkey, price := o_totalprice, prio := o_orderpriority) AS o,
+             |    struct_pack(st := o_orderstatus, yr := CAST(year(o_orderdate) AS INT)) AS meta
+             |  FROM orders WHERE o_orderkey <= 200)
+             |SELECT o_orderkey,
+             |  o.cust AS cust, o.price AS price, o.prio AS prio,
+             |  meta.st AS st, meta.yr AS yr,
+             |  o.price > 100000 AS pricey
+             |FROM t ORDER BY o_orderkey""".stripMargin)),
 
     // ---- q58: map construction + lookup ------------------------------------
     // Maps are built from entries and read back by key; emitted as sorted
@@ -55,14 +65,14 @@ object NestedTypes {
             element_at($"m", "status").as("status"),
             element_at($"m", "prio").as("prio"),
             size($"m").as("m_size"),
-            sort_array(map_keys($"m")).as("keys_sorted"))
+            array_join(sort_array(map_keys($"m")), ",").as("keys_sorted"))
           .orderBy($"o_orderkey")
       },
       Some("""SELECT o_orderkey,
              |  o_orderstatus AS status,
              |  o_orderpriority AS prio,
              |  2 AS m_size,
-             |  ['prio', 'status'] AS keys_sorted
+             |  'prio,status' AS keys_sorted
              |FROM orders WHERE o_orderkey <= 200
              |ORDER BY o_orderkey""".stripMargin)),
 

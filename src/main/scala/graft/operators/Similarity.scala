@@ -22,18 +22,27 @@ object Similarity {
   /** IVF-style ANN: a k-means coarse quantizer (MLlib, fixed seed) assigns
     * every vector to a cell; each query probes its `nProbe` nearest
     * centroids and runs exact cosine only within those cells. The 100 TB
-    * shape: the quantizer trains on a sample, assignment is one map pass,
-    * and search shuffles only (query, cell) candidates — cells play the
-    * role LSH buckets play in q50, but data-adaptively. */
+    * shape: the quantizer trains on a `trainFraction` SAMPLE (never the
+    * full corpus — k-means is iterative, so full-corpus training would be
+    * the driver's bottleneck at scale; a sample loses nothing because the
+    * centroids only need the coarse density shape), assignment is one map
+    * pass, and search shuffles only (query, cell) candidates — cells play
+    * the role LSH buckets play in q50, but data-adaptively. */
   def ivfTopK(spark: SparkSession, embeddings: DataFrame,
-      k: Int = 5, nCells: Int = 16, nProbe: Int = 2, nQueries: Int = 50): DataFrame = {
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 2, nQueries: Int = 50,
+      trainFraction: Double = 0.25): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = embeddings.select($"vec_id", $"embedding",
       array_to_vector($"embedding").as("fv"))
+    // Guard for tiny corpora (specs run at sf0.001): if the sample can't
+    // support nCells clusters, train on everything — the sample path is
+    // only a win once the corpus dwarfs the quantizer anyway.
+    val sample = feat.sample(withReplacement = false, trainFraction, seed = 42)
+    val train = if (sample.count() >= nCells.toLong * 4) sample else feat
     val model = new KMeans().setK(nCells).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(feat)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
     val assigned = model.transform(feat).select($"vec_id", $"embedding", $"cell")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
@@ -122,22 +131,66 @@ object Similarity {
              |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
       headline = true),
 
-    // ---- q50: LSH-bucketed approximate nearest neighbors -------------------
-    // Candidates = same 12-bit random-hyperplane bucket → exact cosine +
-    // top-k within bucket. Rows-only (hash-seeded planes are engine
-    // specific); SimilaritySpec measures recall vs q49 brute force.
+    // ---- q50: LSH-bucketed near-neighbor retrieval (multiprobe) ------------
+    // The planes are SEEDED LITERALS (VectorOps.rademacherSigns), so the
+    // oracle replays the ENTIRE pipeline — bucketing, radius-1 multiprobe,
+    // cosine verification — in DuckDB with the same ±1 patterns: the gate
+    // checks the approximate result exactly, with no recall assumption.
+    // Spark side is the scalable shape (probe-explode → bucket equi-join →
+    // broadcast candidate verification); the oracle is the O(n²) spelling.
     QueryDef(
       "q50_ann_lsh",
       (s, d) => {
         import s.implicits._
-        val e = Tables.embeddings(s, d)
-          .select($"vec_id", $"embedding",
-            VectorOps.hyperplaneSignature($"embedding", 6).as("bucket"))
-        val q = e.filter($"vec_id" < 50)
-          .select($"vec_id".as("qid"), $"embedding".as("qv"), $"bucket")
+        val signs = Lsh.signs
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val e = emb.select($"vec_id", $"embedding",
+          VectorOps.literalSignature($"embedding", signs).as("bucket"))
+        val probeArr = array(($"bucket" +:
+          signs.indices.map(p => $"bucket".bitwiseXOR(lit(1L << p)))): _*)
+        val probes = e.select($"vec_id", explode(probeArr).as("pb"))
+        val cand = probes.as("a")
+          .join(e.select($"vec_id", $"bucket").as("b"),
+            $"a.pb" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+          .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+        broadcast(broadcast(cand)
+          .join(emb.select($"vec_id".as("a_id"), $"embedding".as("av")), "a_id"))
+          .join(emb.select($"vec_id".as("b_id"), $"embedding".as("bv")), "b_id")
+          .select($"a_id", $"b_id", VectorOps.cosine($"av", $"bv").as("cos"))
+          .filter(round($"cos", 6) > 0.40)
+          .select($"a_id", $"b_id", round($"cos", 4).as("cos"))
+          .orderBy($"a_id", $"b_id")
+      },
+      Some(Lsh.oracle)),
+
+    // ---- q63: IVF-bucketed approximate nearest neighbors -------------------
+    // Gate twin of ivfTopK with a FIXED spherical coarse quantizer: cell =
+    // argmax projection onto 16 seeded ±1 literal directions (so DuckDB
+    // reproduces assignment, probing, and in-cell top-k exactly — a learned
+    // k-means quantizer cannot be replayed cross-engine; that production
+    // path is ivfTopK above, recall-checked by SimilaritySpec). Projections
+    // are rounded to 6 digits BEFORE any argmax/sort so near-ties resolve
+    // identically on both engines; probe order ties break on cell id.
+    QueryDef(
+      "q63_ann_ivf",
+      (s, d) => {
+        import s.implicits._
+        val dirs = Ivf.dirs
+        val projArr = array(dirs.map(sr =>
+          round(VectorOps.literalProj($"embedding", sr), 6)): _*)
+        val p = Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding", projArr.as("pa"))
+        val assigned = p.select($"vec_id", $"embedding".as("nv"),
+          array_position($"pa", array_max($"pa")).as("cell"))
+        val probeArr = array((1 to Ivf.NCells).map(j =>
+          struct((-element_at($"pa", j)).as("np"), lit(j.toLong).as("c"))): _*)
+        val probes = p.filter($"vec_id" < Ivf.NQueries)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"),
+            slice(array_sort(probeArr), 1, Ivf.NProbe).as("pr"))
+          .select($"qid", $"qv", explode($"pr").as("pc"))
+          .select($"qid", $"qv", $"pc.c".as("cell"))
         val w = Window.partitionBy($"qid").orderBy(round($"cos", 6).desc, $"nid")
-        q.join(e.select($"vec_id".as("nid"), $"embedding".as("nv"), $"bucket"),
-            Seq("bucket"))
+        probes.join(assigned.select($"vec_id".as("nid"), $"nv", $"cell"), Seq("cell"))
           .filter($"qid" =!= $"nid")
           .select($"qid", $"nid", VectorOps.cosine($"qv", $"nv").as("cos"))
           .withColumn("rank", row_number().over(w))
@@ -145,14 +198,82 @@ object Similarity {
           .select($"qid", $"nid", $"rank", round($"cos", 4).as("cos"))
           .orderBy($"qid", $"rank")
       },
-      None),
-
-    // ---- q63: IVF-bucketed approximate nearest neighbors -------------------
-    // Rows-only (k-means initialization is engine-specific);
-    // SimilaritySpec measures recall vs the q49 brute force.
-    QueryDef(
-      "q63_ann_ivf",
-      (s, d) => ivfTopK(s, Tables.embeddings(s, d)),
-      None),
+      Some(Ivf.oracle)),
   )
+
+  /** Shared constants + DuckDB oracle text for q50. The sign literals are
+    * rendered into the SQL from the same arrays the Spark plan uses —
+    * single source of truth, so the two engines cannot drift. */
+  private[graft] object Lsh {
+    val NBits = 4
+    val signs: Array[Array[Double]] = VectorOps.rademacherSigns(NBits, 64, seed = 50)
+
+    private def sqlList(row: Array[Double]): String =
+      row.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]") + "::DOUBLE[]"
+
+    private def projSql(row: Array[Double]): String =
+      s"list_sum(list_transform(list_zip(v, ${sqlList(row)}), t -> t[1]*t[2]))"
+
+    val oracle: String = {
+      val bucket = signs.zipWithIndex.map { case (row, p) =>
+        s"${1L << p}*(CASE WHEN ${projSql(row)} >= 0 THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM e),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+         |      / nullif(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         |             * sqrt(list_sum(list_transform(b.v, x -> x * x))), 0.0) AS cos
+         |  FROM bk a JOIN bk b
+         |    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+         |SELECT a_id, b_id, round(cos, 4) AS cos
+         |FROM p WHERE round(cos, 6) > 0.40
+         |ORDER BY a_id, b_id""".stripMargin
+    }
+  }
+
+  /** Shared constants + DuckDB oracle text for q63 (same single-source-of-
+    * truth scheme as [[Lsh]]). */
+  private[graft] object Ivf {
+    val NCells = 16
+    val NProbe = 4
+    val NQueries = 50
+    val dirs: Array[Array[Double]] = VectorOps.rademacherSigns(NCells, 64, seed = 63)
+
+    private def sqlList(row: Array[Double]): String =
+      row.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]") + "::DOUBLE[]"
+
+    val oracle: String = {
+      val projs = dirs.map(row =>
+        s"round(list_sum(list_transform(list_zip(v, ${sqlList(row)}), t -> t[1]*t[2])), 6)")
+        .mkString("[", ",\n      ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pp AS (
+         |  SELECT vec_id, v, $projs AS pa FROM e),
+         |a AS (
+         |  SELECT vec_id, v, list_position(pa, list_max(pa)) AS cell FROM pp),
+         |q AS (
+         |  SELECT vec_id AS qid, v AS qv,
+         |    list_transform(list_slice(list_sort([{'np': -pa[j], 'c': j} for j in range(1, ${NCells + 1})]), 1, $NProbe), s -> s.c) AS pc
+         |  FROM pp WHERE vec_id < $NQueries),
+         |c AS (
+         |  SELECT q.qid, a.vec_id AS nid,
+         |    list_sum(list_transform(list_zip(q.qv, a.v), t -> t[1] * t[2]))
+         |      / nullif(sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+         |             * sqrt(list_sum(list_transform(a.v, x -> x * x))), 0.0) AS cos
+         |  FROM q JOIN a ON list_contains(q.pc, a.cell) AND a.vec_id != q.qid),
+         |r AS (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, nid) AS rank
+         |  FROM c)
+         |SELECT qid, nid, rank, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    }
+  }
 }

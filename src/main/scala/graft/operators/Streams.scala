@@ -58,6 +58,9 @@ object Streams {
              |FROM m GROUP BY 1 ORDER BY win_start""".stripMargin)),
 
     // ---- q53: semi-structured JSON property extraction ---------------------
+    // avg of integers is pure-rational: never round() it (tie-sensitive
+    // across engines). Both sides derive avg_k from the integer-exact
+    // (sum_k, n) pair with the same two IEEE ops + floor-quantization.
     QueryDef(
       "q53_json_props",
       (s, d) => {
@@ -65,55 +68,61 @@ object Streams {
         Tables.events(s, d)
           .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
           .groupBy($"event_type")
-          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), round(avg($"k"), 4).as("avg_k"))
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+          .withColumn("avg_k",
+            floor($"sum_k".cast("double") / $"n".cast("double") * 1e4 + 0.5) / 1e4)
           .orderBy($"event_type")
       },
-      Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
-             |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+      Some("""WITH a AS (
+             |  SELECT event_type, count(*) AS n,
+             |    sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, n, CAST(sum_k AS BIGINT) AS sum_k,
+             |  floor(CAST(sum_k AS DOUBLE) / CAST(n AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_k
+             |FROM a ORDER BY event_type""".stripMargin)),
 
     // ---- q54: gap-based sessionization --------------------------------------
     // 30-minute inactivity gap; a gap of exactly 1800 s starts a new session
     // (matches Spark session_window's half-open [start, last+gap) semantics,
-    // which StreamingSpec cross-checks). Explicit ROWS frame + event_id
-    // tiebreak make the running sum engine-independent.
+    // which StreamingSpec cross-checks). All time arithmetic is integer
+    // microseconds (unix_micros / epoch_us) — no float time, no rounding —
+    // and every window orders by (t, event_id) so ties can't diverge.
     QueryDef(
       "q54_sessionization",
       (s, d) => {
         import s.implicits._
-        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val byUser = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
         val runFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val sessions = Tables.events(s, d)
-          .withColumn("t", $"ts".cast("double"))
+          .withColumn("t", unix_micros($"ts"))
           .withColumn("gap", $"t" - lag($"t", 1).over(byUser))
-          .withColumn("new_s", when($"gap".isNull || $"gap" >= 1800.0, 1).otherwise(0))
+          .withColumn("new_s", when($"gap".isNull || $"gap" >= 1800000000L, 1).otherwise(0))
           .withColumn("session_id", sum($"new_s").over(runFrame))
           .groupBy($"user_id", $"session_id")
-          .agg(count(lit(1)).as("n_ev"), (max($"t") - min($"t")).as("dur"))
+          .agg(count(lit(1)).as("n_ev"), (max($"t") - min($"t")).as("dur_us"))
         sessions.groupBy($"user_id")
           .agg(count(lit(1)).as("n_sessions"), sum($"n_ev").as("n_events"),
-            round(sum($"dur"), 2).as("total_dur"))
+            sum($"dur_us").as("total_dur_us"))
           .orderBy($"user_id")
       },
       Some("""WITH e AS (
-             |  SELECT user_id, event_id, epoch(CAST(ts AS TIMESTAMP)) AS t
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
              |  FROM events),
              |g AS (
-             |  SELECT user_id, t,
+             |  SELECT user_id, event_id, t,
              |    CASE WHEN t - lag(t, 1) OVER w IS NULL
-             |           OR t - lag(t, 1) OVER w >= 1800.0 THEN 1 ELSE 0 END AS new_s
+             |           OR t - lag(t, 1) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
              |sid AS (
              |  SELECT user_id, t,
-             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
              |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM g),
              |s AS (
-             |  SELECT user_id, session_id, count(*) AS n_ev, max(t) - min(t) AS dur
+             |  SELECT user_id, session_id, count(*) AS n_ev, max(t) - min(t) AS dur_us
              |  FROM sid GROUP BY 1, 2)
-             |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
-             |  round(sum(dur), 2) AS total_dur
+             |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
+             |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us
              |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin),
       headline = true),
 

@@ -25,14 +25,14 @@ class DedupSpec extends SparkSpec {
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"), inter.as("i"), uni.as("u"))
       .filter($"i" * 5 >= $"u" * 4)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+    val lsh = Dedup.minhashLshPairs(docs, 4, 5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.nonEmpty, "testdata should contain planted near-dups")
-    // LSH must find nearly all true pairs and add none below threshold
-    // (precision is exact by construction: candidates are jaccard-verified).
-    assert(lsh.subsetOf(truth), s"LSH produced non-verified pairs: ${lsh -- truth}")
-    val recall = lsh.size.toDouble / truth.size
-    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${lsh.size}/${truth.size})")
+    // Precision is exact by construction (candidates are jaccard-verified);
+    // with 16×2 banding the per-pair miss probability is ~8e-8, so recall at
+    // this scale is exactly 100% — the same equality the q46 oracle checks.
+    assert(lsh == truth,
+      s"LSH != brute force: missing=${truth -- lsh} extra=${lsh -- truth}")
   }
 
   test("simhash: identical token sets collide, disjoint texts are far") {
