@@ -92,7 +92,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("inter", inter)
       .withColumn("uni", uni)
-      .filter(col("inter") * den >= num * col("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
   }
 

@@ -85,7 +85,7 @@ object Prof {
     time("distinct candidate pairs")(println("  dcand=" +
       cand.select(col("a.doc_id"), col("b.doc_id")).distinct().count()))
     time("full pipeline")(
-      Dedup.minhashLshPairs(docs, 0.8).write.mode("overwrite").format("noop").save())
+      Dedup.minhashLshPairs(docs, 4, 5).write.mode("overwrite").format("noop").save())
 
     // widest single-pass plan: jet module (66 plots + 49-node cutflow as
     // pseudo-plots = 115 exploded structs/row) over 20k synthetic events
