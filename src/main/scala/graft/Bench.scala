@@ -32,18 +32,33 @@ object Bench {
     // SPARK_GRAFT_BENCH_ITERS > 1 → report the best of N runs per query
     // (JIT/page-cache noise suppression for stable comparisons).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt.max(1)
+    // Only successful iterations produce a time; a query with zero successes
+    // is reported as failed (never a near-zero "fast" number) and fails the
+    // whole bench via exit code, so a broken headline query cannot hide.
     val results = headline.map { q =>
-      val times = (1 to iters).map { _ =>
+      val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED ${q.name}: ${e.getMessage}")
+            None
+        }
       }
-      q.name -> times.min
+      q.name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    val failed = results.collect { case (n, ts) if ts.isEmpty => n }
+    val qs = (ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
+      failed.map(n => "\"" + n + "\":\"failed\"")).mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -39,22 +39,21 @@ case class DeltaRExpr(eta1: Expression, phi1: Expression, eta2: Expression, phi2
     math.sqrt(dEta * dEta + dPhi * dPhi)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (e1, p1, e2, p2) => {
-      s"""delta_r_compute($e1, $p1, $e2, $p2)"""
-    }) match {
-      case code =>
-        ctx.addNewFunction("delta_r_compute",
-          s"""
-             |private double delta_r_compute(double e1, double p1, double e2, double p2) {
-             |  double dEta = e1 - e2;
-             |  double dPhiRaw = p1 - p2;
-             |  double dPhi = java.lang.Math.atan2(java.lang.Math.sin(dPhiRaw), java.lang.Math.cos(dPhiRaw));
-             |  return java.lang.Math.sqrt(dEta * dEta + dPhi * dPhi);
-             |}
-           """.stripMargin)
-        code
-    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // addNewFunction may qualify or rename the function when the generated
+    // class spills into nested private classes — always call through the
+    // name it RETURNS, never the one we requested.
+    val fn = ctx.addNewFunction("delta_r_compute",
+      s"""
+         |private double delta_r_compute(double e1, double p1, double e2, double p2) {
+         |  double dEta = e1 - e2;
+         |  double dPhiRaw = p1 - p2;
+         |  double dPhi = java.lang.Math.atan2(java.lang.Math.sin(dPhiRaw), java.lang.Math.cos(dPhiRaw));
+         |  return java.lang.Math.sqrt(dEta * dEta + dPhi * dPhi);
+         |}
+       """.stripMargin)
+    defineCodeGen(ctx, ev, (e1, p1, e2, p2) => s"$fn($e1, $p1, $e2, $p2)")
+  }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,

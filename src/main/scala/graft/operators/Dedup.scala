@@ -178,25 +178,35 @@ object Dedup {
 
     // ---- q46: MinHash + banded LSH (the at-scale dedup path) ---------------
     // Oracle-checked: 16×2 banding makes the J≥0.8 miss probability ~8·10⁻⁸,
-    // so at gate scale the verified LSH output EQUALS the brute-force truth
-    // (the oracle is q45's inverted shingle-set join, uncapped) — DedupSpec
-    // additionally pins exact equality at sf0.001. Output is the integer
-    // (inter, uni) evidence pair, so no float can diverge cross-engine.
+    // so at gate scale the verified LSH output EQUALS the brute-force truth.
+    // The oracle is the INVERTED shingle→doc join (unnest shingles, equi-join
+    // on shingle, count shared = inter, union by inclusion–exclusion): cost ∝
+    // shared shingles, not n² — it scales past the gate SF, unlike an
+    // all-pairs spelling (and unlike q45, which is the deliberately-capped
+    // brute-force baseline). DedupSpec additionally pins exact equality at
+    // sf0.001. Output is the integer (inter, uni) evidence pair, so no float
+    // can diverge cross-engine.
     QueryDef(
       "q46_minhash_lsh",
       (s, d) => minhashLshPairs(Tables.documents(s, d), 4, 5)
         .orderBy(col("a_id"), col("b_id")),
       Some("""WITH s AS (
-             |  SELECT doc_id, t,
+             |  SELECT doc_id,
              |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
              |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
              |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-             |  WHERE len(t) >= 3)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  len(list_intersect(a.sh, b.sh)) AS inter,
-             |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni
-             |FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(list_distinct(list_concat(a.sh, b.sh))) * 4
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |cand AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s)
+             |SELECT c.a_id, c.b_id, c.inter, sa.n + sb.n - c.inter AS uni
+             |FROM cand c
+             |JOIN sz sa ON sa.doc_id = c.a_id
+             |JOIN sz sb ON sb.doc_id = c.b_id
+             |WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4
              |ORDER BY a_id, b_id""".stripMargin),
       headline = true),
 

@@ -137,7 +137,11 @@ object Similarity {
     // cosine verification — in DuckDB with the same ±1 patterns: the gate
     // checks the approximate result exactly, with no recall assumption.
     // Spark side is the scalable shape (probe-explode → bucket equi-join →
-    // broadcast candidate verification); the oracle is the O(n²) spelling.
+    // broadcast candidate verification); the oracle is the O(n²) spelling,
+    // so the PROBE side is capped at vec_id < 2000 (like q48; covers the
+    // whole corpus at gate SFs) per the input-capped-verification rule.
+    // 8 sign bits → 256 buckets; radius-1 multiprobe touches 9/256 of
+    // bucket pairs, so the bucket join stays sub-quadratic at scale.
     QueryDef(
       "q50_ann_lsh",
       (s, d) => {
@@ -148,13 +152,16 @@ object Similarity {
           VectorOps.literalSignature($"embedding", signs).as("bucket"))
         val probeArr = array(($"bucket" +:
           signs.indices.map(p => $"bucket".bitwiseXOR(lit(1L << p)))): _*)
-        val probes = e.select($"vec_id", explode(probeArr).as("pb"))
+        val probes = e.filter($"vec_id" < Lsh.ProbeCap)
+          .select($"vec_id", explode(probeArr).as("pb"))
         val cand = probes.as("a")
           .join(e.select($"vec_id", $"bucket").as("b"),
             $"a.pb" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
           .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
-        broadcast(broadcast(cand)
-          .join(emb.select($"vec_id".as("a_id"), $"embedding".as("av")), "a_id"))
+        // Only bare id-pairs are broadcast — never rows carrying embeddings
+        // (broadcasting payload-bearing join output is an OOM risk at scale).
+        broadcast(cand)
+          .join(emb.select($"vec_id".as("a_id"), $"embedding".as("av")), "a_id")
           .join(emb.select($"vec_id".as("b_id"), $"embedding".as("bv")), "b_id")
           .select($"a_id", $"b_id", VectorOps.cosine($"av", $"bv").as("cos"))
           .filter(round($"cos", 6) > 0.40)
@@ -205,7 +212,8 @@ object Similarity {
     * rendered into the SQL from the same arrays the Spark plan uses —
     * single source of truth, so the two engines cannot drift. */
   private[graft] object Lsh {
-    val NBits = 4
+    val NBits = 8
+    val ProbeCap = 2000
     val signs: Array[Array[Double]] = VectorOps.rademacherSigns(NBits, 64, seed = 50)
 
     private def sqlList(row: Array[Double]): String =
@@ -229,7 +237,8 @@ object Similarity {
          |      / nullif(sqrt(list_sum(list_transform(a.v, x -> x * x)))
          |             * sqrt(list_sum(list_transform(b.v, x -> x * x))), 0.0) AS cos
          |  FROM bk a JOIN bk b
-         |    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+         |    ON a.vec_id < $ProbeCap AND a.vec_id < b.vec_id
+         |   AND bit_count(xor(a.bucket, b.bucket)) <= 1)
          |SELECT a_id, b_id, round(cos, 4) AS cos
          |FROM p WHERE round(cos, 6) > 0.40
          |ORDER BY a_id, b_id""".stripMargin

@@ -58,7 +58,7 @@ class SimilaritySpec extends SparkSpec {
     // the whole sf0.001 corpus); q50 is the LSH-bucketed approximation of the
     // SAME pair predicate. Every LSH pair must be a true pair (the cosine
     // verification step makes precision exact); bucketing makes recall
-    // partial — 4-bit radius-1 multiprobe is a coarse filter on random data.
+    // partial — 8-bit radius-1 multiprobe is a coarse filter on random data.
     val brute = graft.operators.Similarity.defs.find(_.name == "q48_embedding_neardup").get
       .build(spark, sf0001).select("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
