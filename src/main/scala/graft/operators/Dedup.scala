@@ -73,9 +73,12 @@ object Dedup {
     *     moderate-similarity candidates are discarded by verification;
     *  3. verification re-shingles ONLY candidate documents (docs ⋈ broadcast
     *     candidate ids — a second corpus scan but shingling work ∝
-    *     candidates): only bare id-pairs are ever broadcast, never
-    *     shingle-carrying rows (broadcasting payload rows is an OOM risk at
-    *     scale), and the corpus is never shuffled;
+    *     candidates; the semi-join runs BELOW the shingle projection and
+    *     carries no filter that Catalyst could push into the scan): only
+    *     bare id-pairs are ever broadcast, never shingle-carrying rows
+    *     (broadcasting payload rows is an OOM risk at scale), and the
+    *     corpus is never shuffled (measured sf0.1: 16.2 s r1 → 5.1 s cold /
+    *     2.5 s warm with candidate-only shingling and exchange reuse);
     *  4. the threshold test is integer-exact (`inter·den ≥ num·uni`) on the
     *     exact STRING shingle sets — identical to the oracle's semantics —
     *     and the output is the integer (inter, uni) pair, so no float or
@@ -102,7 +105,20 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sh = withShingles(docs)
+    // Shingle ONLY candidate documents: semi-join the corpus against the
+    // (broadcast, bare-id) candidate set BEFORE the shingle projection, so
+    // string-shingle work is ∝ candidates, not corpus size — the projection
+    // would otherwise run corpus-wide on BOTH verification branches.
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    // No size(sh)>0 filter here (unlike withShingles): candidates always
+    // have ≥ ShingleN tokens, and the filter would be PUSHED BELOW the
+    // semi-join by Catalyst, re-evaluating the shingle expression
+    // corpus-wide inside the scan filter — the exact cost the semi-join
+    // exists to avoid.
+    val sh = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
     broadcast(cand)
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
