@@ -236,11 +236,18 @@ object Dedup {
       "q47_simhash",
       (s, d) => {
         import s.implicits._
+        // tkey (one long) is the equi-join key; the exact tokset equality
+        // stays as a post-join verification filter. Joining on the hash
+        // keeps the sort/compare of the shuffle join on 8-byte keys
+        // instead of full token arrays — the array comparison runs only
+        // on same-hash candidates.
         val t = Tables.documents(s, d)
           .select($"doc_id", simhash($"text").as("sig"),
             sort_array(array_distinct(TextOps.tokens($"text"))).as("tokset"))
+          .withColumn("tkey", xxhash64($"tokset"))
         t.as("a").join(t.as("b"),
-            $"a.tokset" === $"b.tokset" && $"a.doc_id" < $"b.doc_id")
+            $"a.tkey" === $"b.tkey" && $"a.doc_id" < $"b.doc_id" &&
+              $"a.tokset" === $"b.tokset")
           .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
             bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"),
             size($"a.tokset").as("n_tokens"))

@@ -61,4 +61,25 @@ class PlanSpec extends SparkSpec {
     val p = physicalPlan("q51_window_tumbling")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
   }
+
+  test("q46: no scan filter evaluates the shingle expression corpus-wide") {
+    // Regression guard: a size(shingles)>0 filter above the verification
+    // semi-join gets PUSHED INTO the document scan by Catalyst and
+    // re-evaluates the full shingle expression for every document on both
+    // verification branches (measured 8.2s vs 5.1s at sf0.1).
+    val p = physicalPlan("q46_minhash_lsh")
+    val scanFilters = p.linesIterator.filter(l =>
+      l.contains("Filter") && l.contains("split(text")).toSeq
+    assert(scanFilters.forall(!_.contains("array_distinct")),
+      s"shingle expression leaked into a corpus-wide filter:\n${scanFilters.mkString("\n")}")
+    // verification must broadcast bare id-pairs, never payload rows
+    assert(p.contains("BroadcastExchange"), "candidate pairs should broadcast")
+  }
+
+  test("q47: token-set join runs on the 8-byte hash key, arrays only verify") {
+    val p = physicalPlan("q47_simhash")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("tkey")).getOrElse("")
+    assert(joinLine.nonEmpty, s"join should use the tkey hash as its equi-key:\n$p")
+  }
 }
