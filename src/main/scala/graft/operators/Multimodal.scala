@@ -77,6 +77,38 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize, treating the payload as a row-major
+    * single-channel (gray8) `width × height` raster — REAL pixel math on
+    * the plumbing's canonical byte layout (a production codec would decode
+    * to exactly this shape first; only the upstream decode is stubbed).
+    * Short payloads are zero-padded, matching a decoder's black fill.
+    * Partition-preserving mapPartitions; metadata (width/height) is kept
+    * consistent with the new raster. */
+  def resize(spark: SparkSession, media: Dataset[MediaRecord], newW: Int, newH: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(newW > 0 && newH > 0)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val out = new Array[Byte](newW * newH)
+        if (r.width > 0 && r.height > 0) {
+          var y = 0
+          while (y < newH) {
+            val sy = y * r.height / newH
+            var x = 0
+            while (x < newW) {
+              val sx = x * r.width / newW
+              val si = sy * r.width + sx
+              out(y * newW + x) = if (si < r.content.length) r.content(si) else 0
+              x += 1
+            }
+            y += 1
+          }
+        }
+        MediaRecord(r.media_id, out, r.mime_hint, newW, newH)
+      }
+    }
+  }
+
   /** Frame sampling stub: N evenly spaced fixed-width slices of the payload
     * (a video decoder would seek keyframes; the slicing/plumbing is real). */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord], n: Int, frameBytes: Int): DataFrame = {

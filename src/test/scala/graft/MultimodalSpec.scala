@@ -46,6 +46,21 @@ class MultimodalSpec extends SparkSpec {
     assert(first.take(4).toSeq == png.take(4).toSeq, "frame 0 starts at payload start")
   }
 
+  test("nearest-neighbor resize: exact pixel mapping on a gray8 raster") {
+    // 4×4 gradient raster 0..15; 2×2 nearest-neighbor keeps rows 0,2 / cols 0,2
+    val raster = Array.tabulate[Byte](16)(_.toByte)
+    val one = spark.createDataset(Seq(MediaRecord(9L, raster, "image/gray8", 4, 4)))
+    val out = Multimodal.resize(spark, one, 2, 2).collect().head
+    assert(out.width == 2 && out.height == 2)
+    assert(out.content.toSeq == Seq[Byte](0, 2, 8, 10))
+    // upscale back: every output pixel must come from the 2×2 source
+    val up = Multimodal.resize(spark, Multimodal.resize(spark, one, 2, 2), 4, 4).collect().head
+    assert(up.content.toSet.subsetOf(Set[Byte](0, 2, 8, 10)))
+    // zero-area metadata (unknown dims) yields black output, no crash
+    val z = Multimodal.resize(spark, media, 2, 2).filter(_.media_id == 3L).collect().head
+    assert(z.content.toSeq == Seq[Byte](0, 0, 0, 0))
+  }
+
   test("partitioning is preserved through the decode stage") {
     val repart = media.repartition(3)
     val out = Multimodal.extractFeatures(spark, repart)
