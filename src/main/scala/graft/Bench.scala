@@ -26,8 +26,11 @@ object Bench {
 
     val headline = SparkEntry.allDefs.filter(_.headline)
     // JVM + codegen warmup on the cheapest headline query (untimed).
+    // A warmup failure must not abort the run — the same query fails
+    // VISIBLY in its own timed iteration below.
     headline.headOption.foreach { q =>
-      q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+      try q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
     }
     // SPARK_GRAFT_BENCH_ITERS > 1 → report the best of N runs per query
     // (JIT/page-cache noise suppression for stable comparisons).
