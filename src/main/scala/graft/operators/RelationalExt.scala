@@ -17,12 +17,17 @@ object RelationalExt {
       "q23_percentiles",
       (s, d) => {
         import s.implicits._
+        // array form: one sort buffer serves both l_extendedprice
+        // percentiles instead of two independent aggregate states
         Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
           .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            expr("percentile(l_extendedprice, array(0.5, 0.9))").as("pe"),
             round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
+          .select($"l_returnflag",
+            round(element_at($"pe", 1), 4).as("median_price"),
+            round(element_at($"pe", 2), 4).as("p90_price"),
+            $"q1_qty")
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
