@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
-import graft.expressions.DeltaRExpr
+import graft.expressions.{CosineSimExpr, DeltaRExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions on any session built with
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DeltaRExpr(
         Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
         Cast(exprs(2), DoubleType), Cast(exprs(3), DoubleType))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
   }
 }

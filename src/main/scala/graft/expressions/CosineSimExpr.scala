@@ -1,0 +1,102 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst cosine similarity over two `array<float>` /
+  * `array<double>` embedding columns — the fused-loop replacement for the
+  * HOF composition in [[graft.functions.VectorOps.cosine]], which builds a
+  * zip_with product array plus two aggregate folds per row (three lambda
+  * walks and an allocated intermediate array per pair). This expression
+  * does ONE loop with three scalar accumulators and no allocation, in
+  * whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the HOF form (required: the ANN gate oracles
+  * replay cosine in DuckDB):
+  *  - elements widen to double before any arithmetic; dot and both norms
+  *    accumulate left-to-right, so results are bit-equal to the HOF fold;
+  *  - null when either array is null, any element is null, lengths differ
+  *    (zip_with's null-pad poisons the HOF fold), or a norm is zero
+  *    (the HOF guards with nullif) — never NaN.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"cosine_sim expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xd = elemIsDouble(left); val yd = elemIsDouble(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      val getX = if (elemIsDouble(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY = if (elemIsDouble(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = $getX;
+         |    double $yv = $getY;
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  /** Column API: fused cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -24,9 +24,18 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(norm2(a))
 
-  /** Cosine similarity (null-safe for zero vectors: returns null via /0→null? No —
-    * guarded with nullif so 0-norm yields null rather than NaN). */
+  /** Cosine similarity — the native fused-loop Catalyst expression
+    * ([[graft.expressions.CosineSimExpr]]): one codegen'd loop, three
+    * scalar accumulators, no intermediate arrays. Null-safe for zero
+    * vectors / null elements / length mismatch (null, never NaN) —
+    * bit-identical to [[cosineHof]], which `CosineSimSpec` pins. */
   def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSimExpr.cosine(a, b)
+
+  /** The HOF composition twin of [[cosine]] (three lambda walks + an
+    * allocated product array per pair) — kept as the cross-check
+    * reference for the native expression. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Squared L2 distance. */

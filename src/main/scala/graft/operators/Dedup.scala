@@ -117,8 +117,12 @@ object Dedup {
     // semi-join by Catalyst, re-evaluating the shingle expression
     // corpus-wide inside the scan filter — the exact cost the semi-join
     // exists to avoid.
+    // The trailing repartition makes the (tiny, candidate-bounded) shingle
+    // table a reusable exchange: both verification join sides read ONE
+    // computed copy instead of re-scanning + re-shingling per side.
     val sh = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
+      .repartition(col("doc_id"))
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
     broadcast(cand)
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
