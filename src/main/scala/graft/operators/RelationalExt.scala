@@ -115,12 +115,16 @@ object RelationalExt {
       "q23b_percentiles_approx",
       (s, d) => {
         import s.implicits._
+        // array form: both price quantiles come from ONE GK sketch per group
         Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
           .agg(
-            round(expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 4).as("median_price"),
-            round(expr("percentile_approx(l_extendedprice, 0.9, 10000)"), 4).as("p90_price"),
+            expr("percentile_approx(l_extendedprice, array(0.5, 0.9), 10000)").as("pe"),
             round(expr("percentile_approx(l_quantity, 0.25, 10000)"), 4).as("q1_qty"))
+          .select($"l_returnflag",
+            round(element_at($"pe", 1), 4).as("median_price"),
+            round(element_at($"pe", 2), 4).as("p90_price"),
+            $"q1_qty")
           .orderBy($"l_returnflag")
       },
       None,

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, Similarity}
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = java.nio.file.Files.createTempDirectory("ivfindex").toString
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf0001)
+  private lazy val nCells = IvfIndex.build(spark, emb, dir)
+
+  test("build persists cell-partitioned corpus + centroids") {
+    assert(nCells == 16)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+    val back = spark.read.parquet(s"$dir/cells")
+    assert(back.count() == emb.count())
+    assert(spark.read.parquet(s"$dir/centroids").count() == 16)
+  }
+
+  test("search equals the one-shot ivfTopK on the same quantizer seed") {
+    nCells // force build
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val fromIndex = IvfIndex.search(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneShot = Similarity.ivfTopK(spark, emb, k = 5, nProbe = 2, nQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex == oneShot,
+      s"index-served results diverge: ${fromIndex.diff(oneShot)} vs ${oneShot.diff(fromIndex)}")
+  }
+
+  test("search prunes cell partitions (DPP reaches the index scan)") {
+    nCells // force build
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val plan = IvfIndex.search(spark, dir, queries, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"cells scan should carry a partition filter:\n$plan")
+  }
+}
