@@ -133,6 +133,43 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
   }
 
+  /** Connected components over an undirected edge list (a_id, b_id) via
+    * iterative min-label propagation — the step that turns near-dup PAIRS
+    * into duplicate CLUSTERS with a deterministic representative (min id).
+    *
+    * Distributed shape: labels and edges stay DataFrames throughout; each
+    * iteration is edges ⋈ labels → groupBy(node).min(label) (map-side
+    * partial agg), and the driver only orchestrates the fixpoint loop —
+    * O(diameter) iterations, and duplicate-cluster diameters are tiny in
+    * practice (near-dup similarity is near-transitive). `localCheckpoint`
+    * cuts the growing lineage each round so the plan does not re-expand
+    * previous iterations. Input is the candidate-bounded pair set (tiny
+    * relative to the corpus), never the corpus itself.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint(true)
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbr = e.join(labels, e("v") === labels("node"))
+        .select(e("u").as("node"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** 63-bit SimHash over distinct tokens — one BIGINT per document, computed
     * row-locally with HOF folds (63 bits keeps the signature positive; the
     * lost bit costs ~1.6% of hamming resolution). Static per-bit masks keep
@@ -229,6 +266,49 @@ object Dedup {
              |WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4
              |ORDER BY a_id, b_id""".stripMargin),
       headline = true),
+
+    // ---- q66: near-dup clusters (pairs → components → representative) ------
+    // The end-to-end dedup deliverable: every document that participates in
+    // a J≥0.8 near-dup pair, labeled with its cluster representative
+    // (min doc_id in the connected component). Keeping rows where
+    // doc_id = rep_id (plus all unpaired docs) IS the deduplicated corpus.
+    // Oracle: the q46 pair derivation wrapped in a recursive reachability
+    // CTE — DuckDB computes min-reachable-id per node exactly.
+    QueryDef(
+      "q66_dedup_clusters",
+      (s, d) => {
+        val pairs = minhashLshPairs(Tables.documents(s, d), 4, 5)
+          .select(col("a_id"), col("b_id"))
+        connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("rep_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |cd AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+             |pairs AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cd c
+             |  JOIN sz sa ON sa.doc_id = c.a_id
+             |  JOIN sz sb ON sb.doc_id = c.b_id
+             |  WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4),
+             |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+             |      UNION ALL SELECT b_id, a_id FROM pairs),
+             |reach(src, node) AS (
+             |  SELECT u, u FROM e
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node)
+             |SELECT src AS doc_id, min(node) AS rep_id
+             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
     // ---- q47: SimHash near-dup sketch --------------------------------------
     // Oracle-checked via the sketch's defining invariant: simhash is a pure

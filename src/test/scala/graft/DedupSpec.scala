@@ -58,6 +58,26 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("connectedComponents: chains merge, separate clusters stay apart") {
+    // chain 1-2-3-4 (never directly 1~4) + pair 10-11 + pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q66 cluster labels: every member maps to the min id of its component") {
+    val out = graft.operators.Dedup.defs.find(_.name == "q66_dedup_clusters").get
+      .build(spark, sf0001)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
+    // representative is a member of the set and is minimal
+    assert(m.values.forall(rep => m.contains(rep) && m(rep) == rep))
+    assert(m.forall { case (doc, rep) => rep <= doc })
+  }
+
   test("exact-dup summary counts distinct texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = df.agg(countDistinct($"text").as("d"), count(lit(1)).as("n")).head()
