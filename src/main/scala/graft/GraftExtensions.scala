@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+    // the custom-plan tier: native as-of join strategy
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.AsOfJoinStrategy)
   }
 }

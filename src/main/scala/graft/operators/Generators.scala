@@ -73,5 +73,37 @@ object Generators {
              |FROM m WHERE event_type = 'purchase'
              |ORDER BY user_id, event_id""".stripMargin),
       headline = true),
+
+    // ---- q67: NATIVE as-of join (custom LogicalPlan/Strategy/SparkPlan) ----
+    // Same question as q27, answered by the engine's own physical operator
+    // (graftbridge.AsOfJoinExec: co-partitioned merge, O(|L|+|R|) per
+    // partition, one candidate row of state). Oracle = DuckDB's native
+    // ASOF JOIN — both engines' built-in as-of semantics, checked against
+    // each other. Tie semantics (click at exactly the purchase timestamp
+    // matches) differ from q27's (event_id-ordered window), so the two
+    // queries are intentionally separate gate entries.
+    QueryDef(
+      "q67_asof_native",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("t"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"t")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"t".as("c_t"))
+        graft.plans.AsOfJoin.asofJoin(purchases, clicks, "user_id", "c_user", "t", "c_t")
+          .select($"user_id", $"event_id", ($"t" - $"c_t").as("us_since_click"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS c_t
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.user_id, p.event_id, p.t - c.c_t AS us_since_click
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.t >= c.c_t
+             |ORDER BY p.user_id, p.event_id""".stripMargin)),
   )
 }

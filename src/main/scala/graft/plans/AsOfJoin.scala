@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.{AsOfJoinPlan, AsOfJoinStrategy, PlanBridge}
+
+/** User API for the native as-of join ([[org.apache.spark.sql.graftbridge.AsOfJoinExec]]):
+  * for each left row, the columns of the latest right row with the same
+  * key and `right.<timeR> <= left.<timeL>` (left-outer: no match → nulls).
+  *
+  * Semantics match DuckDB's `ASOF JOIN` (ties at equal timestamps DO
+  * match) — which is exactly how the q67 gate oracle replays it.
+  *
+  * Column names must be disambiguated by the caller (alias the right side
+  * before joining) — like any self-join, both sides' columns survive.
+  */
+object AsOfJoin {
+
+  /** Idempotently add the planner strategy to the session. (`GraftExtensions`
+    * injects it at session build for deployment; this covers ad-hoc
+    * sessions.) */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      attr(lp, leftKey), attr(rp, rightKey),
+      attr(lp, leftTime), attr(rp, rightTime)))
+  }
+}

@@ -1,0 +1,140 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the custom-plan tier of the build ladder (compose
+  * built-ins → native `Expression` → custom `LogicalPlan` + `Strategy` +
+  * `SparkPlan`): for every left row, append the LATEST right row with the
+  * same key and `right.time <= left.time` (left-outer; unmatched → nulls).
+  *
+  * Lives in the `org.apache.spark.sql` namespace because a physical
+  * operator necessarily touches `private[sql]` planner surface
+  * (`SparkStrategy.planLater`, interpreted orderings); this file and
+  * `ColumnBridge` are the library's only two crossings.
+  *
+  * Physical contract (what makes it correct AND scale):
+  *  - `requiredChildDistribution`: both sides clustered on their key —
+  *    EnsureRequirements inserts co-partitioned hash exchanges exactly as
+  *    it does for a sort-merge join, so each partition sees every row of
+  *    its keys;
+  *  - `requiredChildOrdering`: (key, time) ascending on both sides —
+  *    Spark inserts the sorts;
+  *  - `doExecute`: a single forward merge pass per partition, O(|L|+|R|),
+  *    holding ONE candidate right row — never a range product, never a
+  *    per-row window buffer (the composed q27 formulation carries a
+  *    running window state over the unioned stream instead).
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val nRight = right.output.size
+    val leftOut = left.output
+    val rightOut = right.output
+    // bind as Expression — bindReference[Attribute] would CCE on the
+    // returned BoundReference
+    val lk = BindReferences.bindReference[Expression](leftKey, leftOut)
+    val lt = BindReferences.bindReference[Expression](leftTime, leftOut)
+    val rk = BindReferences.bindReference[Expression](rightKey, rightOut)
+    val rt = BindReferences.bindReference[Expression](rightTime, rightOut)
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(allOut, allOut)
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      // lookahead right row (copied — execute() reuses row objects)
+      var head: InternalRow = null
+      var headKey: Any = null
+      var headTime: Any = null
+      def advance(): Unit =
+        if (rIter.hasNext) {
+          head = rIter.next().copy()
+          headKey = rk.eval(head)
+          headTime = rt.eval(head)
+        } else head = null
+      advance()
+      // latest right row consumed so far (candidate), with its key
+      var cand: InternalRow = null
+      var candKey: Any = null
+      lIter.map { lRow =>
+        val lKeyV = lk.eval(lRow)
+        val lTimeV = lt.eval(lRow)
+        // consume right rows that are (key <) or (key ==, time <=) the left
+        // row; null left key/time (sorted first) never consumes or matches
+        var go = head != null && lKeyV != null && lTimeV != null
+        while (go) {
+          val c = keyOrd.compare(headKey, lKeyV)
+          if (c < 0 || (c == 0 && headTime != null && timeOrd.compare(headTime, lTimeV) <= 0)) {
+            cand = head; candKey = headKey
+            advance()
+            go = head != null
+          } else go = false
+        }
+        val matched = cand != null && lKeyV != null && lTimeV != null &&
+          keyOrd.compare(candKey, lKeyV) == 0
+        proj(joined(lRow, if (matched) cand else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}
+
+/** Logical node: carries resolved child plans + key/time attributes. */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+    copy(left = l, right = r)
+}
+
+/** Planner strategy: one physical choice, the merge exec above. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-from-LogicalPlan bridge (Dataset.ofRows is private[sql]). */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

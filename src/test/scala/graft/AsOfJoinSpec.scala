@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-built cases: latest-at-or-before match, ties, no-match nulls") {
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"), (3L, 10L, "t4"))
+      .toDF("sym", "t", "trade")
+    val quotes = Seq(
+      (1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0),
+      (2L, 60L, 6.0))
+      .toDF("q_sym", "q_t", "px")
+    val out = AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym", "t", "q_t")
+      .select($"trade", $"px").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map(
+      "t1" -> 10.0, // tie at t=100 matches (ASOF semantics)
+      "t2" -> 20.0, // latest at-or-before 205
+      "t3" -> null, // only later quotes for sym 2
+      "t4" -> null)) // no quotes at all for sym 3
+  }
+
+  test("equals the window-composed as-of on real events (same tie rules)") {
+    // restrict to strict inequality (gap > 0) where q27's event_id-ordered
+    // window and ASOF's time-tie semantics coincide
+    val native = SparkEntry.queries("q67_asof_native")(spark, sf0001)
+      .filter($"us_since_click" > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val composed = SparkEntry.queries("q27_asof_join")(spark, sf0001)
+      .filter($"us_since_click" > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("plan: custom exec node with co-partitioned exchanges and merge sorts") {
+    val plan = SparkEntry.queries("q67_asof_native")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native operator missing:\n$plan")
+    // EnsureRequirements must have inserted hash exchanges + (key, time) sorts
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length >= 2,
+      s"both sides should hash-cluster on the key:\n$plan")
+    assert("\\bSort\\b".r.findAllIn(plan).nonEmpty, s"merge sorts missing:\n$plan")
+  }
+
+  test("unsorted, multi-partition input still yields correct results") {
+    val left = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), ($"id" * 37 % 1000).as("t"), $"id".as("lid"))
+      .repartition(13)
+    val right = spark.range(0, 500)
+      .select(($"id" % 7).as("rk"), ($"id" * 91 % 1000).as("rt"), $"id".as("rid"))
+      .repartition(5)
+    val got = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select($"lid", $"rt").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute-force reference
+    val ls = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rs = right.collect().map(r => (r.getLong(0), r.getLong(1)))
+    ls.foreach { case (k, t, lid) =>
+      val best = rs.filter(p => p._1 == k && p._2 <= t).map(_._2).sorted.lastOption.getOrElse(-1L)
+      assert(got(lid) == best, s"lid=$lid k=$k t=$t: got ${got(lid)} want $best")
+    }
+  }
+}
