@@ -74,12 +74,17 @@ case class AsOfJoinExec(
       var head: InternalRow = null
       var headKey: Any = null
       var headTime: Any = null
-      def advance(): Unit =
-        if (rIter.hasNext) {
-          head = rIter.next().copy()
-          headKey = rk.eval(head)
-          headTime = rt.eval(head)
-        } else head = null
+      // skip right rows with null key/time: they can never be an as-of
+      // match, and the interpreted orderings do not accept nulls
+      def advance(): Unit = {
+        head = null
+        while (head == null && rIter.hasNext) {
+          val r = rIter.next()
+          headKey = rk.eval(r)
+          headTime = rt.eval(r)
+          if (headKey != null && headTime != null) head = r.copy()
+        }
+      }
       advance()
       // latest right row consumed so far (candidate), with its key
       var cand: InternalRow = null

@@ -47,6 +47,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert("\\bSort\\b".r.findAllIn(plan).nonEmpty, s"merge sorts missing:\n$plan")
   }
 
+  test("null keys/times on either side never match and never crash") {
+    val left = Seq(
+      (Some(1L), Some(100L), "a"), (None, Some(100L), "b"), (Some(1L), None, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(50L), 5.0), (None, Some(40L), 4.0), (Some(1L), None, 3.0))
+      .toDF("rk", "rt", "px")
+    val out = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select($"tag", $"px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map("a" -> 5.0, "b" -> null, "c" -> null))
+  }
+
   test("unsorted, multi-partition input still yields correct results") {
     val left = spark.range(0, 1000)
       .select(($"id" % 7).as("k"), ($"id" * 37 % 1000).as("t"), $"id".as("lid"))
