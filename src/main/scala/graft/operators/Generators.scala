@@ -105,5 +105,46 @@ object Generators {
              |SELECT p.user_id, p.event_id, p.t - c.c_t AS us_since_click
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.t >= c.c_t
              |ORDER BY p.user_id, p.event_id""".stripMargin)),
+
+    // ---- q68: range (interval) join ----------------------------------------
+    // Every purchase joined to ALL clicks by the same user in the preceding
+    // hour, aggregated per purchase. Scalable shape: EQUI-join on the user
+    // key (the range predicate rides along as the join's secondary
+    // condition), so cost is per-key purchase×click cardinality — bounded
+    // by per-user activity — never a time-range cross product. For dense
+    // keys the same query composes with coarse time-bucketing (join on
+    // (key, t div W) for adjacent buckets); the streaming twin is the
+    // watermarked stream-stream interval join (EventStream/StreamingSpec).
+    QueryDef(
+      "q68_range_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("t"))
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"t")
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"t".as("c_t"))
+        p.join(c,
+            $"user_id" === $"c_user" &&
+              $"c_t" <= $"t" && $"c_t" > $"t" - lit(3600L * 1000000L),
+            "left")
+          .groupBy($"user_id", $"event_id")
+          .agg(count($"c_t").as("n_clicks_1h"),
+            min($"t" - $"c_t").as("min_gap_us"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS c_t
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.user_id, p.event_id, count(c.c_t) AS n_clicks_1h,
+             |  min(p.t - c.c_t) AS min_gap_us
+             |FROM p LEFT JOIN c ON p.user_id = c.c_user
+             |  AND c.c_t <= p.t AND c.c_t > p.t - 3600000000
+             |GROUP BY p.user_id, p.event_id
+             |ORDER BY p.user_id, p.event_id""".stripMargin)),
   )
 }
