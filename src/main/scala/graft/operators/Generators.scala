@@ -92,7 +92,10 @@ object Generators {
           .select($"user_id", $"event_id", $"t")
         val clicks = ev.filter($"event_type" === "click")
           .select($"user_id".as("c_user"), $"t".as("c_t"))
-        graft.plans.AsOfJoin.asofJoin(purchases, clicks, "user_id", "c_user", "t", "c_t")
+        // merge variant pinned (gate determinism); the broadcast variant is
+        // spec-covered with result parity against this one
+        graft.plans.AsOfJoin.asofJoin(purchases, clicks, "user_id", "c_user", "t", "c_t",
+            broadcastRight = Some(false))
           .select($"user_id", $"event_id", ($"t" - $"c_t").as("us_since_click"))
           .orderBy($"user_id", $"event_id")
       },

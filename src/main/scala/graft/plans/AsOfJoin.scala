@@ -23,9 +23,14 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
+  /** `broadcastRight`: Some(true) forces the broadcast variant (fact side
+    * never shuffles), Some(false) forces the co-partitioned merge, None
+    * auto-selects from the right side's stats vs the session's
+    * autoBroadcastJoinThreshold. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -36,6 +41,6 @@ object AsOfJoin {
           s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
     PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTime), attr(rp, rightTime)))
+      attr(lp, leftTime), attr(rp, rightTime), broadcastRight))
   }
 }

@@ -39,13 +39,16 @@ object AsOfScale {
           .select($"user_id", $"event_id", ($"t" - $"last_click_t").as("gap"))
           .write.mode("overwrite").format("noop").save()
       }
-      time(s"native (AsOfJoinExec) ${r}x") {
-        val p = ev.filter($"event_type" === "purchase").select($"user_id", $"event_id", $"t")
-        val c = ev.filter($"event_type" === "click")
-          .select($"user_id".as("c_user"), $"t".as("c_t"))
-        graft.plans.AsOfJoin.asofJoin(p, c, "user_id", "c_user", "t", "c_t")
-          .select($"user_id", $"event_id", ($"t" - $"c_t").as("gap"))
-          .write.mode("overwrite").format("noop").save()
+      for (bc <- Seq(Some(false), Some(true))) {
+        val label = if (bc.contains(true)) "broadcast" else "merge"
+        time(s"native ($label) ${r}x") {
+          val p = ev.filter($"event_type" === "purchase").select($"user_id", $"event_id", $"t")
+          val c = ev.filter($"event_type" === "click")
+            .select($"user_id".as("c_user"), $"t".as("c_t"))
+          graft.plans.AsOfJoin.asofJoin(p, c, "user_id", "c_user", "t", "c_t", bc)
+            .select($"user_id", $"event_id", ($"t" - $"c_t").as("gap"))
+            .write.mode("overwrite").format("noop").save()
+        }
       }
     }
     spark.stop()

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -114,25 +114,110 @@ case class AsOfJoinExec(
     copy(left = l, right = r)
 }
 
-/** Logical node: carries resolved child plans + key/time attributes. */
+/** Broadcast variant: when the right side is dim-sized, the LEFT (fact)
+  * side must not shuffle at all — the defining 100 TB optimization for
+  * "enrich events with latest reference data". The right side broadcasts
+  * whole; each left partition builds (once) a key → time-sorted-rows map
+  * and answers every probe with a binary search. No exchange, no sort on
+  * the fact side; `outputPartitioning` is the left child's unchanged. */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val nRight = right.output.size
+    val lk = BindReferences.bindReference[Expression](leftKey, left.output)
+    val lt = BindReferences.bindReference[Expression](leftTime, left.output)
+    val rk = BindReferences.bindReference[Expression](rightKey, right.output)
+    val rt = BindReferences.bindReference[Expression](rightTime, right.output)
+    val allOut = output
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      // key → rows sorted by time (built once per partition from the
+      // broadcast array; null key/time rows can never match)
+      val byKey = new scala.collection.mutable.HashMap[Any, scala.collection.mutable.ArrayBuffer[InternalRow]]
+      bcast.value.foreach { r =>
+        val k = rk.eval(r)
+        if (k != null && rt.eval(r) != null)
+          byKey.getOrElseUpdate(k, new scala.collection.mutable.ArrayBuffer[InternalRow]) += r
+      }
+      val sorted: scala.collection.Map[Any, (Array[InternalRow], Array[Any])] =
+        byKey.map { case (k, rs) =>
+          val arr = rs.sortWith((a, b) => timeOrd.compare(rt.eval(a), rt.eval(b)) < 0).toArray
+          k -> (arr, arr.map(rt.eval))
+        }
+      val proj = UnsafeProjection.create(allOut, allOut)
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      lIter.map { lRow =>
+        val k = lk.eval(lRow)
+        val t = lt.eval(lRow)
+        val m = if (k == null || t == null) None else sorted.get(k)
+        val matched = m match {
+          case Some((rows, times)) =>
+            // rightmost index with time <= t
+            var lo = 0; var hi = rows.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(times(mid), t) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) rows(ans) else null
+          case None => null
+        }
+        proj(joined(lRow, if (matched != null) matched else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}
+
+/** Logical node: carries resolved child plans + key/time attributes.
+  * `broadcastRight`: Some(true/false) forces the physical choice; None
+  * auto-selects by the right side's stats vs autoBroadcastJoinThreshold
+  * (the same cost rule Spark's own join strategies use). */
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
     copy(left = l, right = r)
 }
 
-/** Planner strategy: one physical choice, the merge exec above. */
+/** Planner strategy: broadcast when forced or when the right side's
+  * estimated size clears the session's broadcast threshold; co-partitioned
+  * merge otherwise. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case p @ AsOfJoinPlan(l, r, lk, rk, lt, rt, hint) =>
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val useBroadcast = hint.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
+      if (useBroadcast)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
 }

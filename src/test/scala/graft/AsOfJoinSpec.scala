@@ -60,22 +60,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("a" -> 5.0, "b" -> null, "c" -> null))
   }
 
-  test("unsorted, multi-partition input still yields correct results") {
+  test("unsorted, multi-partition input still yields correct results (both variants)") {
     val left = spark.range(0, 1000)
       .select(($"id" % 7).as("k"), ($"id" * 37 % 1000).as("t"), $"id".as("lid"))
       .repartition(13)
     val right = spark.range(0, 500)
       .select(($"id" % 7).as("rk"), ($"id" * 91 % 1000).as("rt"), $"id".as("rid"))
       .repartition(5)
-    val got = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "rt")
-      .select($"lid", $"rt").collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     // brute-force reference
     val ls = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val rs = right.collect().map(r => (r.getLong(0), r.getLong(1)))
-    ls.foreach { case (k, t, lid) =>
-      val best = rs.filter(p => p._1 == k && p._2 <= t).map(_._2).sorted.lastOption.getOrElse(-1L)
-      assert(got(lid) == best, s"lid=$lid k=$k t=$t: got ${got(lid)} want $best")
+    for (bc <- Seq(Some(false), Some(true))) {
+      val got = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "rt", broadcastRight = bc)
+        .select($"lid", $"rt").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      ls.foreach { case (k, t, lid) =>
+        val best = rs.filter(p => p._1 == k && p._2 <= t).map(_._2).sorted.lastOption.getOrElse(-1L)
+        assert(got(lid) == best, s"variant=$bc lid=$lid k=$k t=$t: got ${got(lid)} want $best")
+      }
     }
+  }
+
+  test("broadcast variant: fact side keeps its partitioning, no left exchange") {
+    val left = spark.range(0, 1000)
+      .select(($"id" % 7).as("k"), ($"id" * 37 % 1000).as("t"), $"id".as("lid"))
+      .repartition(13)
+    val right = spark.range(0, 100)
+      .select(($"id" % 7).as("rk"), ($"id" * 91 % 1000).as("rt"))
+    val df = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "rt", broadcastRight = Some(true))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"broadcast exec missing:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"right side should broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(k#"),
+      s"fact side must NOT hash-shuffle:\n$plan")
+    assert(df.rdd.getNumPartitions == 13, "left partitioning must be preserved")
   }
 }
