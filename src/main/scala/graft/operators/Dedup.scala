@@ -38,34 +38,23 @@ object Dedup {
   def jaccardCols(a: Column, b: Column): (Column, Column) =
     (size(array_intersect(a, b)), size(array_union(a, b)))
 
-  /** Per-document trigram hashes from hashed tokens: hash every token once,
-    * then combine each 3 consecutive token hashes with chained xxhash64 over
-    * shifted slices (`zip_with`, all codegen'd). Used ONLY for MinHash
-    * signature building — candidates are still verified on the exact string
-    * shingle sets, so a (2⁻⁶⁴-improbable) trigram-hash collision can at most
-    * add a candidate that verification rejects, never change the output.
-    * ~2× cheaper than materializing string trigrams: no concat_ws
-    * allocation, no string re-hash per permutation. Requires ≥ n tokens
-    * (caller filters; ANSI slice throws on negative length). */
-  private def trigramHashes(t: Column): Column = {
-    val h = transform(t, x => xxhash64(x))
-    val m = size(t) - lit(ShingleN - 1)
-    val ab = zip_with(slice(h, lit(1), m), slice(h, lit(2), m), (x, y) => xxhash64(x, y))
-    zip_with(ab, slice(h, lit(3), m), (x, y) => xxhash64(x, y))
-  }
-
   /** LSH candidate pairs verified by exact Jaccard ≥ num/den.
     *
     * Physical design (the part that matters at 100 TB):
-    *  1. signatures come from ONE corpus pass: explode trigram hashes →
-    *     `groupBy(doc_id).agg(min(xxhash64(p, h)))` × K. The aggregation is
-    *     map-side partial (HashAggregate before the exchange), so the
-    *     shuffle carries ≤ 32 longs per document — and the shuffle boundary
-    *     is load-bearing: both sides of the bucket self-join and both
-    *     verification branches reuse the SAME exchange (ReusedExchange)
-    *     instead of recomputing signatures per branch (the row-local
-    *     formulation this replaces recomputed the full MinHash tree on each
-    *     join side — measured 13.7 s vs 4.9 s at sf0.1);
+    *  1. signatures are ONE corpus pass: token hashes (codegen'd
+    *     `transform`) → [[graft.expressions.MinHashSigExpr]], a native
+    *     fused expression computing trigram hashes AND all 32 permutation
+    *     minima in a single loop (the K-pass HOF tree it replaces walked
+    *     the array 32× with an allocation per pass). Hashing (not string
+    *     shingles) only drives CANDIDATE GENERATION — verification uses
+    *     exact string shingle sets, so a 2⁻⁶⁴ hash collision can at most
+    *     add a candidate that verification rejects, never change output.
+    *     The trailing `repartition(doc_id)` materializes signatures
+    *     through a shuffle whose exchange is load-bearing: both sides of
+    *     the bucket self-join and the candIds branch reuse the SAME
+    *     exchange (ReusedExchange) instead of recomputing signatures per
+    *     branch (measured 13.7 s vs 4.9 s at sf0.1), and it carries only
+    *     33 longs per document;
     *  2. candidates come from the band-bucket self-join (cost ∝ bucket
     *     sizes, bounded by duplicate-cluster size, not n²); 16 bands × 2
     *     rows puts the J=0.8 miss probability at (1−0.64)¹⁶ ≈ 8·10⁻⁸, so
@@ -88,9 +77,12 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
-    val hdf = toks.select(col("doc_id"), trigramHashes(col("t")).as("h"))
-    val sig = hdf.select(col("doc_id") +: (0 until MinhashK).map(p =>
-        array_min(transform(col("h"), x => xxhash64(lit(p), x))).as(s"m$p")): _*)
+    val sig = toks
+      .select(col("doc_id"),
+        graft.expressions.MinHashSigExpr.minhashSig(
+          transform(col("t"), x => xxhash64(x)), MinhashK).as("ms"))
+      .select(col("doc_id") +: (0 until MinhashK).map(p =>
+        element_at(col("ms"), p + 1).as(s"m$p")): _*)
       .repartition(col("doc_id"))
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.MinHashSigExpr
+
+class MinHashSigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofSig(t: org.apache.spark.sql.Column, k: Int) = {
+    // the Column formulation the native expression replaces
+    val h = transform(t, x => xxhash64(x))
+    val m = size(t) - lit(2)
+    val ab = zip_with(slice(h, lit(1), m), slice(h, lit(2), m), (x, y) => xxhash64(x, y))
+    val g = zip_with(ab, slice(h, lit(3), m), (x, y) => xxhash64(x, y))
+    array((0 until k).map(p => array_min(transform(g, x => xxhash64(lit(p), x)))): _*)
+  }
+
+  test("native fused signature is bit-identical to the HOF formulation") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+    val both = docs.select(
+      MinHashSigExpr.minhashSig(transform($"t", x => xxhash64(x)), 32).as("native"),
+      hofSig($"t", 32).as("hof"))
+    assert(both.count() > 100)
+    assert(both.filter(!($"native" <=> $"hof")).count() == 0)
+  }
+
+  test("fewer than 3 tokens yields null; empty array yields null") {
+    val df = Seq(Seq("a", "b"), Seq.empty[String]).toDF("t")
+    val r = df.select(
+      MinHashSigExpr.minhashSig(transform($"t", x => xxhash64(x)), 8).as("s")).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("signature length and determinism") {
+    val df = Seq(Seq("x", "y", "z", "w")).toDF("t")
+    val s1 = df.select(MinHashSigExpr.minhashSig(transform($"t", x => xxhash64(x)), 16))
+      .head().getSeq[Long](0)
+    val s2 = df.select(MinHashSigExpr.minhashSig(transform($"t", x => xxhash64(x)), 16))
+      .head().getSeq[Long](0)
+    assert(s1.length == 16 && s1 == s2)
+  }
+}
