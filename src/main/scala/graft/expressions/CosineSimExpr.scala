@@ -30,11 +30,25 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  // fail at ANALYSIS time on wrong types, not mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val leftIsDouble = elemIsDouble(left)
+  @transient private lazy val rightIsDouble = elemIsDouble(right)
+
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
-    case ArrayType(FloatType, _) => false
-    case t => throw new IllegalArgumentException(
-      s"cosine_sim expects array<float|double>, got $t")
+    case _ => false
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -42,7 +56,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val xd = elemIsDouble(left); val yd = elemIsDouble(right)
+    val xd = leftIsDouble; val yd = rightIsDouble
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -66,8 +80,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
-      val getX = if (elemIsDouble(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
-      val getY = if (elemIsDouble(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
+      val getX = if (leftIsDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getY = if (rightIsDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {

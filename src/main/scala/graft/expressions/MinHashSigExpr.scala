@@ -34,6 +34,16 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
+  // fail at ANALYSIS time on wrong types, not mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<bigint> token hashes, got ${t.simpleString}")
+    }
+
   // permutation seeds = XXH64.hashInt(p, 42): `xxhash64(lit(p), x)` folds
   // the INT literal with hashInt, not hashLong — precomputed once
   @transient private lazy val seeds: Array[Long] =

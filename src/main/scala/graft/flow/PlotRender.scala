@@ -77,9 +77,10 @@ object PlotRender {
     // axes
     sb ++= s"""<line x1="$mL" y1="${mT + ph}" x2="${mL + pw}" y2="${mT + ph}" stroke="#000"/>"""
     sb ++= s"""<line x1="$mL" y1="$mT" x2="$mL" y2="${mT + ph}" stroke="#000"/>"""
-    // x ticks: bin edges, thinned to ≤ 11 labels
+    // x ticks: bin edges, thinned to ≤ 12 labels; the final edge (b = n,
+    // the axis upper bound) is always drawn even when step ∤ n
     val step = math.max(1, n / 10)
-    (0 to n by step).foreach { b =>
+    ((0 until n by step) :+ n).foreach { b =>
       val edge = if (b < n) binning.lowEdge(b)
         else binning match { case e: EquidistantBinning => e.hi; case v: VariableBinning => v.edges.last }
       sb ++= f"""<line x1="${xOf(b)}%.2f" y1="${mT + ph}" x2="${xOf(b)}%.2f" y2="${mT + ph + 5}" stroke="#000"/>"""

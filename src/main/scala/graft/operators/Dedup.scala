@@ -130,15 +130,16 @@ object Dedup {
     * into duplicate CLUSTERS with a deterministic representative (min id).
     *
     * Distributed shape: labels and edges stay DataFrames throughout; each
-    * iteration is edges ⋈ labels → groupBy(node).min(label) (map-side
-    * partial agg), and the driver only orchestrates the fixpoint loop —
-    * O(diameter) iterations, and duplicate-cluster diameters are tiny in
-    * practice (near-dup similarity is near-transitive). `localCheckpoint`
-    * cuts the growing lineage each round so the plan does not re-expand
-    * previous iterations. Input is the candidate-bounded pair set (tiny
-    * relative to the corpus), never the corpus itself.
+    * iteration propagates neighbor minima AND label-of-label (pointer
+    * doubling), so a chain of length L converges in O(log L) rounds, not
+    * O(L); the driver only orchestrates the fixpoint loop.
+    * `localCheckpoint` cuts the growing lineage each round so the plan
+    * does not re-expand previous iterations. Input is the
+    * candidate-bounded pair set (tiny relative to the corpus), never the
+    * corpus itself. THROWS if the fixpoint is not reached within
+    * `maxIters` — a silently partial labeling would dedup incorrectly.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint(true)
@@ -150,7 +151,12 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbr = e.join(labels, e("v") === labels("node"))
         .select(e("u").as("node"), col("label"))
-      val next = labels.union(nbr)
+      // pointer doubling: label(u) can also shrink to label(label(u))
+      val hop = labels.as("a")
+        .join(labels.select(col("node").as("ln"), col("label").as("ll")),
+          col("a.label") === col("ln"))
+        .select(col("a.node").as("node"), col("ll").as("label"))
+      val next = labels.union(nbr).union(hop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
@@ -159,6 +165,9 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters iterations — " +
+        "raise maxIters; a partial labeling must never be used for dedup")
     labels
   }
 

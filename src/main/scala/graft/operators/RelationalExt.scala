@@ -93,16 +93,18 @@ object RelationalExt {
       "q25_distinct_median",
       (s, d) => {
         import s.implicits._
+        // floor(x*1e6+0.5)/1e6 quantization, NOT round(): the median is a
+        // pure-rational order statistic / midpoint (CLAUDE.md numerics rule)
         Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
           .agg(
             countDistinct($"l_partkey").as("exact_parts"),
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+            (floor(expr("percentile(l_extendedprice, 0.5)") * 1e6 + 0.5) / 1e6).as("median_price"))
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
              |  count(DISTINCT l_partkey) AS exact_parts,
-             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+             |  floor(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6 AS median_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- q23b: approx-percentile production twin ---------------------------

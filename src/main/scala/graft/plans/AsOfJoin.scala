@@ -39,8 +39,22 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
-    PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey),
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    // Floating-point join keys are rejected: Spark's built-in joins
+    // normalize -0.0 to 0.0 via NormalizeFloatingNumbers, which only
+    // rewrites built-in Join nodes — a custom plan would silently treat
+    // -0.0 and 0.0 as distinct keys (and hash them apart). Cast or
+    // quantize float keys to an exact type upstream.
+    Seq(lk, rk).foreach { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+          throw new IllegalArgumentException(
+            s"asofJoin key '${a.name}' is ${a.dataType.simpleString}: floating-point " +
+              "keys are not supported (-0.0 vs 0.0 would not match); cast to an exact type")
+        case _ =>
+      }
+    }
+    PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk,
       attr(lp, leftTime), attr(rp, rightTime), broadcastRight))
   }
 }

@@ -146,19 +146,24 @@ case class BroadcastAsOfJoinExec(
     val allOut = output
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIter =>
-      // key → rows sorted by time (built once per partition from the
-      // broadcast array; null key/time rows can never match)
-      val byKey = new scala.collection.mutable.HashMap[Any, scala.collection.mutable.ArrayBuffer[InternalRow]]
-      bcast.value.foreach { r =>
-        val k = rk.eval(r)
-        if (k != null && rt.eval(r) != null)
-          byKey.getOrElseUpdate(k, new scala.collection.mutable.ArrayBuffer[InternalRow]) += r
-      }
-      val sorted: scala.collection.Map[Any, (Array[InternalRow], Array[Any])] =
-        byKey.map { case (k, rs) =>
-          val arr = rs.sortWith((a, b) => timeOrd.compare(rt.eval(a), rt.eval(b)) < 0).toArray
-          k -> (arr, arr.map(rt.eval))
+      // key → (rows, times) sorted by time. Times are evaluated ONCE per
+      // row (the sort compares cached keys, not re-evaluated expressions)
+      // and the whole built index is memoized per executor keyed by
+      // broadcast id, so the build cost is paid once per executor, not
+      // once per task. Null key/time rows can never match and are dropped.
+      val sorted = BroadcastAsOfJoinExec.indexCache.computeIfAbsent(bcast.id, _ => {
+        val byKey = new scala.collection.mutable.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]
+        bcast.value.foreach { r =>
+          val k = rk.eval(r)
+          val t = rt.eval(r)
+          if (k != null && t != null)
+            byKey.getOrElseUpdate(k, new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]) += ((t, r))
         }
+        byKey.map { case (k, rs) =>
+          val arr = rs.sortWith((a, b) => timeOrd.compare(a._1, b._1) < 0).toArray
+          k -> (arr.map(_._2), arr.map(_._1): Array[Any])
+        }.toMap
+      }).asInstanceOf[Map[Any, (Array[InternalRow], Array[Any])]]
       val proj = UnsafeProjection.create(allOut, allOut)
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
@@ -185,6 +190,15 @@ case class BroadcastAsOfJoinExec(
 
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
     copy(left = l, right = r)
+}
+
+object BroadcastAsOfJoinExec {
+  /** Executor-level built-index memo keyed by broadcast id — the same
+    * build-once pattern HashedRelation broadcasts use. Entries are small
+    * relative to the broadcast payload itself and bounded by the number
+    * of live broadcasts. */
+  private[graftbridge] val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, AnyRef]()
 }
 
 /** Logical node: carries resolved child plans + key/time attributes.

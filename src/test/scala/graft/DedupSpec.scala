@@ -58,6 +58,14 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("connectedComponents: a 60-link chain converges (pointer doubling)") {
+    // min-label would need 59 linear rounds; doubling needs ~6
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 60 && labels.values.forall(_ == 0L))
+  }
+
   test("connectedComponents: chains merge, separate clusters stay apart") {
     // chain 1-2-3-4 (never directly 1~4) + pair 10-11 + pair 20-21
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
