@@ -171,6 +171,19 @@ object Dedup {
     labels
   }
 
+  /** The end-to-end dedup deliverable as one call: LSH candidate pairs →
+    * connected components → keep only cluster REPRESENTATIVES (min doc_id)
+    * plus every unpaired document. The anti-join ships only the (tiny)
+    * non-representative id set broadcast against the corpus — the corpus
+    * itself is scanned once and never shuffled. */
+  def dedupCorpus(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    val pairs = minhashLshPairs(docs, num, den).select(col("a_id"), col("b_id"))
+    val dropIds = connectedComponents(pairs)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+  }
+
   /** 63-bit SimHash over distinct tokens — one BIGINT per document, computed
     * row-locally with HOF folds (63 bits keeps the signature positive; the
     * lost bit costs ~1.6% of hamming resolution). Static per-bit masks keep

@@ -86,6 +86,20 @@ class DedupSpec extends SparkSpec {
     assert(m.forall { case (doc, rep) => rep <= doc })
   }
 
+  test("dedupCorpus keeps exactly representatives + unpaired docs") {
+    val before = docs.count()
+    val clusters = graft.operators.Dedup.defs.find(_.name == "q66_dedup_clusters").get
+      .build(spark, sf0001).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropped = clusters.count { case (doc, rep) => doc != rep }
+    val after = Dedup.dedupCorpus(docs, 4, 5)
+    assert(after.count() == before - dropped)
+    // every surviving paired doc is its cluster's representative
+    val survivors = after.select("doc_id").collect().map(_.getLong(0)).toSet
+    clusters.foreach { case (doc, rep) =>
+      assert(survivors.contains(doc) == (doc == rep), s"doc $doc rep $rep")
+    }
+  }
+
   test("exact-dup summary counts distinct texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = df.agg(countDistinct($"text").as("d"), count(lit(1)).as("n")).head()
