@@ -49,10 +49,29 @@ case class MinHashSigExpr(child: Expression, k: Int)
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(p => XXH64.hashInt(p, 42L))
 
+  // null-element scan is emitted only when the input type admits nulls —
+  // the hot path (containsNull = false, what the shingle pipeline produces)
+  // pays nothing
+  @transient private lazy val mayHaveNullElements: Boolean =
+    child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val h = input.asInstanceOf[ArrayData]
     val n = h.numElements()
     if (n < 3) return null
+    if (mayHaveNullElements) {
+      // null slots poison the whole signature (→ null), matching the HOF
+      // pipeline where xxhash64 over a null token nulls the array element
+      // and array_min propagates it
+      var j = 0
+      while (j < n) {
+        if (h.isNullAt(j)) return null
+        j += 1
+      }
+    }
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i <= n - 3) {
@@ -80,22 +99,33 @@ case class MinHashSigExpr(child: Expression, k: Int)
       val ab = ctx.freshName("ab")
       val g = ctx.freshName("g")
       val v = ctx.freshName("v")
+      val nullScan = if (mayHaveNullElements) {
+        val j = ctx.freshName("j")
+        s"""
+           |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j)) ${ev.isNull} = true;
+           |}
+           |""".stripMargin
+      } else ""
       s"""
          |int $n = $a.numElements();
          |if ($n < 3) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] $mins = new long[$k];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i <= $n - 3; $i++) {
-         |    long $ab = $xxh.hashLong($a.getLong($i + 1), $xxh.hashLong($a.getLong($i), 42L));
-         |    long $g = $xxh.hashLong($a.getLong($i + 2), $xxh.hashLong($ab, 42L));
-         |    for (int $p = 0; $p < $k; $p++) {
-         |      long $v = $xxh.hashLong($g, $seedsRef[$p]);
-         |      if ($v < $mins[$p]) $mins[$p] = $v;
+         |  $nullScan
+         |  if (!${ev.isNull}) {
+         |    long[] $mins = new long[$k];
+         |    java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |    for (int $i = 0; $i <= $n - 3; $i++) {
+         |      long $ab = $xxh.hashLong($a.getLong($i + 1), $xxh.hashLong($a.getLong($i), 42L));
+         |      long $g = $xxh.hashLong($a.getLong($i + 2), $xxh.hashLong($ab, 42L));
+         |      for (int $p = 0; $p < $k; $p++) {
+         |        long $v = $xxh.hashLong($g, $seedsRef[$p]);
+         |        if ($v < $mins[$p]) $mins[$p] = $v;
+         |      }
          |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
        """.stripMargin
     })

@@ -54,7 +54,18 @@ object AsOfJoin {
         case _ =>
       }
     }
-    PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk,
-      attr(lp, leftTime), attr(rp, rightTime), broadcastRight))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    // Mismatched sides (e.g. int key vs bigint key) would pass analysis but
+    // hash-partition the same logical key to different partitions and then
+    // ClassCastException inside the interpreted ordering mid-job. Fail at
+    // call time instead; the caller casts upstream.
+    def requireSameType(what: String, a: org.apache.spark.sql.catalyst.expressions.Attribute,
+        b: org.apache.spark.sql.catalyst.expressions.Attribute): Unit =
+      require(a.dataType == b.dataType,
+        s"asofJoin $what types must match: left '${a.name}' is ${a.dataType.simpleString}, " +
+          s"right '${b.name}' is ${b.dataType.simpleString}; cast one side first")
+    requireSameType("key", lk, rk)
+    requireSameType("time", lt, rt)
+    PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk, lt, rt, broadcastRight))
   }
 }

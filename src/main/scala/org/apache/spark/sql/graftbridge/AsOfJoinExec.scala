@@ -75,14 +75,19 @@ case class AsOfJoinExec(
       var headKey: Any = null
       var headTime: Any = null
       // skip right rows with null key/time: they can never be an as-of
-      // match, and the interpreted orderings do not accept nulls
+      // match, and the interpreted orderings do not accept nulls.
+      // COPY BEFORE EVAL: sort iterators reuse the row wrapper AND (when
+      // spilling) recycle the backing pages — object-typed key/time values
+      // (e.g. UTF8String) evaluated from the live wrapper would be views
+      // into bytes the next next() overwrites, and the saved candKey would
+      // then compare against clobbered data.
       def advance(): Unit = {
         head = null
         while (head == null && rIter.hasNext) {
-          val r = rIter.next()
-          headKey = rk.eval(r)
-          headTime = rt.eval(r)
-          if (headKey != null && headTime != null) head = r.copy()
+          val r = rIter.next().copy()
+          val k = rk.eval(r)
+          val t = rt.eval(r)
+          if (k != null && t != null) { head = r; headKey = k; headTime = t }
         }
       }
       advance()
@@ -151,7 +156,8 @@ case class BroadcastAsOfJoinExec(
       // and the whole built index is memoized per executor keyed by
       // broadcast id, so the build cost is paid once per executor, not
       // once per task. Null key/time rows can never match and are dropped.
-      val sorted = BroadcastAsOfJoinExec.indexCache.computeIfAbsent(bcast.id, _ => {
+      val sorted = BroadcastAsOfJoinExec.indexCache.computeIfAbsent(
+        (org.apache.spark.SparkEnv.get.conf.getAppId, bcast.id), _ => {
         val byKey = new scala.collection.mutable.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]
         bcast.value.foreach { r =>
           val k = rk.eval(r)
@@ -193,12 +199,22 @@ case class BroadcastAsOfJoinExec(
 }
 
 object BroadcastAsOfJoinExec {
-  /** Executor-level built-index memo keyed by broadcast id — the same
-    * build-once pattern HashedRelation broadcasts use. Entries are small
-    * relative to the broadcast payload itself and bounded by the number
-    * of live broadcasts. */
-  private[graftbridge] val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, AnyRef]()
+  private val MaxCachedIndexes = 32
+
+  /** Executor-level built-index memo — the same build-once pattern
+    * HashedRelation broadcasts use. Keyed by (appId, broadcastId): broadcast
+    * ids restart from 0 when a new SparkContext starts in the same JVM, so
+    * the app id disambiguates — a fresh context can never be served a stale
+    * index built for a different dataset. LRU-bounded (access-order
+    * LinkedHashMap) so retired broadcasts' indexes — which pin the broadcast
+    * rows via their row/time arrays — are dropped instead of accumulating
+    * for the executor lifetime. */
+  private[graftbridge] val indexCache: java.util.Map[(String, Long), AnyRef] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), AnyRef](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[(String, Long), AnyRef]): Boolean =
+          size() > MaxCachedIndexes
+      })
 }
 
 /** Logical node: carries resolved child plans + key/time attributes.

@@ -95,4 +95,48 @@ class AsOfJoinSpec extends SparkSpec {
       s"fact side must NOT hash-shuffle:\n$plan")
     assert(df.rdd.getNumPartitions == 13, "left partitioning must be preserved")
   }
+
+  test("string (object-backed) keys survive sort-iterator row reuse, both variants") {
+    // key/time values evaluated off a reused sort-iterator wrapper would be
+    // views into recycled bytes; this pins the copy-before-eval contract on
+    // a multi-partition object-keyed join
+    val left = spark.range(0, 5000)
+      .select(concat(lit("sym_"), format_string("%03d", $"id" % 200)).as("k"),
+        ($"id" * 37 % 10000).as("t"), $"id".as("lid"))
+      .repartition(7)
+    val right = spark.range(0, 2000)
+      .select(concat(lit("sym_"), format_string("%03d", $"id" % 200)).as("rk"),
+        ($"id" * 91 % 10000).as("rt"), $"id".as("rid"))
+      .repartition(5)
+    val expected = {
+      // brute force oracle via SQL window on the composed formulation
+      left.as("l").join(right.as("r"), $"l.k" === $"r.rk" && $"r.rt" <= $"l.t")
+        .groupBy($"l.lid").agg(max(struct($"r.rt", $"r.rid")).as("m"))
+        .select($"lid", $"m.rid".as("rid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    for (bc <- Seq(Some(false), Some(true))) {
+      val got = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "rt", broadcastRight = bc)
+        .filter($"rid".isNotNull)
+        .collect().map(r => r.getLong(2) -> r.getLong(5)).toMap
+      assert(got.size == expected.size, s"bc=$bc: ${got.size} vs ${expected.size}")
+      // ties at (rt) can pick either rid; compare via the right TIME instead
+      val rtOf = right.collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+      assert(got.forall { case (lid, rid) => rtOf(rid) == rtOf(expected(lid)) }, s"bc=$bc")
+    }
+  }
+
+  test("mismatched key or time types are rejected at call time") {
+    val l = Seq((1, 10L, "a")).toDF("k", "t", "v")
+    val r = Seq((1L, 10L, 1.0)).toDF("rk", "rt", "px")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e1.getMessage.contains("key types must match"))
+    val l2 = Seq((1L, 10, "a")).toDF("k", "t", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l2, r, "k", "rk", "t", "rt")
+    }
+    assert(e2.getMessage.contains("time types must match"))
+  }
 }

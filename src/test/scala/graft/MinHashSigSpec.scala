@@ -33,6 +33,19 @@ class MinHashSigSpec extends SparkSpec {
     assert(r.forall(_.isNullAt(0)))
   }
 
+  test("null token-hash element poisons the signature to null (matches HOF)") {
+    // array(...) of mixed null/non-null yields containsNull = true, the
+    // path where the expression must scan instead of reading nulls as 0
+    val df = spark.range(1).select(
+      array(lit(1L), lit(null).cast("long"), lit(3L), lit(4L)).as("h"),
+      array(lit(1L), lit(2L), lit(3L), lit(4L)).as("ok"))
+    val r = df.select(
+      MinHashSigExpr.minhashSig($"h", 8).as("poisoned"),
+      MinHashSigExpr.minhashSig($"ok", 8).as("clean")).head()
+    assert(r.isNullAt(0))
+    assert(r.getSeq[Long](1).length == 8)
+  }
+
   test("signature length and determinism") {
     val df = Seq(Seq("x", "y", "z", "w")).toDF("t")
     val s1 = df.select(MinHashSigExpr.minhashSig(transform($"t", x => xxhash64(x)), 16))
