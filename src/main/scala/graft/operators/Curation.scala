@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.expressions.BloomMightContainExpr
+import graft.functions.TextOps
+
+/** Corpus-curation operators — the selection/balancing half of a training-
+  * data pipeline, complementing [[Dedup]] (removal) and [[TextAnalysis]]
+  * (scoring):
+  *
+  *  - per-domain frequency capping           → q69
+  *  - composite quality filtering (Gopher-style rules) → q70
+  *  - incremental dedup against a reference corpus (Bloom prefilter + exact
+  *    verification)                          → q71
+  *  - deterministic stratified sampling      → q72
+  *  - sequence packing by token budget       → q73
+  *  - int8 embedding quantization            → q74
+  *  - quality-based cluster representative selection → q75
+  *
+  * Scale shapes: q70/q72/q74 are pure map stages (zero shuffle — they scale
+  * with input splits); q69/q73 shuffle once on the partition key (domain /
+  * shard); q71's corpus-sized input never shuffles — only Bloom "maybe"
+  * rows (≈ true duplicates + fpp·|incoming|) reach the exact join; q75
+  * rides the candidate-bounded LSH/CC output, never the corpus.
+  */
+object Curation {
+
+  /** Quantized quality score (same expression as q41 — see
+    * `TextOps.qualityScore` for the floor-quantization rationale). */
+  private def quality: Column = TextOps.qualityScore(col("text"))
+
+  /** The q41 oracle spelling of [[quality]], shared by every oracle below. */
+  private val QualitySql =
+    """floor((0.4 * least(n / 100.0, 1.0)
+      |      + 0.4 * (nd / n)
+      |      + 0.2 * least(((length(text) - (n - 1)) / n) / 8.0, 1.0)) * 1e6 + 0.5) / 1e6""".stripMargin
+
+  private val QualityCte =
+    s"""SELECT doc_id, source, lang,
+       |    $QualitySql AS quality
+       |  FROM (SELECT *,
+       |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
+       |        FROM documents)""".stripMargin
+
+  /** Keep at most `k` documents per domain, best quality first (doc_id
+    * tiebreak). ONE hash shuffle on the domain key; at 100 TB a skewed
+    * domain (one giant crawl host) bounds the partition — cap it earlier
+    * with a per-partition pre-rank (`Skew.saltedJoin`-style two-phase
+    * top-k) if a single domain outgrows an executor. */
+  def capPerDomain(docs: DataFrame, domainCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(domainCol).orderBy(desc("quality"), asc("doc_id"))
+    docs.select(col("doc_id"), col(domainCol), quality.as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Gopher-style composite quality rules, all integer-exact (no float
+    * threshold can disagree cross-engine): token count in [20, 80],
+    * distinct-token ratio ≥ 0.3 (as 10·nd ≥ 3·n), mean token length in
+    * [2, 8] (as 2n ≤ chars−(n−1) ≤ 8n), ≥ 1 stopword. Pure map stage. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val n = TextOps.tokenCount(col("text"))
+    val nd = size(array_distinct(TextOps.tokens(col("text"))))
+    val alpha = length(col("text")) - (n - lit(1)) // chars excluding separators
+    docs
+      .filter(n.between(20, 80))
+      .filter(nd * 10 >= n * 3)
+      .filter(alpha >= n * 2 && alpha <= n * 8)
+      .filter(TextOps.stopwordCount(col("text"), Seq("the", "a")) >= 1)
+      .select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"))
+  }
+
+  /** Incremental dedup of `incoming` against a reference corpus: a
+    * driver-built Bloom filter over the reference's fingerprint hashes
+    * splits incoming rows into "definitely new" (kept with NO join — the
+    * overwhelming majority, a pure map decision) and "maybe seen" (only
+    * these shuffle into an exact anti-join). Output is EXACT regardless of
+    * `fpp`: Bloom false positives only send extra rows to verification,
+    * never change the result; false negatives cannot occur by construction.
+    * At 100 TB incoming this replaces a full-corpus shuffle with a scan +
+    * a join of ≈ (true dups + fpp·|incoming|) rows. */
+  def bloomReferenceDedup(incoming: DataFrame, referenceFps: DataFrame,
+      fpCol: String, expectedItems: Long, fpp: Double): DataFrame = {
+    val bf = referenceFps.stat.bloomFilter(xxhash64(col(fpCol)), expectedItems, fpp)
+    val maybe = BloomMightContainExpr.mightContain(xxhash64(col(fpCol)), bf)
+    val definitelyNew = incoming.filter(!maybe)
+    val verified = incoming.filter(maybe)
+      .join(referenceFps.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
+  /** Deterministic per-stratum sampling: a multiplicative (Knuth) hash of
+    * `doc_id` picks a per-mille bucket; a row survives iff its bucket is
+    * below its stratum's rate. Pure map stage — no shuffle, no RNG state,
+    * reproducible run-to-run and engine-to-engine (the reason this is
+    * arithmetic, not `rand()` or `TABLESAMPLE`). Rates are per-mille. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, ratesPerMille: Map[String, Int]): DataFrame = {
+    val bucket = expr(s"CAST((((doc_id * 2654435761) % 4294967296) * 1000) div 4294967296 AS BIGINT)")
+    val rate = ratesPerMille.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket).filter(col("bucket") < rate)
+  }
+
+  /** Greedy sequence packing: within each shard (ordered by doc_id), a
+    * document opens at running-token-offset `cum − n` and lands in bin
+    * `(cum − n) div budget` — the standard start-offset approximation of
+    * concat-and-chunk pretraining batches, expressible as ONE window over
+    * the shard ordering (single shuffle on the shard key). */
+  def packSequences(docs: DataFrame, shardCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col(shardCol), TextOps.tokenCount(col("text")).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("bin", expr(s"(cum - n) div $budget"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * 127/max|x|, elements floor(x·scale + 0.5) clamped to [−127, 127].
+    * Pure map stage; 4× memory/IO reduction is the lever that keeps ANN
+    * candidate verification in cache at 100 TB. All arithmetic is IEEE
+    * double on both engines (floats widen exactly; no summation), so the
+    * integer outputs are bit-deterministic cross-engine. */
+  def quantizeInt8(embs: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val mx = array_max(transform(v, x => abs(x)))
+    embs
+      .withColumn("v", v)
+      .withColumn("scale", when(mx === 0d, lit(0d)).otherwise(lit(127.0) / mx))
+      .select(col("vec_id"),
+        floor(col("scale") * 1e6 + 0.5).as("scale_q"),
+        transform(col("v"), x =>
+          greatest(lit(-127L), least(lit(127L), floor(x * col("scale") + 0.5)))).as("qvec"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q69: per-domain frequency capping ---------------------------------
+    // Keep the 10 best-quality documents per source domain. The window's
+    // (quality DESC, doc_id) ordering is total, so row_number is
+    // deterministic on both engines; quality is the floor-quantized q41
+    // expression, proven hash-identical cross-engine.
+    QueryDef(
+      "q69_domain_cap",
+      (s, d) => capPerDomain(Tables.documents(s, d), "source", 10)
+        .select(col("source"), col("rk"), col("doc_id"), col("quality"))
+        .orderBy(col("source"), col("rk")),
+      Some(s"""WITH t AS (
+             |  $QualityCte),
+             |r AS (SELECT source, doc_id, quality,
+             |        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+             |      FROM t)
+             |SELECT source, rk, doc_id, quality FROM r WHERE rk <= 10
+             |ORDER BY source, rk""".stripMargin)),
+
+    // ---- q70: composite quality filter -------------------------------------
+    QueryDef(
+      "q70_quality_filter",
+      (s, d) => qualityFilter(Tables.documents(s, d)).orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    len(string_split(text, ' ')) AS n,
+             |    len(list_distinct(string_split(text, ' '))) AS nd,
+             |    length(text) - (len(string_split(text, ' ')) - 1) AS alpha,
+             |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS stop
+             |  FROM documents)
+             |SELECT doc_id, n AS n_tokens, nd AS n_distinct
+             |FROM t
+             |WHERE n BETWEEN 20 AND 80
+             |  AND nd * 10 >= n * 3
+             |  AND alpha >= n * 2 AND alpha <= n * 8
+             |  AND stop >= 1
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q71: incremental dedup vs a reference corpus ----------------------
+    // Reference = doc_id ≡ 0 (mod 10) (the "already trained on" split);
+    // incoming = the rest. Output is the exact set of incoming docs whose
+    // canonical fingerprint does not appear in the reference — the Bloom
+    // filter only decides which rows may skip verification, so the oracle
+    // is a plain anti-join with no probabilistic term.
+    QueryDef(
+      "q71_bloom_refdedup",
+      (s, d) => {
+        val fps = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        val ref = fps.filter(col("doc_id") % 10 === 0).select(col("fp"))
+        val incoming = fps.filter(col("doc_id") % 10 =!= 0)
+        bloomReferenceDedup(incoming, ref, "fp", expectedItems = 1000L, fpp = 0.03)
+          .select(col("doc_id"), col("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+             |  FROM documents)
+             |SELECT doc_id, fp FROM f
+             |WHERE doc_id % 10 <> 0
+             |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 10 = 0)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q72: deterministic stratified sampling ----------------------------
+    // Downsample dominant 'en' to 10%, keep 50% of every other language —
+    // corpus rebalancing as pure arithmetic both engines replay exactly.
+    QueryDef(
+      "q72_stratified_sample",
+      (s, d) => stratifiedSample(Tables.documents(s, d), "lang",
+          Map("en" -> 100, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 500))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang,
+             |  (((doc_id * 2654435761) % 4294967296) * 1000) // 4294967296 AS bucket
+             |FROM documents
+             |WHERE (((doc_id * 2654435761) % 4294967296) * 1000) // 4294967296
+             |      < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q73: sequence packing by token budget -----------------------------
+    QueryDef(
+      "q73_pack_sequences",
+      (s, d) => packSequences(Tables.documents(s, d), "source", budget = 256)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy(col("source"), col("bin")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |c AS (SELECT source, n,
+             |        sum(n) OVER (PARTITION BY source ORDER BY doc_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM t)
+             |SELECT source, (cum - n) // 256 AS bin,
+             |  count(*) AS n_docs, sum(n) AS n_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
+    // ---- q74: int8 embedding quantization ----------------------------------
+    QueryDef(
+      "q74_embed_quantize",
+      (s, d) => quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .orderBy(col("vec_id")),
+      Some("""WITH t AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) AS mx FROM t),
+             |s AS (SELECT vec_id, v,
+             |        CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m)
+             |SELECT vec_id,
+             |  CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_q,
+             |  list_transform(v, x -> greatest(-127, least(127, CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qvec
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
+    // ---- q75: quality-based cluster representatives ------------------------
+    // The dedup RETENTION POLICY: for every near-dup cluster (q66's
+    // connected components), keep the highest-quality member (doc_id
+    // tiebreak) instead of the arbitrary min-id. Oracle = q66's recursive
+    // reachability CTE + the same windowed argmax.
+    QueryDef(
+      "q75_cluster_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashLshPairs(docs, 4, 5).select(col("a_id"), col("b_id"))
+        val cc = Dedup.connectedComponents(pairs)
+          .select(col("label").as("rep_id"), col("node").as("member_id"))
+        val q = docs.select(col("doc_id"), quality.as("quality"))
+        val w = Window.partitionBy("rep_id").orderBy(desc("quality"), asc("member_id"))
+        cc.join(q, cc("member_id") === q("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("rep_id"))
+          .agg(count(lit(1)).as("n_members"),
+            min(when(col("rk") === 1, col("member_id"))).as("best_doc_id"),
+            min(when(col("rk") === 1, col("quality"))).as("best_quality"))
+          .orderBy(col("rep_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |cd AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+             |pairs AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cd c
+             |  JOIN sz sa ON sa.doc_id = c.a_id
+             |  JOIN sz sb ON sb.doc_id = c.b_id
+             |  WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4),
+             |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+             |      UNION ALL SELECT b_id, a_id FROM pairs),
+             |reach(src, node) AS (
+             |  SELECT u, u FROM e
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+             |lab AS (SELECT src AS member_id, min(node) AS rep_id
+             |        FROM reach GROUP BY src),
+             |q AS (
+             |  SELECT doc_id, $QualitySql AS quality
+             |  FROM (SELECT *,
+             |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
+             |        FROM documents)),
+             |j AS (
+             |  SELECT l.rep_id, l.member_id, q.quality,
+             |    row_number() OVER (PARTITION BY l.rep_id
+             |                       ORDER BY q.quality DESC, l.member_id) AS rk
+             |  FROM lab l JOIN q ON q.doc_id = l.member_id)
+             |SELECT rep_id, count(*) AS n_members,
+             |  min(CASE WHEN rk = 1 THEN member_id END) AS best_doc_id,
+             |  min(CASE WHEN rk = 1 THEN quality END) AS best_quality
+             |FROM j GROUP BY rep_id ORDER BY rep_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = graft.core.Tables.documents(spark, sf0001)
+
+  test("capPerDomain: at most k per domain, ordered by quality then doc_id") {
+    val capped = Curation.capPerDomain(docsDf, "source", 3)
+    val perDomain = capped.groupBy($"source").count().collect()
+    assert(perDomain.nonEmpty && perDomain.forall(_.getLong(1) <= 3))
+    // the rank-1 doc per domain must carry that domain's max quality
+    val best = capped.filter($"rk" === 1)
+      .select($"source", $"quality").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val trueMax = Curation.capPerDomain(docsDf, "source", Int.MaxValue)
+      .groupBy($"source").agg(max($"quality").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(best == trueMax)
+  }
+
+  test("qualityFilter: planted pass/fail documents") {
+    val good = "the a " + (1 to 28).map(i => s"word$i").mkString(" ") // 30 tokens, all distinct, stopwords present
+    val short = "the a dog" // too few tokens
+    val repetitive = ("spam " * 40).trim + " the" // 41 tokens but 2 distinct
+    val noStop = (1 to 30).map(i => s"tok$i").mkString(" ") // no stopword
+    val df = Seq((1L, good), (2L, short), (3L, repetitive), (4L, noStop)).toDF("doc_id", "text")
+    val kept = Curation.qualityFilter(df).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("bloomReferenceDedup: exact drops even at absurd fpp") {
+    val ref = Seq("fp_a", "fp_b", "fp_c").toDF("fp")
+    val incoming = (1 to 100).map(i => (i.toLong, s"fp_new_$i")).toDF("doc_id", "fp")
+      .union(Seq((101L, "fp_a"), (102L, "fp_c")).toDF("doc_id", "fp"))
+    // fpp 0.5: half the new rows go through verification — output must be
+    // identical to the exact anti-join regardless
+    val out = Curation.bloomReferenceDedup(incoming, ref, "fp", 100L, 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == (1 to 100).map(_.toLong).toSet)
+  }
+
+  test("bloomReferenceDedup: bloom probe in plan, definite-new branch join-free") {
+    // parquet-backed input so ConvertToLocalRelation can't fold the plan away
+    val plan = SparkEntry.queries("q71_bloom_refdedup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"bloom probe missing:\n$plan")
+    assert(plan.contains("Union"), s"two-branch union expected:\n$plan")
+    // first Union branch (definitely-new) is a pure scan+filter — no join
+    val firstBranch = plan.split("Union")(1).split("Join")(0)
+    assert(firstBranch.contains("bloom_might_contain"),
+      s"definite-new branch must be the bloom filter itself:\n$plan")
+  }
+
+  test("stratifiedSample: deterministic, bucketed in [0,1000), rates honored") {
+    val rates = Map("en" -> 100, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 500)
+    val s1 = Curation.stratifiedSample(docsDf, "lang", rates)
+    val s2 = Curation.stratifiedSample(docsDf, "lang", rates)
+    val rows1 = s1.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(rows1 == s2.select($"doc_id").as[Long].collect().sorted.toSeq)
+    assert(s1.filter($"bucket" < 0 || $"bucket" >= 1000).count() == 0)
+    // per-stratum keep fraction lands near its rate (coarse at sf0.001)
+    val frac = s1.groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docsDf.groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enFrac = frac.getOrElse("en", 0L).toDouble / total("en")
+    assert(enFrac < 0.35, s"en kept fraction $enFrac should be near 0.10")
+  }
+
+  test("stratifiedSample: unknown stratum is dropped (rate 0)") {
+    val df = Seq((1L, "xx"), (2L, "en")).toDF("doc_id", "lang")
+    val out = Curation.stratifiedSample(df, "lang", Map("en" -> 1000))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(2L))
+  }
+
+  test("packSequences: bins respect start-offset budget; cum is a prefix sum") {
+    val out = Curation.packSequences(docsDf, "source", 256)
+    // start offset of every doc lies inside its bin's [bin*256, (bin+1)*256)
+    val bad = out.filter(($"cum" - $"n") < $"bin" * 256 || ($"cum" - $"n") >= ($"bin" + 1) * 256)
+    assert(bad.count() == 0)
+    // per-shard max cum equals the shard's token total
+    val lhs = out.groupBy($"source").agg(max($"cum").as("m"))
+    val rhs = out.groupBy($"source").agg(sum($"n").as("t"))
+    val joined = lhs.join(rhs, "source").filter($"m" =!= $"t")
+    assert(joined.count() == 0)
+  }
+
+  test("quantizeInt8: range, sign, max-element saturation, reconstruction") {
+    val embs = graft.core.Tables.embeddings(spark, sf0001)
+    val q = Curation.quantizeInt8(embs, "embedding")
+    assert(q.filter(exists($"qvec", x => abs(x) > 127)).count() == 0)
+    // the max-|x| element quantizes to exactly ±127
+    val sat = q.filter(!exists($"qvec", x => abs(x) === 127)).count()
+    assert(sat == 0, "every vector must saturate at its max element")
+    // reconstruction: |x − q/scale| ≤ 0.5/scale element-wise on one vector
+    val row = embs.select($"vec_id", $"embedding").head()
+    val vec = row.getSeq[Float](1).map(_.toDouble)
+    val qr = q.filter($"vec_id" === row.getLong(0)).head()
+    val scale = qr.getLong(1).toDouble / 1e6
+    val qvec = qr.getSeq[Long](2)
+    vec.zip(qvec).foreach { case (x, qi) =>
+      assert(math.abs(x - qi / scale) <= 0.5 / scale + 1e-9, s"x=$x q=$qi scale=$scale")
+    }
+  }
+
+  test("plan: qualityFilter / stratifiedSample / quantizeInt8 are shuffle-free") {
+    for (df <- Seq(
+        Curation.qualityFilter(docsDf),
+        Curation.stratifiedSample(docsDf, "lang", Map("en" -> 100)),
+        Curation.quantizeInt8(graft.core.Tables.embeddings(spark, sf0001), "embedding"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"map-only operator must not shuffle:\n$plan")
+    }
+  }
+}
