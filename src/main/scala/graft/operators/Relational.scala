@@ -87,12 +87,22 @@ object Relational {
       "q03_join_topk",
       (s, d) => {
         import s.implicits._
+        // Aggregate lineitem BY ITS JOIN KEY before joining: o_orderkey is
+        // orders' pk, so per-order revenue is determined by lineitem alone —
+        // map-side partial agg shrinks the shuffle ~4× (one skinny row per
+        // order instead of every line), and the join probes pre-aggregated
+        // rows. Dims filter first: orders ⋈ broadcast(filtered customers)
+        // bounds the other side before it ever meets the fact table.
         val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .select($"c_custkey")
+        val ord = Tables.orders(s, d)
           .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-          .groupBy($"o_orderkey")
+          .select($"o_orderkey")
+        Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
           .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+          .join(ord, $"l_orderkey" === $"o_orderkey")
+          .select($"o_orderkey", $"revenue")
           .orderBy($"revenue".desc, $"o_orderkey")
           .limit(10)
       },
@@ -134,16 +144,29 @@ object Relational {
       "q05_multiway_join",
       (s, d) => {
         import s.implicits._
+        // Same two levers as q03: (1) dims-first — region bounds nation,
+        // nation bounds customer, customer bounds orders — so the fact
+        // table only ever joins the already-restricted order set; (2) the
+        // fact table pre-aggregates per order key (map-side combine), so
+        // the big shuffle carries one (rev, cnt) row per order, not every
+        // line item, and the wide join output never re-shuffles on custkey.
         val nr = Tables.nation(s, d)
           .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
             $"n_regionkey" === $"r_regionkey")
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .select($"n_nationkey", $"n_name")
+        val custAsia = Tables.customer(s, d)
           .join(broadcast(nr), $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"n_name")
+        val ord = Tables.orders(s, d)
+          .join(custAsia, $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"n_name")
+        Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"),
+            count(lit(1)).as("cnt"))
+          .join(ord, $"l_orderkey" === $"o_orderkey")
           .groupBy($"n_name")
-          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
-            count(lit(1)).as("n_items"))
+          .agg(round(sum($"rev"), 2).as("revenue"), sum($"cnt").as("n_items"))
           .orderBy($"n_name")
       },
       Some("""SELECT n_name,
