@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Curation
+
+/** Scaling probe for the curation operators: runs each on 1×/4×/16×
+  * replications of the sf0.1 documents/embeddings tables (shifted ids).
+  * The map-only ops (filter/sample/quantize) must scale ~linearly with
+  * rows; bloomReferenceDedup must stay scan-bound (its join side is
+  * duplicate-bounded, and replication is the adversarial regime where
+  * every doc is a cross-corpus duplicate). Numbers recorded in SCALING.md.
+  */
+object CurationScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val baseDocs = Tables.documents(spark, sfDir)
+    val baseEmb = Tables.embeddings(spark, sfDir)
+    val nD = baseDocs.count()
+    val nE = baseEmb.count()
+    for (r <- Seq(1, 4, 16)) {
+      val docs = (0 until r).map(i => baseDocs.select(
+          (col("doc_id") + lit(i * 10L * nD)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+        .reduce(_ union _).repartition(32).localCheckpoint(true)
+      val embs = (0 until r).map(i => baseEmb.select(
+          (col("vec_id") + lit(i * 10L * nE)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ union _).repartition(32).localCheckpoint(true)
+      println(s"[scale] corpus ${r}x = ${docs.count()} docs, ${embs.count()} vecs")
+      val kept = time(s"q70 qualityFilter ${r}x") {
+        Curation.qualityFilter(docs).count()
+      }
+      val sampled = time(s"q72 stratifiedSample ${r}x") {
+        Curation.stratifiedSample(docs, "lang",
+          Map("en" -> 100, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 500)).count()
+      }
+      val quantized = time(s"q74 quantizeInt8 ${r}x") {
+        Curation.quantizeInt8(embs, "embedding")
+          .agg(sum(element_at(col("qvec"), 1))).head(); embs.count()
+      }
+      val capped = time(s"q69 capPerDomain ${r}x") {
+        Curation.capPerDomain(docs, "source", 10).count()
+      }
+      // adversarial reference dedup: reference = the 1× base corpus, so at
+      // 16× EVERY incoming doc is a true duplicate — maximum verification load
+      val fps = docs.select(col("doc_id"), graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      val ref = baseDocs.select(graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      val newDocs = time(s"q71 bloomReferenceDedup ${r}x (worst case: all dups)") {
+        Curation.bloomReferenceDedup(fps, ref, "fp", math.max(nD, 1L), 0.01).count()
+      }
+      println(s"[scale]   kept=$kept sampled=$sampled quantized=$quantized capped=$capped new=$newDocs")
+    }
+    spark.stop()
+  }
+}
