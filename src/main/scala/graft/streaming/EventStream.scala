@@ -79,6 +79,39 @@ object EventStream {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** documents.parquet schema for streaming document ingest. */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(documentSchema).parquet(path)
+
+  /** Streaming incremental dedup against a STATIC reference corpus — the
+    * streaming twin of `Curation.bloomReferenceDedup` (q71), for the
+    * "continuously arriving crawl vs everything already trained on" shape.
+    * The Bloom probe is STATELESS on the stream (a codegen'd map, no
+    * streaming state at all); only "maybe" rows enter the stream-static
+    * join (left_outer + null-filter — Structured Streaming supports
+    * stream-static left outer, not left anti). Output is exact at any
+    * fpp, micro-batch by micro-batch. */
+  def dedupAgainstReference(docs: DataFrame, referenceFps: DataFrame,
+      fpCol: String, expectedItems: Long, fpp: Double): DataFrame = {
+    val bf = referenceFps.stat.bloomFilter(xxhash64(col(fpCol)), expectedItems, fpp)
+    val maybe = graft.expressions.BloomMightContainExpr.mightContain(
+      xxhash64(col(fpCol)), bf)
+    val definitelyNew = docs.filter(!maybe)
+    val verified = docs.filter(maybe)
+      .join(referenceFps.select(col(fpCol).as("__ref_fp")).distinct(),
+        col(fpCol) === col("__ref_fp"), "left_outer")
+      .filter(col("__ref_fp").isNull)
+      .drop("__ref_fp")
+    definitelyNew.unionByName(verified)
+  }
+
   // ---- custom state: running per-user counters via flatMapGroupsWithState --
 
   final case class EvIn(user_id: Long, value: Double)

@@ -71,6 +71,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == batch.count())
   }
 
+  test("streaming reference dedup equals the batch q71 result (exact at fpp 0.5)") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_docs_stream")
+    Files.createSymbolicLink(dir.resolve("documents.parquet"),
+      Paths.get(s"$sf0001/documents.parquet"))
+    val fp = graft.functions.TextOps.fingerprint($"text")
+    val ref = graft.core.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 === 0).select(fp.as("fp"))
+    val stream = EventStream.readDocuments(spark, dir.toString)
+      .filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", fp.as("fp"))
+    // absurd fpp: half the stream routes through the verification join —
+    // the result must still be the exact anti-join
+    val deduped = EventStream.dedupAgainstReference(stream, ref, "fp", 100L, 0.5)
+    val got = EventStream.runToMemory(spark, deduped, "refdedup", OutputMode.Append())
+      .select($"doc_id").as[Long].collect().toSet
+    val exp = SparkEntry.queries("q71_bloom_refdedup")(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exp.nonEmpty && got == exp)
+  }
+
   test("flatMapGroupsWithState running totals equal batch group totals") {
     val stream = EventStream.runningUserTotals(spark, EventStream.readEvents(spark, eventsPath))
     val got = EventStream.runToMemory(spark, stream, "totals", OutputMode.Update())
