@@ -74,6 +74,19 @@ object Curation {
       .select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"))
   }
 
+  /** Shared Bloom routing for batch AND streaming reference dedup: build
+    * the reference filter (distributed `stat.bloomFilter` aggregation),
+    * broadcast it ONCE (the probe expression carries only the handle —
+    * both output branches and every micro-batch share one executor-side
+    * copy), and split `incoming` into (definitely-new, maybe-seen). */
+  private[graft] def bloomSplit(incoming: DataFrame, referenceFps: DataFrame,
+      fpCol: String, expectedItems: Long, fpp: Double): (DataFrame, DataFrame) = {
+    val bf = referenceFps.stat.bloomFilter(xxhash64(col(fpCol)), expectedItems, fpp)
+    val bc = referenceFps.sparkSession.sparkContext.broadcast(bf)
+    val maybe = BloomMightContainExpr.mightContain(xxhash64(col(fpCol)), bc)
+    (incoming.filter(!maybe), incoming.filter(maybe))
+  }
+
   /** Incremental dedup of `incoming` against a reference corpus: a
     * driver-built Bloom filter over the reference's fingerprint hashes
     * splits incoming rows into "definitely new" (kept with NO join — the
@@ -81,25 +94,29 @@ object Curation {
     * these shuffle into an exact anti-join). Output is EXACT regardless of
     * `fpp`: Bloom false positives only send extra rows to verification,
     * never change the result; false negatives cannot occur by construction.
-    * At 100 TB incoming this replaces a full-corpus shuffle with a scan +
-    * a join of ≈ (true dups + fpp·|incoming|) rows. */
+    * At 100 TB incoming this replaces one full-corpus shuffle with two
+    * map-only scans of the pruned fingerprint columns (the union's two
+    * branches) + a join of ≈ (true dups + fpp·|incoming|) rows. */
   def bloomReferenceDedup(incoming: DataFrame, referenceFps: DataFrame,
       fpCol: String, expectedItems: Long, fpp: Double): DataFrame = {
-    val bf = referenceFps.stat.bloomFilter(xxhash64(col(fpCol)), expectedItems, fpp)
-    val maybe = BloomMightContainExpr.mightContain(xxhash64(col(fpCol)), bf)
-    val definitelyNew = incoming.filter(!maybe)
-    val verified = incoming.filter(maybe)
+    val (definitelyNew, maybes) = bloomSplit(incoming, referenceFps, fpCol, expectedItems, fpp)
+    val verified = maybes
       .join(referenceFps.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     definitelyNew.unionByName(verified)
   }
 
   /** Deterministic per-stratum sampling: a multiplicative (Knuth) hash of
-    * `doc_id` picks a per-mille bucket; a row survives iff its bucket is
+    * the id picks a per-mille bucket; a row survives iff its bucket is
     * below its stratum's rate. Pure map stage — no shuffle, no RNG state,
     * reproducible run-to-run and engine-to-engine (the reason this is
-    * arithmetic, not `rand()` or `TABLESAMPLE`). Rates are per-mille. */
-  def stratifiedSample(docs: DataFrame, stratumCol: String, ratesPerMille: Map[String, Int]): DataFrame = {
-    val bucket = expr(s"CAST((((doc_id * 2654435761) % 4294967296) * 1000) div 4294967296 AS BIGINT)")
+    * arithmetic, not `rand()` or `TABLESAMPLE`). Rates are per-mille.
+    * Overflow-safe under ANSI for the full bigint id range: the id is
+    * first pmod-reduced to 31 bits, so `2³¹·2654435761 < 2⁶³` — no 64-bit
+    * multiply can throw — and pmod keeps negative ids in [0, 1000). */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      ratesPerMille: Map[String, Int], idCol: String = "doc_id"): DataFrame = {
+    val bucket = expr(
+      s"CAST((((pmod($idCol, 2147483648) * 2654435761) % 4294967296) * 1000) div 4294967296 AS BIGINT)")
     val rate = ratesPerMille.foldLeft(lit(0)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
@@ -125,13 +142,13 @@ object Curation {
     * candidate verification in cache at 100 TB. All arithmetic is IEEE
     * double on both engines (floats widen exactly; no summation), so the
     * integer outputs are bit-deterministic cross-engine. */
-  def quantizeInt8(embs: DataFrame, vecCol: String): DataFrame = {
+  def quantizeInt8(embs: DataFrame, vecCol: String, idCol: String = "vec_id"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val mx = array_max(transform(v, x => abs(x)))
     embs
       .withColumn("v", v)
       .withColumn("scale", when(mx === 0d, lit(0d)).otherwise(lit(127.0) / mx))
-      .select(col("vec_id"),
+      .select(col(idCol),
         floor(col("scale") * 1e6 + 0.5).as("scale_q"),
         transform(col("v"), x =>
           greatest(lit(-127L), least(lit(127L), floor(x * col("scale") + 0.5)))).as("qvec"))
@@ -211,11 +228,13 @@ object Curation {
           Map("en" -> 100, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 500))
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id, lang,
-             |  (((doc_id * 2654435761) % 4294967296) * 1000) // 4294967296 AS bucket
-             |FROM documents
-             |WHERE (((doc_id * 2654435761) % 4294967296) * 1000) // 4294967296
-             |      < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |    ((((((doc_id % 2147483648) + 2147483648) % 2147483648)
+             |       * 2654435761) % 4294967296) * 1000) // 4294967296 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, lang, bucket FROM b
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- q73: sequence packing by token budget -----------------------------

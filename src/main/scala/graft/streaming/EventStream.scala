@@ -100,11 +100,11 @@ object EventStream {
     * fpp, micro-batch by micro-batch. */
   def dedupAgainstReference(docs: DataFrame, referenceFps: DataFrame,
       fpCol: String, expectedItems: Long, fpp: Double): DataFrame = {
-    val bf = referenceFps.stat.bloomFilter(xxhash64(col(fpCol)), expectedItems, fpp)
-    val maybe = graft.expressions.BloomMightContainExpr.mightContain(
-      xxhash64(col(fpCol)), bf)
-    val definitelyNew = docs.filter(!maybe)
-    val verified = docs.filter(maybe)
+    // identical Bloom build/route as batch q71 (one shared helper — only
+    // the verification-join spelling differs between the twins)
+    val (definitelyNew, maybes) =
+      graft.operators.Curation.bloomSplit(docs, referenceFps, fpCol, expectedItems, fpp)
+    val verified = maybes
       .join(referenceFps.select(col(fpCol).as("__ref_fp")).distinct(),
         col(fpCol) === col("__ref_fp"), "left_outer")
       .filter(col("__ref_fp").isNull)

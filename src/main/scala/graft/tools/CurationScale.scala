@@ -46,8 +46,10 @@ object CurationScale {
           Map("en" -> 100, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 500)).count()
       }
       val quantized = time(s"q74 quantizeInt8 ${r}x") {
+        // count() over the quantized output forces every qvec without an
+        // extra pass over the input
         Curation.quantizeInt8(embs, "embedding")
-          .agg(sum(element_at(col("qvec"), 1))).head(); embs.count()
+          .agg(sum(element_at(col("qvec"), 1)), count(lit(1))).head().getLong(1)
       }
       val capped = time(s"q69 capPerDomain ${r}x") {
         Curation.capPerDomain(docs, "source", 10).count()

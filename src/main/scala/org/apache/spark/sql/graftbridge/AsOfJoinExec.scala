@@ -149,15 +149,21 @@ case class BroadcastAsOfJoinExec(
     val rk = BindReferences.bindReference[Expression](rightKey, right.output)
     val rt = BindReferences.bindReference[Expression](rightTime, right.output)
     val allOut = output
+    // The cache key carries the key/time ORDINALS as well as (appId,
+    // bcastId): ReuseExchange can hand two as-of joins over the same right
+    // side the SAME broadcast, and if they bind different key/time columns
+    // their indexes differ — id alone would serve one join the other's.
+    val keyOrdinal = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val timeOrdinal = right.output.indexWhere(_.exprId == rightTime.exprId)
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIter =>
       // key → (rows, times) sorted by time. Times are evaluated ONCE per
       // row (the sort compares cached keys, not re-evaluated expressions)
-      // and the whole built index is memoized per executor keyed by
-      // broadcast id, so the build cost is paid once per executor, not
-      // once per task. Null key/time rows can never match and are dropped.
+      // and the whole built index is memoized per executor, so the build
+      // cost is paid once per executor, not once per task. Null key/time
+      // rows can never match and are dropped.
       val sorted = BroadcastAsOfJoinExec.indexCache.computeIfAbsent(
-        (org.apache.spark.SparkEnv.get.conf.getAppId, bcast.id), _ => {
+        (org.apache.spark.SparkEnv.get.conf.getAppId, bcast.id, keyOrdinal, timeOrdinal), _ => {
         val byKey = new scala.collection.mutable.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]
         bcast.value.foreach { r =>
           val k = rk.eval(r)
@@ -202,17 +208,19 @@ object BroadcastAsOfJoinExec {
   private val MaxCachedIndexes = 32
 
   /** Executor-level built-index memo — the same build-once pattern
-    * HashedRelation broadcasts use. Keyed by (appId, broadcastId): broadcast
-    * ids restart from 0 when a new SparkContext starts in the same JVM, so
-    * the app id disambiguates — a fresh context can never be served a stale
-    * index built for a different dataset. LRU-bounded (access-order
-    * LinkedHashMap) so retired broadcasts' indexes — which pin the broadcast
-    * rows via their row/time arrays — are dropped instead of accumulating
-    * for the executor lifetime. */
-  private[graftbridge] val indexCache: java.util.Map[(String, Long), AnyRef] =
+    * HashedRelation broadcasts use. Keyed by (appId, broadcastId,
+    * keyOrdinal, timeOrdinal): broadcast ids restart from 0 when a new
+    * SparkContext starts in the same JVM, so the app id disambiguates a
+    * fresh context from a stale one; the ordinals disambiguate two joins
+    * that SHARE a reused broadcast exchange but bind different key/time
+    * columns. LRU-bounded (access-order LinkedHashMap) so retired
+    * broadcasts' indexes — which pin the broadcast rows via their row/time
+    * arrays — are dropped instead of accumulating for the executor
+    * lifetime. */
+  private[graftbridge] val indexCache: java.util.Map[(String, Long, Int, Int), AnyRef] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), AnyRef](16, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[(String, Long), AnyRef]): Boolean =
+      new java.util.LinkedHashMap[(String, Long, Int, Int), AnyRef](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[(String, Long, Int, Int), AnyRef]): Boolean =
           size() > MaxCachedIndexes
       })
 }

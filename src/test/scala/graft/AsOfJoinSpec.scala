@@ -126,6 +126,26 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("two broadcast as-of joins sharing one exchange, different time columns") {
+    // ReuseExchange can hand both joins the SAME broadcast; the executor
+    // index cache must key on the bound time column, not just broadcast id
+    val left = spark.range(0, 500)
+      .select(($"id" % 5).as("k"), ($"id" * 7 % 100).as("t"), $"id".as("lid"))
+    val right = spark.range(0, 50)
+      .select(($"id" % 5).as("rk"), ($"id" * 3 % 100).as("t1"),
+        ($"id" * 11 % 100).as("t2"), $"id".as("rid"))
+    def run(bc: Option[Boolean]) = {
+      val j1 = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "t1", bc)
+        .select($"lid", $"rid", lit(1).as("src"))
+      val j2 = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "t2", bc)
+        .select($"lid", $"rid", lit(2).as("src"))
+      j1.unionByName(j2).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getInt(2))).toSet
+    }
+    // merge variant never touches the broadcast index cache → ground truth
+    assert(run(Some(true)) == run(Some(false)))
+  }
+
   test("mismatched key or time types are rejected at call time") {
     val l = Seq((1, 10L, "a")).toDF("k", "t", "v")
     val r = Seq((1L, 10L, 1.0)).toDF("rk", "rt", "px")

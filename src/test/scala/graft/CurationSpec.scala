@@ -105,6 +105,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q75 cluster retention: best member = independent per-cluster quality argmax") {
+    val clusters = SparkEntry.queries("q66_dedup_clusters")(spark, sf0001) // (doc_id, rep_id)
+    val qual = docsDf.select($"doc_id",
+      graft.functions.TextOps.qualityScore($"text").as("q"))
+    // independent argmax: max (quality, −doc_id) struct per cluster ≡
+    // highest quality with min-doc_id tiebreak
+    val expected = clusters.join(qual, "doc_id")
+      .groupBy($"rep_id")
+      .agg(count(lit(1)).as("n_members"), max(struct($"q", -$"doc_id")).as("m"))
+      .select($"rep_id", $"n_members", (-$"m.col2").as("best_doc_id"), $"m.q".as("best_quality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = SparkEntry.queries("q75_cluster_best")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("plan: qualityFilter / stratifiedSample / quantizeInt8 are shuffle-free") {
     for (df <- Seq(
         Curation.qualityFilter(docsDf),
