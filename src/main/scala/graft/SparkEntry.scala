@@ -18,7 +18,7 @@ object SparkEntry {
       operators.Relational2.defs ++
       operators.EventOps.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
-      operators.Curation.defs ++
+      operators.Curation.defs ++ operators.Compliance.defs ++
       operators.Similarity.defs ++ operators.Streams.defs ++
       operators.Multimodal.defs ++ operators.Generators.defs ++
       operators.NestedTypes.defs ++ operators.Temporal.defs

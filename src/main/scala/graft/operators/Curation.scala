@@ -154,6 +154,61 @@ object Curation {
           greatest(lit(-127L), least(lit(127L), floor(x * col("scale") + 0.5)))).as("qvec"))
   }
 
+  /** Resample toward a target domain/language mixture: given per-stratum
+    * target weights (per-mille of the output) and a total document budget,
+    * keep-rate_s = min(1, budget·w_s / n_s), applied via the same
+    * deterministic bucket hash as [[stratifiedSample]]. The stratum census
+    * is a tiny aggregate broadcast back onto the corpus — the corpus side
+    * stays a pure map stage (one pruned-column scan for the census, no
+    * corpus shuffle). Rates are integer per-mille (budget·w_pm div n_s),
+    * so both engines derive identical cutoffs. */
+  def mixtureResample(docs: DataFrame, stratumCol: String,
+      weightsPerMille: Map[String, Int], budget: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    val wpm = weightsPerMille.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    val rates = docs.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
+      .withColumn("wpm", wpm)
+      .withColumn("rate_pm", expr(s"least(1000, ($budget * wpm) div n_s)"))
+      .select(col(stratumCol), col("n_s"), col("rate_pm"))
+    val bucket = expr(
+      s"CAST((((pmod($idCol, 2147483648) * 2654435761) % 4294967296) * 1000) div 4294967296 AS BIGINT)")
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < col("rate_pm"))
+  }
+
+  /** Deterministic global training shuffle: multiplicative-hash each id
+    * into one of `shards` shards and order within shards by (hash, id) —
+    * a reproducible pseudo-random permutation with NO global sort. One
+    * shuffle on the shard key; every shard orders independently (a shard
+    * is the unit a trainer reads sequentially), so at 100 TB there is no
+    * single-partition sort bottleneck and re-runs yield identical shards. */
+  def globalShuffle(docs: DataFrame, shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
+    docs
+      .withColumn("h", expr(s"(pmod($idCol, 2147483648) * 2654435761) % 4294967296"))
+      .withColumn("shard", expr(s"h % $shards"))
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** Corpus vocabulary census — the tokenizer-training primitive: token →
+    * corpus frequency, top-k by (freq DESC, token). explode is map-local;
+    * hash partial aggregation collapses the Zipf head before the one
+    * shuffle; top-k lands on TakeOrderedAndProject (no global sort). The
+    * final rank window runs on k rows, not the corpus. */
+  def buildVocab(docs: DataFrame, topK: Int, textCol: String = "text"): DataFrame = {
+    val w = Window.orderBy(desc("freq"), asc("token"))
+    docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("token"), col("freq"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q69: per-domain frequency capping ---------------------------------
@@ -335,5 +390,59 @@ object Curation {
              |  min(CASE WHEN rk = 1 THEN member_id END) AS best_doc_id,
              |  min(CASE WHEN rk = 1 THEN quality END) AS best_quality
              |FROM j GROUP BY rep_id ORDER BY rep_id""".stripMargin)),
+
+    // ---- q78: target-mixture resampling ------------------------------------
+    // Rebalance toward a 50% en / 12.5%-each mixture with a 300-doc budget.
+    // The oracle derives the same integer per-mille rate from a windowed
+    // stratum census and replays the multiplicative-hash bucket.
+    QueryDef(
+      "q78_mixture_resample",
+      (s, d) => mixtureResample(Tables.documents(s, d), "lang",
+          Map("en" -> 500, "de" -> 125, "es" -> 125, "fr" -> 125, "zh" -> 125),
+          budget = 300L)
+        .select(col("doc_id"), col("lang"), col("n_s"), col("rate_pm"), col("bucket"))
+        .orderBy(col("doc_id")),
+      Some("""WITH n AS (
+             |  SELECT doc_id, lang, count(*) OVER (PARTITION BY lang) AS n_s
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, lang, n_s,
+             |    least(1000, (300 * CASE WHEN lang = 'en' THEN 500 ELSE 125 END) // n_s) AS rate_pm,
+             |    ((((((doc_id % 2147483648) + 2147483648) % 2147483648)
+             |       * 2654435761) % 4294967296) * 1000) // 4294967296 AS bucket
+             |  FROM n)
+             |SELECT doc_id, lang, n_s, rate_pm, bucket FROM b
+             |WHERE bucket < rate_pm
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q80: deterministic global shuffle ---------------------------------
+    QueryDef(
+      "q80_global_shuffle",
+      (s, d) => globalShuffle(Tables.documents(s, d), shards = 8)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos")),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+             |     * 2654435761) % 4294967296 AS h
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, h, h % 8 AS shard FROM h)
+             |SELECT shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+             |  doc_id
+             |FROM s ORDER BY shard, pos""".stripMargin)),
+
+    // ---- q81: vocabulary census (tokenizer training) -----------------------
+    QueryDef(
+      "q81_vocab_census",
+      (s, d) => buildVocab(Tables.documents(s, d), topK = 30)
+        .orderBy(col("rank")),
+      Some("""WITH f AS (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |c AS (SELECT token, count(*) AS freq FROM f GROUP BY 1)
+             |SELECT row_number() OVER (ORDER BY freq DESC, token) AS rank,
+             |  token, freq
+             |FROM c ORDER BY freq DESC, token LIMIT 30""".stripMargin)),
   )
 }

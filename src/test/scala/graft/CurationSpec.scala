@@ -121,6 +121,55 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("mixtureResample: integer rate formula and budget proximity") {
+    val weights = Map("en" -> 500, "de" -> 125, "es" -> 125, "fr" -> 125, "zh" -> 125)
+    val out = Curation.mixtureResample(docsDf, "lang", weights, budget = 100L)
+    // every row's rate_pm must equal min(1000, budget*w div n_s) recomputed
+    // from an independent census
+    val census = docsDf.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.select($"lang", $"n_s", $"rate_pm").distinct().collect().foreach { r =>
+      val (lang, ns, rate) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(ns == census(lang))
+      assert(rate == math.min(1000L, 100L * weights(lang) / ns), s"$lang")
+    }
+    // deterministic: two runs identical
+    val a = out.select($"doc_id").as[Long].collect().toSet
+    val b = Curation.mixtureResample(docsDf, "lang", weights, budget = 100L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("globalShuffle: a reproducible permutation with contiguous shard positions") {
+    val s1 = Curation.globalShuffle(docsDf, 8)
+    val n = docsDf.count()
+    // every doc appears exactly once
+    assert(s1.select($"doc_id").distinct().count() == n && s1.count() == n)
+    // positions are 1..count(shard) within each shard
+    val bad = s1.groupBy($"shard")
+      .agg(count(lit(1)).as("c"), max($"pos").as("mx"), min($"pos").as("mn"))
+      .filter($"mx" =!= $"c" || $"mn" =!= 1)
+    assert(bad.isEmpty)
+    // identical across runs (no RNG state)
+    val p1 = s1.select($"doc_id", $"shard", $"pos").collect().toSet
+    val p2 = Curation.globalShuffle(docsDf, 8)
+      .select($"doc_id", $"shard", $"pos").collect().toSet
+    assert(p1 == p2)
+    // and it actually permutes: within some shard, consecutive positions
+    // are not consecutive doc_ids
+    val shard0 = s1.filter($"shard" === 0).orderBy($"pos")
+      .select($"doc_id").as[Long].collect()
+    assert(shard0.length > 2 && !shard0.sliding(2).forall(w => w(1) == w(0) + 1))
+  }
+
+  test("buildVocab: frequencies match a manual census") {
+    val df = Seq((1L, "x y x z"), (2L, "y x w w")).toDF("doc_id", "text")
+    val got = Curation.buildVocab(df, 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // freqs: x=3, w=2, y=2, z=1 → top3 by (freq desc, token): x, w, y
+    assert(got.toSeq == Seq((1, "x", 3L), (2, "w", 2L), (3, "y", 2L)))
+  }
+
   test("plan: qualityFilter / stratifiedSample / quantizeInt8 are shuffle-free") {
     for (df <- Seq(
         Curation.qualityFilter(docsDf),
