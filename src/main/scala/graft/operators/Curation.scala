@@ -209,6 +209,26 @@ object Curation {
       .select(col("rank"), col("token"), col("freq"))
   }
 
+  /** Context-window chunking: split each document into fixed-token chunks
+    * on a stride grid (stride < chunkTokens ⇒ overlapping windows) — the
+    * training-prep step between curation and packing. The generator input
+    * is ONLY the chunk-index sequence (the repo rule: never an expensive
+    * expression ahead of explode — the slice+join runs once per OUTPUT
+    * row, after the generate). Pure map stage: no shuffle, scales with
+    * input splits. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0L), expr(s"(n + $stride - 1) div $stride - 1"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", expr(s"slice(t, chunk_id * $stride + 1, $chunkTokens)")).as("chunk"),
+        size(expr(s"slice(t, chunk_id * $stride + 1, $chunkTokens)")).as("n_chunk_tokens"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q69: per-domain frequency capping ---------------------------------
@@ -444,5 +464,26 @@ object Curation {
              |SELECT row_number() OVER (ORDER BY freq DESC, token) AS rank,
              |  token, freq
              |FROM c ORDER BY freq DESC, token LIMIT 30""".stripMargin)),
+
+    // ---- q84: context-window chunking --------------------------------------
+    // 32-token windows on a 24-token stride (8-token overlap). The oracle
+    // unnests the same index grid and slices the same token array — chunk
+    // text compares as exact strings.
+    QueryDef(
+      "q84_chunk_windows",
+      (s, d) => chunkDocuments(Tables.documents(s, d), chunkTokens = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, t, n,
+             |    unnest(range(0, (n + 23) // 24)) AS chunk_id
+             |  FROM t)
+             |SELECT doc_id, chunk_id,
+             |  array_to_string(t[(chunk_id * 24 + 1):least(chunk_id * 24 + 32, n)], ' ') AS chunk,
+             |  least(chunk_id * 24 + 32, n) - chunk_id * 24 AS n_chunk_tokens
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
   )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Corpus-maintenance operators — keeping a 100 TB lake correct and
+  * scan-efficient between training runs:
+  *
+  *  - CDC / snapshot upsert merge (latest-wins + delete markers) → q82
+  *  - Z-order (Morton) layout clustering for multi-column pruning → q83
+  *
+  * Scale shapes: q82 is ONE hash shuffle on the merge key (with bucketed
+  * base tables it is shuffle-free on the base side — only the delta
+  * shuffles); q83's z-value is a pure map expression — the expensive part,
+  * the re-sort, is exactly the write-time `repartitionByRange` a layout
+  * job would run, and the payoff is read-time row-group pruning on BOTH
+  * interleaved dimensions.
+  */
+object Maintenance {
+
+  /** Delta-style merge: union base and update snapshots, keep the
+    * highest-version row per key, then drop rows whose winner carries a
+    * delete marker. ONE hash shuffle on (keys); at scale the base side
+    * can be bucketed on the key so only the (small) changelog shuffles.
+    * Ties on version resolve to the update side deterministically only if
+    * the caller versions monotonically — enforce versions, not arrival
+    * order (arrival order is not reproducible under retries). */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      versionCol: String, deleteCol: Option[String] = None): DataFrame = {
+    val all = base.unionByName(updates)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(desc(versionCol))
+    val latest = all
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    deleteCol.fold(latest)(d => latest.filter(!coalesce(col(d), lit(false))).drop(d))
+  }
+
+  /** Morton (Z-order) value of two non-negative ints, `bits` bits each:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Pure integer
+    * expression — identical in any engine with shifts; used as the
+    * write-time clustering key so range scans on EITHER column touch few
+    * row-groups. */
+  def zorderValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_ bitwiseOR _)
+
+  /** The same interleave as [[zorderValue]] spelled in portable SQL. */
+  def zorderSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+
+  /** Clustering audit for a z-ordered layout: bucket rows by z-value
+    * prefix (the row-group analogue) and report each bucket's span in both
+    * source dimensions. Tight per-bucket min/max spans ARE the pruning
+    * guarantee: a predicate on either column maps to few buckets. */
+  def zorderBucketStats(df: DataFrame, aCol: String, bCol: String,
+      bits: Int, bucketShift: Int): DataFrame = {
+    df.select(zorderValue(col(aCol), col(bCol), bits).as("z"),
+        col(aCol).as("a"), col(bCol).as("b"))
+      .withColumn("bucket", shiftright(col("z"), bucketShift))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+        min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q82: CDC upsert merge ---------------------------------------------
+    // Base = orders under 4000 at version 0; changelog = every 7th key
+    // re-statused at version 1, every 13th of THOSE deleted. Latest-wins
+    // with delete-marker suppression — the Delta/Iceberg MERGE semantics
+    // as one window.
+    QueryDef(
+      "q82_upsert_merge",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_orderkey") < 4000)
+        val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+          lit(0L).as("version"), lit(false).as("is_deleted"))
+        val upd = o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            lit(1L).as("version"), (col("o_orderkey") % 13 === 0).as("is_deleted"))
+        upsertLatest(base, upd, Seq("o_orderkey"), "version", Some("is_deleted"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus, 0 AS version, false AS is_deleted
+             |  FROM orders WHERE o_orderkey < 4000),
+             |upd AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus, 1 AS version,
+             |    (o_orderkey % 13 = 0) AS is_deleted
+             |  FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 7 = 0),
+             |merged AS (
+             |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             |                               ORDER BY version DESC) AS rn
+             |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+             |SELECT o_orderkey, o_orderstatus, version
+             |FROM merged WHERE rn = 1 AND NOT is_deleted
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- q83: z-order clustering audit -------------------------------------
+    // Interleave (l_partkey, l_suppkey) at 16 bits and audit the z-buckets:
+    // the per-bucket min/max spans prove both dimensions stay range-local
+    // under the interleaved order — the property multi-column row-group
+    // pruning rests on.
+    QueryDef(
+      "q83_zorder_stats",
+      (s, d) => zorderBucketStats(
+          Tables.lineitem(s, d), "l_partkey", "l_suppkey",
+          bits = 16, bucketShift = 14)
+        .orderBy(col("bucket")),
+      Some(s"""WITH z AS (
+             |  SELECT ${zorderSql("l_partkey", "l_suppkey", 16)} AS z,
+             |    l_partkey AS a, l_suppkey AS b
+             |  FROM lineitem)
+             |SELECT z >> 14 AS bucket, count(*) AS n,
+             |  min(a) AS a_min, max(a) AS a_max,
+             |  min(b) AS b_min, max(b) AS b_max
+             |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin)),
+  )
+}

@@ -170,6 +170,39 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "x", 3L), (2, "w", 2L), (3, "y", 2L)))
   }
 
+  test("chunkDocuments: stride grid, overlap, and tail chunk") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "solo")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, chunkTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    assert(out == Set(
+      (1L, 0L, "t1 t2 t3", 3), (1L, 1L, "t3 t4 t5", 3), (1L, 2L, "t5", 1),
+      (2L, 0L, "solo", 1)))
+  }
+
+  test("chunkDocuments: generator input carries only the index sequence (explode rule)") {
+    val plan = Curation.chunkDocuments(docsDf, 32, 24).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
+    val generateLine = plan.linesIterator.find(_.contains("Generate")).getOrElse("")
+    assert(generateLine.contains("sequence") && !generateLine.contains("slice"),
+      s"slice must run after the generate, not inside it:\n$generateLine")
+  }
+
+  test("chunkDocuments: every token position is covered, chunk count = ceil(n/stride)") {
+    val out = Curation.chunkDocuments(docsDf, 32, 24)
+    val perDoc = out.groupBy($"doc_id")
+      .agg(count(lit(1)).as("chunks"), sum($"n_chunk_tokens").as("tok_sum"))
+    val n = docsDf.select($"doc_id",
+      size(graft.functions.TextOps.tokens($"text")).as("n"))
+    val joined = perDoc.join(n, "doc_id")
+    val badCount = joined.filter($"chunks" =!= expr("(n + 23) div 24")).count()
+    assert(badCount == 0)
+    // with stride 24 / window 32, each interior chunk re-reads 8 tokens
+    val badCoverage = joined
+      .filter($"tok_sum" < $"n") // must at least cover every token once
+      .count()
+    assert(badCoverage == 0)
+  }
+
   test("plan: qualityFilter / stratifiedSample / quantizeInt8 are shuffle-free") {
     for (df <- Seq(
         Curation.qualityFilter(docsDf),

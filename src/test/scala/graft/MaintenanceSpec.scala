@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Maintenance
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertLatest: latest-wins, delete markers suppress, untouched keys survive") {
+    val base = Seq((1L, "a", 0L, false), (2L, "b", 0L, false), (3L, "c", 0L, false))
+      .toDF("k", "v", "version", "del")
+    val upd = Seq((2L, "b2", 1L, false), (3L, "c2", 1L, true), (4L, "d", 1L, false))
+      .toDF("k", "v", "version", "del")
+    val out = Maintenance.upsertLatest(base, upd, Seq("k"), "version", Some("del"))
+      .select($"k", $"v", $"version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // 1 untouched, 2 updated, 3 deleted, 4 inserted
+    assert(out == Set((1L, "a", 0L), (2L, "b2", 1L), (4L, "d", 1L)))
+  }
+
+  test("upsertLatest: highest version wins across multiple updates") {
+    val base = Seq((1L, "v0", 0L)).toDF("k", "v", "version")
+    val upd = Seq((1L, "v2", 2L), (1L, "v1", 1L), (1L, "v3", 3L)).toDF("k", "v", "version")
+    val out = Maintenance.upsertLatest(base, upd, Seq("k"), "version")
+      .select($"v").as[String].collect().toSeq
+    assert(out == Seq("v3"))
+  }
+
+  test("zorderValue: known bit interleavings") {
+    val df = Seq((3L, 1L), (2L, 3L), (0L, 0L), (65535L, 65535L)).toDF("a", "b")
+    val z = df.select(Maintenance.zorderValue($"a", $"b", 16).as("z"))
+      .as[Long].collect().toSeq
+    // (3,1): a bits {0,1}→pos{0,2}=5; b bit {0}→pos{1}=2 → 7
+    // (2,3): a bit {1}→pos{2}=4; b bits {0,1}→pos{1,3}=10 → 14
+    // full 16-bit ones interleave to 2^32−1
+    assert(z == Seq(7L, 14L, 0L, 4294967295L))
+  }
+
+  test("zorder buckets: both dimensions stay range-local (the pruning property)") {
+    val stats = SparkEntry.queries("q83_zorder_stats")(spark, sf0001).collect()
+    assert(stats.length > 1, "expected multiple z-buckets")
+    // a 14-bit bucket prefix leaves 7 low bits per dimension → spans < 128
+    stats.foreach { r =>
+      assert(r.getAs[Long]("a_max") - r.getAs[Long]("a_min") < 128, r.toString)
+      assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") < 128, r.toString)
+    }
+  }
+}
