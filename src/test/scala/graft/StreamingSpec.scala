@@ -92,6 +92,30 @@ class StreamingSpec extends SparkSpec {
     assert(exp.nonEmpty && got == exp)
   }
 
+  test("stateless curation stages run unchanged on a stream (PII scrub + chunking)") {
+    // The scrub/prep map stages are plain Column compositions — the SAME
+    // operator objects drive readStream with no code changes, which is the
+    // point of keeping them stateless.
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_docs_stream2")
+    Files.createSymbolicLink(dir.resolve("documents.parquet"),
+      Paths.get(s"$sf0001/documents.parquet"))
+    val stream = EventStream.readDocuments(spark, dir.toString)
+    val piped = graft.operators.Curation.chunkDocuments(
+      graft.operators.Compliance.redactPii(stream).select($"doc_id", $"redacted".as("text")),
+      chunkTokens = 32, stride = 24)
+    val got = EventStream.runToMemory(spark, piped, "scrub_chunks", OutputMode.Append())
+      .select($"doc_id", $"chunk_id", $"chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batchTwin = graft.operators.Curation.chunkDocuments(
+      graft.operators.Compliance.redactPii(graft.core.Tables.documents(spark, sf0001))
+        .select($"doc_id", $"redacted".as("text")),
+      chunkTokens = 32, stride = 24)
+      .select($"doc_id", $"chunk_id", $"chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.nonEmpty && got == batchTwin)
+  }
+
   test("flatMapGroupsWithState running totals equal batch group totals") {
     val stream = EventStream.runningUserTotals(spark, EventStream.readEvents(spark, eventsPath))
     val got = EventStream.runToMemory(spark, stream, "totals", OutputMode.Update())
