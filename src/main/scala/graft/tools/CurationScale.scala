@@ -61,7 +61,28 @@ object CurationScale {
       val newDocs = time(s"q71 bloomReferenceDedup ${r}x (worst case: all dups)") {
         Curation.bloomReferenceDedup(fps, ref, "fp", math.max(nD, 1L), 0.01).count()
       }
-      println(s"[scale]   kept=$kept sampled=$sampled quantized=$quantized capped=$capped new=$newDocs")
+      // compliance / maintenance / prep stages
+      val redacted = time(s"q76 redactPii ${r}x") {
+        graft.operators.Compliance.redactPii(docs)
+          .agg(sum(col("n_emails") + col("n_ips") + col("n_phones")), count(lit(1)))
+          .head().getLong(1)
+      }
+      // eval set stays FIXED (the 1× base's doc_id%97 slice) while the
+      // corpus replicates — the asymmetric-join regime the op is built for
+      val contaminated = time(s"q77 contaminationScores ${r}x (fixed eval set)") {
+        graft.operators.Compliance.contaminationScores(
+          docs, baseDocs.filter(col("doc_id") % 97 === 0), 3, 2L).count()
+      }
+      val repAudit = time(s"q79 repetitionStats ${r}x") {
+        graft.operators.Compliance.repetitionStats(docs).count()
+      }
+      val chunks = time(s"q84 chunkDocuments ${r}x") {
+        Curation.chunkDocuments(docs, 32, 24).agg(sum(length(col("chunk"))), count(lit(1)))
+          .head().getLong(1)
+      }
+      println(s"[scale]   kept=$kept sampled=$sampled quantized=$quantized " +
+        s"capped=$capped new=$newDocs pii=$redacted contam=$contaminated " +
+        s"rep=$repAudit chunks=$chunks")
     }
     spark.stop()
   }
