@@ -76,6 +76,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "candidate pairs should broadcast")
   }
 
+  test("q82: merge is ONE key shuffle with pre-shuffle top-1 pruning") {
+    val p = physicalPlan("q82_upsert_merge")
+    // the latest-wins window must prune map-side (WindowGroupLimit below
+    // the exchange) so the shuffle carries at most one candidate per
+    // (key, input partition), not the whole history
+    val lines = p.linesIterator.toSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val firstWgl = lines.indexWhere(_.contains("WindowGroupLimit"))
+    assert(firstWgl >= 0, s"expected WindowGroupLimit pruning:\n$p")
+    // plan prints top-down: the outer (post-shuffle) nodes precede the
+    // map-side copy, so a second WindowGroupLimit must appear after the
+    // exchange line (= below it in the tree)
+    assert(lines.indexWhere(_.contains("WindowGroupLimit"), firstExchange) >= 0,
+      s"expected a map-side WindowGroupLimit below the exchange:\n$p")
+  }
+
+  test("q81: vocab top-k is TakeOrderedAndProject over a partial-agg census") {
+    val p = physicalPlan("q81_vocab_census")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"census must aggregate partially map-side:\n$p")
+  }
+
   test("q47: token-set join runs on the 8-byte hash key, arrays only verify") {
     val p = physicalPlan("q47_simhash")
     val joinLine = p.linesIterator.find(l =>
