@@ -72,6 +72,71 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: upsertLatest equals a driver-side map fold for any changelog") {
+    val opsGen: Gen[List[(Long, String, Long, Boolean)]] =
+      Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 8L)
+        v <- Gen.alphaStr.map(_.take(4))
+        ver <- Gen.choose(1L, 5L)
+        del <- Gen.prob(0.25)
+      } yield (k, v, ver, del))
+    forAll(opsGen) { ops =>
+      val base = Seq((0L, "base", 0L, false), (9L, "base9", 0L, false))
+      // reference semantics: per key, max version wins (ties: any of the
+      // tied rows — generate distinct versions per key to stay total)
+      val updates = ops.groupBy(o => (o._1, o._3)).map(_._2.head).toList
+      val all = base ++ updates
+      val expected = all.groupBy(_._1).flatMap { case (k, rows) =>
+        val latest = rows.maxBy(_._3)
+        if (latest._4) None else Some((k, latest._2, latest._3))
+      }.toSet
+      val got = graft.operators.Maintenance.upsertLatest(
+        base.toDF("k", "v", "version", "del"),
+        updates.toDF("k", "v", "version", "del"),
+        Seq("k"), "version", Some("del"))
+        .select($"k", $"v", $"version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected, s"ops=$updates")
+    }
+  }
+
+  test("property: zorder locality bound holds for any bucket shift") {
+    // within a bucket of shift s, each dimension spans < 2^ceil(s/2)
+    val gen = for {
+      shift <- Gen.choose(2, 20)
+      pts <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))
+    } yield (shift, pts)
+    forAll(gen, minSuccessful = 5) { case (shift, pts) =>
+      val stats = graft.operators.Maintenance.zorderBucketStats(
+        pts.toDF("a", "b"), "a", "b", bits = 16, bucketShift = shift).collect()
+      val bound = 1L << ((shift + 1) / 2)
+      stats.foreach { r =>
+        assert(r.getAs[Long]("a_max") - r.getAs[Long]("a_min") < bound,
+          s"shift=$shift ${r.toString}")
+        assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") < bound,
+          s"shift=$shift ${r.toString}")
+      }
+    }
+  }
+
+  test("property: chunkDocuments reassembles every document on a non-overlapping grid") {
+    val docGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+    forAll(Gen.zip(Gen.choose(1, 6), docGen), minSuccessful = 5) { case (chunk, texts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // stride == chunkTokens → zero overlap → concatenating chunks in
+      // chunk_id order must reproduce the exact document
+      val out = graft.operators.Curation.chunkDocuments(df, chunk, chunk)
+        .groupBy($"doc_id")
+        .agg(concat_ws(" ", array_sort(collect_list(struct($"chunk_id", $"chunk")))
+          .getField("chunk")).as("rebuilt"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(out(i.toLong) == t, s"chunk=$chunk doc=$t")
+      }
+    }
+  }
+
   test("property: variable binning bucket is consistent with its edges") {
     val edgesGen = Gen.chooseNum(2, 6).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-100.0, 100.0)).map(_.distinct.sorted).suchThat(_.size >= 2))
