@@ -71,6 +71,25 @@ object Maintenance {
         min(col("b")).as("b_min"), max(col("b")).as("b_max"))
   }
 
+  /** Single-scan numeric column profiling (the data-quality monitor a
+    * pipeline runs on every snapshot): for each named column — row count,
+    * null count, exact distinct count, min, max. Implemented as an
+    * unpivot (`stack`) into (col_name, v) followed by ONE groupBy: one
+    * scan of exactly the profiled columns, shuffle of O(cols × distinct
+    * partial states), never a second pass per column. min/max/counts are
+    * aggregation-order independent, so results are engine-exact even on
+    * doubles (no summation occurs). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackExpr = cols.map(c => s"'$c', cast($c as double)").mkString(
+      s"stack(${cols.size}, ", ", ", ") as (col_name, v)")
+    df.selectExpr(stackExpr)
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).minus(count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q82: CDC upsert merge ---------------------------------------------
@@ -124,5 +143,27 @@ object Maintenance {
              |  min(a) AS a_min, max(a) AS a_max,
              |  min(b) AS b_min, max(b) AS b_max
              |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- q85: snapshot column profiling ------------------------------------
+    // One scan profiles four numeric lineitem columns. Counts and extremes
+    // involve no summation, so doubles compare engine-exact.
+    QueryDef(
+      "q85_column_profile",
+      (s, d) => profileColumns(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_name")),
+      Some("""WITH u AS (
+             |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT col_name, count(*) AS n,
+             |  count(*) - count(v) AS n_null,
+             |  count(DISTINCT v) AS n_distinct,
+             |  min(v) AS v_min, max(v) AS v_max
+             |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin)),
   )
 }

@@ -36,6 +36,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(z == Seq(7L, 14L, 0L, 4294967295L))
   }
 
+  test("profileColumns: planted nulls/distincts, and ONE scan for all columns") {
+    val df = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.0), None),
+      (Some(2.0), Some(30.0)), (None, Some(10.0))).toDF("x", "y")
+    val out = Maintenance.profileColumns(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("x") == ((4L, 1L, 2L, 1.0, 2.0)))
+    assert(out("y") == ((4L, 1L, 2L, 10.0, 30.0)))
+    // single scan: stack-unpivot + one aggregate, never a per-column pass
+    val plan = Maintenance.profileColumns(
+      graft.core.Tables.lineitem(spark, sf0001),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"profiling must scan once:\n$plan")
+    // and the scan reads only the profiled columns
+    val schemaLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schemaLine.contains("l_orderkey"), s"column pruning failed:\n$schemaLine")
+  }
+
   test("zorder buckets: both dimensions stay range-local (the pruning property)") {
     val stats = SparkEntry.queries("q83_zorder_stats")(spark, sf0001).collect()
     assert(stats.length > 1, "expected multiple z-buckets")
