@@ -13,6 +13,9 @@ object RelationalExt {
     // ---- q23: exact interpolated percentiles -------------------------------
     // Both engines implement the continuous (type-7) quantile: order
     // statistics + linear interpolation on identical doubles — exact parity.
+    // (Measured alternative, tools/P23: a windowed-rank interpolation looks
+    // 2× faster on a COLD table read but is 1.8× slower in bench context —
+    // the hashmap `percentile` aggregate wins once the scan is warm; kept.)
     QueryDef(
       "q23_percentiles",
       (s, d) => {
