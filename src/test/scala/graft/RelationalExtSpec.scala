@@ -38,6 +38,29 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches are mergeable: per-source partials union to the global estimate") {
+    // The 100 TB distinct-count pattern: build one sketch per shard/day,
+    // persist them (bytes), and answer global/rolling questions by UNION —
+    // never rescanning history. Partial-union estimate must equal the
+    // single-pass estimate exactly (same sketch algebra) and track the
+    // exact count within HLL error.
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val perSource = docs.groupBy($"source")
+      .agg(expr("hll_sketch_agg(text)").as("sk"))
+    val merged = perSource.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val single = docs.agg(expr("hll_sketch_estimate(hll_sketch_agg(text))").as("est"))
+      .head().getLong(0)
+    val exact = docs.select(countDistinct($"text")).head().getLong(0)
+    // union promotes the sketch representation, so partial-union is not
+    // bit-identical to single-pass — but both must sit inside HLL error
+    assert(math.abs(merged - single).toDouble / single < 0.02,
+      s"merge-of-partials ($merged) drifted from single-pass ($single)")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+
   test("q64 emits SQL NULL (not NaN) for single-element groups") {
     import spark.implicits._
     val out = SparkEntry.queries("q64_typed_mapgroups")(spark, sf0001)
