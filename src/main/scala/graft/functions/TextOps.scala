@@ -14,17 +14,19 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Distinct word n-gram shingles — the dedup unit for MinHash/Jaccard.
-    * Documents shorter than n tokens yield an empty array (guarded: Spark's
+  /** Word n-grams WITH multiplicity (the repetition-audit unit). Documents
+    * shorter than n tokens yield an empty array (guarded: Spark's
     * `sequence(1, 0)` would count DOWN, not produce empty). */
-  def shingles(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(1), size(t) - lit(n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
   }
+
+  /** Distinct word n-gram shingles — the dedup unit for MinHash/Jaccard. */
+  def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
 
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
     * alphanumeric-only text — exact-dup detection robust to formatting. */

@@ -82,30 +82,25 @@ object Compliance {
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
-  /** Non-distinct word bigrams (TextOps.shingles dedups; repetition audit
-    * needs multiplicity). Empty for docs shorter than 2 tokens. */
-  private def bigrams(text: Column): Column = {
-    val t = TextOps.tokens(text)
-    when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - lit(1)),
-        i => concat_ws(" ", slice(t, i, lit(2)))))
-  }
-
   /** Gopher-style repetition audit: per document, token multiplicity
     * (n_tokens vs n_distinct — the duplicate-token signal) and the most
     * frequent bigram with its count (the repeated-phrase signal). All
     * counts integer-exact; the top bigram resolves ties lexicographically
-    * so both engines pick the same row. */
+    * so both engines pick the same row.
+    *
+    * The generator sits INLINE in the projecting select: exploding a
+    * pre-projected array attribute makes Catalyst push the generator's
+    * implicit non-empty guard into the scan as a filter that re-evaluates
+    * the whole tokenize+bigram expression per row (measured 2.7× the scan
+    * stage); inline, the expression evaluates once per input row. */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs.select(
-      col(idCol),
-      TextOps.tokenCount(col(textCol)).as("n_tokens"),
-      size(array_distinct(TextOps.tokens(col(textCol)))).as("n_distinct"),
-      bigrams(col(textCol)).as("bg"))
-    val counted = base
-      .select(col(idCol), col("n_tokens"), col("n_distinct"), explode(col("bg")).as("g"))
+    val counted = docs
+      .select(
+        col(idCol),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"),
+        size(array_distinct(TextOps.tokens(col(textCol)))).as("n_distinct"),
+        explode(TextOps.ngrams(col(textCol), 2)).as("g"))
       .groupBy(col(idCol), col("n_tokens"), col("n_distinct"), col("g"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(idCol).orderBy(desc("c"), asc("g"))

@@ -42,13 +42,26 @@ object Maintenance {
     * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Pure integer
     * expression — identical in any engine with shifts; used as the
     * write-time clustering key so range scans on EITHER column touch few
-    * row-groups. */
-  def zorderValue(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
+    * row-groups.
+    *
+    * Inputs MUST fit in `bits` bits: dropped high bits would silently
+    * alias far-apart keys into the same z-value and quietly destroy the
+    * locality guarantee at scale (l_partkey outgrows 16 bits around sf0.3).
+    * The guard is one comparison per row against 16+ shift terms — noise —
+    * and fails the job instead of degrading the layout. */
+  def zorderValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits=$bits out of range")
+    val limit = 1L << bits
+    val guarded = when(a < 0 || a >= limit || b < 0 || b >= limit,
+      raise_error(concat(lit(s"zorderValue: input exceeds $bits bits: a="),
+        a.cast("string"), lit(" b="), b.cast("string"))))
+    val z = (0 until bits).map { i =>
       val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
       val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
       abit.bitwiseOR(bbit)
     }.reduce(_ bitwiseOR _)
+    coalesce(guarded.cast("bigint"), z)
+  }
 
   /** The same interleave as [[zorderValue]] spelled in portable SQL. */
   def zorderSql(a: String, b: String, bits: Int): String =

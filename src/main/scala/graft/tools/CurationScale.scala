@@ -63,9 +63,10 @@ object CurationScale {
       }
       // compliance / maintenance / prep stages
       val redacted = time(s"q76 redactPii ${r}x") {
+        // metric = total PII hits found (index 0, the sum), not the row count
         graft.operators.Compliance.redactPii(docs)
           .agg(sum(col("n_emails") + col("n_ips") + col("n_phones")), count(lit(1)))
-          .head().getLong(1)
+          .head().getLong(0)
       }
       // eval set stays FIXED (the 1× base's doc_id%97 slice) while the
       // corpus replicates — the asymmetric-join regime the op is built for

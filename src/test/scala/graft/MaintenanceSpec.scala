@@ -36,6 +36,15 @@ class MaintenanceSpec extends SparkSpec {
     assert(z == Seq(7L, 14L, 0L, 4294967295L))
   }
 
+  test("zorderValue: out-of-range input fails loudly instead of aliasing") {
+    val df = Seq((70000L, 1L)).toDF("a", "b") // 70000 > 2^16
+    val e = intercept[Exception] {
+      df.select(Maintenance.zorderValue($"a", $"b", 16)).collect()
+    }
+    assert(e.getMessage.contains("zorderValue") ||
+      Option(e.getCause).exists(_.getMessage.contains("zorderValue")), e.toString)
+  }
+
   test("profileColumns: planted nulls/distincts, and ONE scan for all columns") {
     val df = Seq(
       (Some(1.0), Some(10.0)), (Some(2.0), None),
