@@ -19,7 +19,7 @@ object SparkEntry {
       operators.EventOps.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Curation.defs ++ operators.Compliance.defs ++
-      operators.Maintenance.defs ++
+      operators.Maintenance.defs ++ operators.Pipeline.defs ++
       operators.Similarity.defs ++ operators.Streams.defs ++
       operators.Multimodal.defs ++ operators.Generators.defs ++
       operators.NestedTypes.defs ++ operators.Temporal.defs

@@ -203,6 +203,31 @@ class CurationSpec extends SparkSpec {
     assert(badCoverage == 0)
   }
 
+  test("q86 pipeline: yields are consistent with running the stages separately") {
+    val docs = docsDf
+    val passing = docs.join(Curation.qualityFilter(docs).select($"doc_id"), Seq("doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fp").orderBy($"doc_id")
+    val deduped = passing
+      .withColumn("fp", graft.functions.TextOps.fingerprint($"text"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("fp", "rn")
+    val clean = graft.operators.Compliance.decontaminate(
+      deduped, docs.filter($"doc_id" % 97 === 0), 3, 2L)
+    val sampled = Curation.stratifiedSample(clean, "lang",
+      Map("en" -> 500, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 500))
+    // the pipeline's reported doc yield equals the stagewise doc count
+    val stagewise = sampled.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val piped = graft.operators.Pipeline.curate(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(piped.view.mapValues(_._1).toMap == stagewise)
+    // chunk yield >= doc yield (every surviving doc emits >= 1 chunk)
+    piped.values.foreach { case (nd, nc) => assert(nc >= nd) }
+    // and each stage only shrinks the corpus
+    val counts = Seq(docs.count(), passing.count(), deduped.count(), clean.count(), sampled.count())
+    assert(counts.sliding(2).forall { case Seq(a, b) => b <= a })
+  }
+
   test("plan: qualityFilter / stratifiedSample / quantizeInt8 are shuffle-free") {
     for (df <- Seq(
         Curation.qualityFilter(docsDf),
