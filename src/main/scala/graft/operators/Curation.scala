@@ -47,10 +47,10 @@ object Curation {
        |        FROM documents)""".stripMargin
 
   /** Keep at most `k` documents per domain, best quality first (doc_id
-    * tiebreak). ONE hash shuffle on the domain key; at 100 TB a skewed
-    * domain (one giant crawl host) bounds the partition — cap it earlier
-    * with a per-partition pre-rank (`Skew.saltedJoin`-style two-phase
-    * top-k) if a single domain outgrows an executor. */
+    * tiebreak). ONE hash shuffle on the domain key; Spark's rank-limit
+    * pushdown plants a map-side WindowGroupLimit below the exchange
+    * (verified in the q69 plan), so even a giant crawl host ships at most
+    * k rows per input partition — skew is pre-pruned automatically. */
   def capPerDomain(docs: DataFrame, domainCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(domainCol).orderBy(desc("quality"), asc("doc_id"))
     docs.select(col("doc_id"), col(domainCol), quality.as("quality"))

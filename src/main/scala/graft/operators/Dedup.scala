@@ -73,7 +73,19 @@ object Dedup {
     *     and the output is the integer (inter, uni) pair, so no float or
     *     hash approximation can diverge.
     */
-  def minhashLshPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+  /** `maxBucket`: skip any (band, signature) bucket holding more than this
+    * many documents. At 100 TB a boilerplate cluster of B near-identical
+    * docs lands its whole membership in the SAME bucket of every band —
+    * B² candidate pairs from one key, the classic LSH hot-bucket blowup.
+    * Production runs exact dedup first (q44 / [[dedupCorpus]]) so giant
+    * buckets are degenerate boilerplate; capping trades recall ONLY on
+    * clusters larger than the cap (members pair in another band iff any
+    * band's bucket stays under it). Uncapped (the default, used by the
+    * gate so the DuckDB oracle replays exactly) nothing changes. The cap's
+    * bucket census is a window over the same (band, sig) key the self-join
+    * shuffles on, so it adds no extra exchange. */
+  def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
@@ -88,9 +100,16 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("sig"))
     }
-    val buckets = sig
+    val bucketsAll = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    val buckets =
+      if (maxBucket == Int.MaxValue) bucketsAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+        bucketsAll.withColumn("bsz", count(lit(1)).over(w))
+          .filter(col("bsz") <= maxBucket).drop("bsz")
+      }
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -35,6 +35,28 @@ class DedupSpec extends SparkSpec {
       s"LSH != brute force: missing=${truth -- lsh} extra=${lsh -- truth}")
   }
 
+  test("minhash LSH hot-bucket cap suppresses boilerplate clusters, keeps real near-dups") {
+    val boiler = (0L until 40L).map(i => (i, "one two three four five six seven"))
+    val nearDup = Seq( // 12 tokens, last differs: inter=9, uni=11 → J=0.818
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu kappa2"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu lambda"))
+    val others = (200L until 210L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val df = (boiler ++ nearDup ++ others).toDF("doc_id", "text")
+    // uncapped: the 40 identical docs alone contribute 40*39/2 pairs
+    val uncapped = Dedup.minhashLshPairs(df, 4, 5)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a < 40 && b < 40 } == 40 * 39 / 2)
+    assert(uncapped.contains((100L, 101L)))
+    // capped at 10: identical docs share EVERY band bucket (size 40 > 10),
+    // so the boilerplate cluster emits no pairs; the near-dup pair's
+    // buckets are size 2 and survive untouched
+    val capped = Dedup.minhashLshPairs(df, 4, 5, maxBucket = 10)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a < 40 && b < 40 }, capped.toString)
+    assert(capped.contains((100L, 101L)))
+  }
+
   test("simhash: identical token sets collide, disjoint texts are far") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
