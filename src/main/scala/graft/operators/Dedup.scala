@@ -195,8 +195,9 @@ object Dedup {
     * plus every unpaired document. The anti-join ships only the (tiny)
     * non-representative id set broadcast against the corpus — the corpus
     * itself is scanned once and never shuffled. */
-  def dedupCorpus(docs: DataFrame, num: Int, den: Int): DataFrame = {
-    val pairs = minhashLshPairs(docs, num, den).select(col("a_id"), col("b_id"))
+  def dedupCorpus(docs: DataFrame, num: Int, den: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashLshPairs(docs, num, den, maxBucket).select(col("a_id"), col("b_id"))
     val dropIds = connectedComponents(pairs)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
