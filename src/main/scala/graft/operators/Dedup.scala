@@ -84,8 +84,12 @@ object Dedup {
     * gate so the DuckDB oracle replays exactly) nothing changes. The cap's
     * bucket census is a window over the same (band, sig) key the self-join
     * shuffles on, so it adds no extra exchange. */
-  def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** (band, signature) bucket memberships for a corpus — the shared LSH
+    * candidate-generation front end of [[minhashLshPairs]] (self-join) and
+    * [[fuzzyReferenceDedup]] (cross-corpus join). The repartition
+    * materializes signatures through one reusable exchange (see
+    * minhashLshPairs scaladoc, step 1). */
+  private def bandBuckets(docs: DataFrame, maxBucket: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
@@ -103,13 +107,17 @@ object Dedup {
     val bucketsAll = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
-    val buckets =
-      if (maxBucket == Int.MaxValue) bucketsAll
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-        bucketsAll.withColumn("bsz", count(lit(1)).over(w))
-          .filter(col("bsz") <= maxBucket).drop("bsz")
-      }
+    if (maxBucket == Int.MaxValue) bucketsAll
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+      bucketsAll.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= maxBucket).drop("bsz")
+    }
+  }
+
+  def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val buckets = bandBuckets(docs, maxBucket)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -202,6 +210,39 @@ object Dedup {
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+  }
+
+  /** Fuzzy incremental dedup — the NEAR-duplicate twin of
+    * `Curation.bloomReferenceDedup` (which drops only exact-fingerprint
+    * matches): drop every incoming document whose word-trigram Jaccard
+    * against ANY reference document reaches num/den. Candidates come from
+    * an incoming×reference band-bucket equi-join (never a cross product);
+    * verification re-shingles only candidate documents on each side and is
+    * exact, so hash collisions cannot change the output. At 100 TB the
+    * reference side's signatures (33 longs/doc) are a build-once table —
+    * persist them like `IvfIndex` and each incoming batch pays one
+    * signature pass over ITSELF plus a bucket join. */
+  def fuzzyReferenceDedup(incoming: DataFrame, reference: DataFrame,
+      num: Int, den: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cand = bandBuckets(incoming, maxBucket).as("a")
+      .join(bandBuckets(reference, maxBucket).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    def shinglesOf(docs: DataFrame, idAlias: String, shAlias: String) = {
+      val ids = cand.select(col(s"${idAlias}").as("doc_id")).distinct()
+      docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as(idAlias),
+          TextOps.shingles(col("text"), ShingleN).as(shAlias))
+    }
+    val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
+    val dupIds = broadcast(cand)
+      .join(shinglesOf(incoming, "a_id", "a_sh"), "a_id")
+      .join(shinglesOf(reference, "b_id", "b_sh"), "b_id")
+      .filter(inter * den >= uni * num)
+      .select(col("a_id").as("doc_id"))
+      .distinct()
+    incoming.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
   }
 
   /** 63-bit SimHash over distinct tokens — one BIGINT per document, computed
@@ -379,5 +420,42 @@ object Dedup {
              |  0 AS hamming, len(a.tokset) AS n_tokens
              |FROM t a JOIN t b ON a.tokset = b.tokset AND a.doc_id < b.doc_id
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- q87: fuzzy incremental dedup vs a reference corpus ----------------
+    // Reference = doc_id ≡ 0 (mod 10) (q71's split); incoming = the rest.
+    // Survivors = incoming docs with NO reference near-dup at J ≥ 0.8.
+    // Oracle = the exact cross-set inverted-index join (LSH only proposes;
+    // verification decides — same equality argument as q46).
+    QueryDef(
+      "q87_fuzzy_refdedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        fuzzyReferenceDedup(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), 4, 5)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |cand AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g
+             |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+             |dup AS (
+             |  SELECT DISTINCT c.a_id FROM cand c
+             |  JOIN sz sa ON sa.doc_id = c.a_id
+             |  JOIN sz sb ON sb.doc_id = c.b_id
+             |  WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT a_id FROM dup)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -57,6 +57,26 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((100L, 101L)))
   }
 
+  test("fuzzyReferenceDedup: drops near and exact cross-corpus dups, keeps distinct docs") {
+    val reference = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"),
+      (1001L, "completely unrelated reference content goes here today")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"),      // exact
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu OTHER"),   // J=9/11
+      (3L, "wholly different incoming text nothing shared at all"),                // keep
+      (4L, "short doc")).toDF("doc_id", "text")                                    // <3 tokens → keep
+    val out = Dedup.fuzzyReferenceDedup(incoming, reference, 4, 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(3L, 4L), out.toString)
+    // incoming-side near-dups of EACH OTHER are not dropped (only the
+    // reference decides) — rerun with an empty reference
+    val none = Dedup.fuzzyReferenceDedup(incoming,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 4, 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(none == Set(1L, 2L, 3L, 4L))
+  }
+
   test("simhash: identical token sets collide, disjoint texts are far") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
