@@ -222,10 +222,21 @@ object Dedup {
     * reference side's signatures (33 longs/doc) are a build-once table —
     * persist them like `IvfIndex` and each incoming batch pays one
     * signature pass over ITSELF plus a bucket join. */
+  /** The reference side's LSH state as a persistable table
+    * (doc_id, band, sig — 3 columns/row, Bands rows/doc): write it
+    * beside the corpus once, and every incoming batch joins against the
+    * stored table instead of re-signaturing the reference
+    * (`fuzzyReferenceDedup(…, refBuckets = Some(spark.read.parquet(p)))`).
+    * Reference TEXT is still read for verification, but only for
+    * candidate documents (semi-join pruned). */
+  def referenceSignatures(reference: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = bandBuckets(reference, maxBucket)
+
   def fuzzyReferenceDedup(incoming: DataFrame, reference: DataFrame,
-      num: Int, den: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
+      num: Int, den: Int, maxBucket: Int = Int.MaxValue,
+      refBuckets: Option[DataFrame] = None): DataFrame = {
     val cand = bandBuckets(incoming, maxBucket).as("a")
-      .join(bandBuckets(reference, maxBucket).as("b"),
+      .join(refBuckets.getOrElse(bandBuckets(reference, maxBucket)).as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()

@@ -77,6 +77,21 @@ class DedupSpec extends SparkSpec {
     assert(none == Set(1L, 2L, 3L, 4L))
   }
 
+  test("fuzzyReferenceDedup: persisted signature table gives identical results") {
+    val docs2 = docs
+    val incoming = docs2.filter($"doc_id" % 10 =!= 0)
+    val reference = docs2.filter($"doc_id" % 10 === 0)
+    val direct = Dedup.fuzzyReferenceDedup(incoming, reference, 4, 5)
+      .select($"doc_id").as[Long].collect().toSet
+    // write the reference's LSH state once, reload, and dedup against it
+    val dir = java.nio.file.Files.createTempDirectory("graft_refsig").toString
+    Dedup.referenceSignatures(reference).write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.fuzzyReferenceDedup(incoming, reference, 4, 5,
+      refBuckets = Some(spark.read.parquet(dir)))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("simhash: identical token sets collide, disjoint texts are far") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
