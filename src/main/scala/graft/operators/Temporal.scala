@@ -85,5 +85,47 @@ object Temporal {
              |       ELSE 4 END AS bucket,
              |  count(*) AS n, round(sum(l_quantity), 2) AS sumw
              |FROM lineitem GROUP BY 2 ORDER BY bucket""".stripMargin)),
+
+    // ---- q88: as-of join with tolerance ------------------------------------
+    // pandas merge_asof(tolerance=...) semantics: each purchase keeps its
+    // most recent preceding click ONLY if it happened within the last
+    // 30 minutes; otherwise the row survives with a NULL gap (the match is
+    // voided, the left row is not dropped). Same single-window shape as
+    // q27 — tolerance is a post-window null-out, zero extra passes — and
+    // the gap stays integer-µs so no float formulation can diverge.
+    QueryDef(
+      "q88_asof_tolerance",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tolUs = 30L * 60 * 1000000
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("t"))
+          .filter($"event_type".isin("purchase", "click"))
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_click_t",
+            last(when($"event_type" === "click", $"t"), ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id",
+            when($"t" - $"last_click_t" <= tolUs, $"t" - $"last_click_t")
+              .as("us_since_click"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events WHERE event_type IN ('purchase', 'click')),
+             |m AS (
+             |  SELECT user_id, event_id, event_type, t,
+             |    last_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY t, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_t
+             |  FROM ev)
+             |SELECT user_id, event_id,
+             |  CASE WHEN t - last_click_t <= 1800000000 THEN t - last_click_t END
+             |    AS us_since_click
+             |FROM m WHERE event_type = 'purchase'
+             |ORDER BY user_id, event_id""".stripMargin)),
   )
 }

@@ -159,4 +159,25 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("time types must match"))
   }
+
+  test("q88 tolerance: exactly q27's matches nulled where the gap exceeds 30 min") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tolUs = 30L * 60 * 1000000
+    val base = SparkEntry.queries("q27_asof_join")(spark, sf0001)
+      .select($"user_id", $"event_id", $"us_since_click").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val tol = SparkEntry.queries("q88_asof_tolerance")(spark, sf0001)
+      .select($"user_id", $"event_id", $"us_since_click").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(tol.keySet == base.keySet, "tolerance must not drop left rows")
+    tol.foreach { case (k, g) =>
+      val expected = base(k).filter(_ <= tolUs)
+      assert(g == expected, s"$k: $g vs base ${base(k)}")
+    }
+    // the tolerance must actually bite on this data
+    assert(tol.values.exists(_.isEmpty) && tol.values.exists(_.isDefined))
+  }
 }
