@@ -97,12 +97,13 @@ object Dedup {
       .select(col("doc_id"),
         graft.expressions.MinHashSigExpr.minhashSig(
           transform(col("t"), x => xxhash64(x)), MinhashK).as("ms"))
-      .select(col("doc_id") +: (0 until MinhashK).map(p =>
-        element_at(col("ms"), p + 1).as(s"m$p")): _*)
       .repartition(col("doc_id"))
+    // band signatures index the ms array directly — no 32-column expansion
+    // (same xxhash64 over the same longs, less codegen per stage)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("sig"))
+        xxhash64((0 until RowsPerBand).map(r =>
+          element_at(col("ms"), b * RowsPerBand + r + 1)): _*).as("sig"))
     }
     val bucketsAll = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
