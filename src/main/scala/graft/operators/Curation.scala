@@ -58,19 +58,29 @@ object Curation {
       .filter(col("rk") <= k)
   }
 
-  /** Gopher-style composite quality rules, all integer-exact (no float
-    * threshold can disagree cross-engine): token count in [20, 80],
-    * distinct-token ratio ≥ 0.3 (as 10·nd ≥ 3·n), mean token length in
-    * [2, 8] (as 2n ≤ chars−(n−1) ≤ 8n), ≥ 1 stopword. Pure map stage. */
+  /** Gopher-style composite quality rules as ONE Column predicate, all
+    * integer-exact (no float threshold can disagree cross-engine): token
+    * count in [20, 80], distinct-token ratio ≥ 0.3 (as 10·nd ≥ 3·n), mean
+    * token length in [2, 8] (as 2n ≤ chars−(n−1) ≤ 8n), ≥ 1 stopword.
+    * Exposed as a predicate (not only the projecting [[qualityFilter]]) so
+    * pipelines can `docs.filter(...)` keeping every column — a pure map
+    * stage with no re-join to recover the payload. */
+  def qualityPredicate(text: Column): Column = {
+    val n = TextOps.tokenCount(text)
+    val nd = size(array_distinct(TextOps.tokens(text)))
+    val alpha = length(text) - (n - lit(1)) // chars excluding separators
+    n.between(20, 80) &&
+      nd * 10 >= n * 3 &&
+      alpha >= n * 2 && alpha <= n * 8 &&
+      TextOps.stopwordCount(text, Seq("the", "a")) >= 1
+  }
+
+  /** [[qualityPredicate]] with the audit projection (q70's gate shape). */
   def qualityFilter(docs: DataFrame): DataFrame = {
     val n = TextOps.tokenCount(col("text"))
     val nd = size(array_distinct(TextOps.tokens(col("text"))))
-    val alpha = length(col("text")) - (n - lit(1)) // chars excluding separators
     docs
-      .filter(n.between(20, 80))
-      .filter(nd * 10 >= n * 3)
-      .filter(alpha >= n * 2 && alpha <= n * 8)
-      .filter(TextOps.stopwordCount(col("text"), Seq("the", "a")) >= 1)
+      .filter(qualityPredicate(col("text")))
       .select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"))
   }
 
@@ -217,16 +227,20 @@ object Curation {
     * row, after the generate). Pure map stage: no shuffle, scales with
     * input splits. */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    val carried = carryCols.map(col)
     docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+      .select(col(idCol) +: TextOps.tokens(col(textCol)).as("t") +: carried: _*)
       .withColumn("n", size(col("t")))
-      .select(col(idCol), col("t"),
-        explode(sequence(lit(0L), expr(s"(n + $stride - 1) div $stride - 1"))).as("chunk_id"))
-      .select(col(idCol), col("chunk_id"),
-        concat_ws(" ", expr(s"slice(t, chunk_id * $stride + 1, $chunkTokens)")).as("chunk"),
-        size(expr(s"slice(t, chunk_id * $stride + 1, $chunkTokens)")).as("n_chunk_tokens"))
+      .select(col(idCol) +: col("t") +:
+        explode(sequence(lit(0L), expr(s"(n + $stride - 1) div $stride - 1"))).as("chunk_id") +:
+        carried: _*)
+      .select(col(idCol) +: col("chunk_id") +:
+        concat_ws(" ", expr(s"slice(t, chunk_id * $stride + 1, $chunkTokens)")).as("chunk") +:
+        size(expr(s"slice(t, chunk_id * $stride + 1, $chunkTokens)")).as("n_chunk_tokens") +:
+        carried: _*)
   }
 
   val defs: Seq[QueryDef] = Seq(

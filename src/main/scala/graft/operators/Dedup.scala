@@ -38,7 +38,55 @@ object Dedup {
   def jaccardCols(a: Column, b: Column): (Column, Column) =
     (size(array_intersect(a, b)), size(array_union(a, b)))
 
+  /** (band, signature) bucket memberships for a corpus — the shared LSH
+    * candidate-generation front end of [[minhashLshPairs]] (self-join) and
+    * [[fuzzyReferenceDedup]] (cross-corpus join). The repartition
+    * materializes signatures through one reusable exchange (see
+    * minhashLshPairs scaladoc, step 1). */
+  private def bandBuckets(docs: DataFrame, maxBucket: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= ShingleN)
+    val sig = toks
+      .select(col("doc_id"),
+        graft.expressions.MinHashSigExpr.minhashSig(
+          transform(col("t"), x => xxhash64(x)), MinhashK).as("ms"))
+      .repartition(col("doc_id"))
+    // band signatures index the ms array directly — no 32-column expansion
+    // (same xxhash64 over the same longs, less codegen per stage)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until RowsPerBand).map(r =>
+          element_at(col("ms"), b * RowsPerBand + r + 1)): _*).as("sig"))
+    }
+    capBuckets(sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig")),
+      maxBucket)
+  }
+
+  /** Apply the hot-bucket cap to a (doc_id, band, sig) bucket table. The
+    * bucket census is a window over the same (band, sig) key the candidate
+    * join shuffles on, so it adds no extra exchange. */
+  private def capBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) buckets
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+      buckets.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= maxBucket).drop("bsz")
+    }
+
   /** LSH candidate pairs verified by exact Jaccard ≥ num/den.
+    *
+    * `maxBucket`: skip any (band, signature) bucket holding more than this
+    * many documents. At 100 TB a boilerplate cluster of B near-identical
+    * docs lands its whole membership in the SAME bucket of every band —
+    * B² candidate pairs from one key, the classic LSH hot-bucket blowup.
+    * Production runs exact dedup first (q44 / [[dedupCorpus]]) so giant
+    * buckets are degenerate boilerplate; capping trades recall ONLY on
+    * clusters larger than the cap (members pair in another band iff any
+    * band's bucket stays under it). Uncapped (the default, used by the
+    * gate so the DuckDB oracle replays exactly) nothing changes.
     *
     * Physical design (the part that matters at 100 TB):
     *  1. signatures are ONE corpus pass: token hashes (codegen'd
@@ -73,49 +121,6 @@ object Dedup {
     *     and the output is the integer (inter, uni) pair, so no float or
     *     hash approximation can diverge.
     */
-  /** `maxBucket`: skip any (band, signature) bucket holding more than this
-    * many documents. At 100 TB a boilerplate cluster of B near-identical
-    * docs lands its whole membership in the SAME bucket of every band —
-    * B² candidate pairs from one key, the classic LSH hot-bucket blowup.
-    * Production runs exact dedup first (q44 / [[dedupCorpus]]) so giant
-    * buckets are degenerate boilerplate; capping trades recall ONLY on
-    * clusters larger than the cap (members pair in another band iff any
-    * band's bucket stays under it). Uncapped (the default, used by the
-    * gate so the DuckDB oracle replays exactly) nothing changes. The cap's
-    * bucket census is a window over the same (band, sig) key the self-join
-    * shuffles on, so it adds no extra exchange. */
-  /** (band, signature) bucket memberships for a corpus — the shared LSH
-    * candidate-generation front end of [[minhashLshPairs]] (self-join) and
-    * [[fuzzyReferenceDedup]] (cross-corpus join). The repartition
-    * materializes signatures through one reusable exchange (see
-    * minhashLshPairs scaladoc, step 1). */
-  private def bandBuckets(docs: DataFrame, maxBucket: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= ShingleN)
-    val sig = toks
-      .select(col("doc_id"),
-        graft.expressions.MinHashSigExpr.minhashSig(
-          transform(col("t"), x => xxhash64(x)), MinhashK).as("ms"))
-      .repartition(col("doc_id"))
-    // band signatures index the ms array directly — no 32-column expansion
-    // (same xxhash64 over the same longs, less codegen per stage)
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until RowsPerBand).map(r =>
-          element_at(col("ms"), b * RowsPerBand + r + 1)): _*).as("sig"))
-    }
-    val bucketsAll = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
-    if (maxBucket == Int.MaxValue) bucketsAll
-    else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-      bucketsAll.withColumn("bsz", count(lit(1)).over(w))
-        .filter(col("bsz") <= maxBucket).drop("bsz")
-    }
-  }
-
   def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val buckets = bandBuckets(docs, maxBucket)
@@ -213,6 +218,17 @@ object Dedup {
     docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
   }
 
+  /** The reference side's LSH state as a persistable BAND-BUCKET table
+    * (doc_id, band, sig — Bands rows per doc, band hashes fixed to the
+    * current 16×2 banding): write it beside the corpus once, and every
+    * incoming batch joins against the stored table instead of
+    * re-signaturing the reference
+    * (`fuzzyReferenceDedup(…, refBuckets = Some(spark.read.parquet(p)))`).
+    * Reference TEXT is still read for verification, but only for
+    * candidate documents (semi-join pruned). */
+  def referenceSignatures(reference: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = bandBuckets(reference, maxBucket)
+
   /** Fuzzy incremental dedup — the NEAR-duplicate twin of
     * `Curation.bloomReferenceDedup` (which drops only exact-fingerprint
     * matches): drop every incoming document whose word-trigram Jaccard
@@ -220,24 +236,18 @@ object Dedup {
     * an incoming×reference band-bucket equi-join (never a cross product);
     * verification re-shingles only candidate documents on each side and is
     * exact, so hash collisions cannot change the output. At 100 TB the
-    * reference side's signatures (33 longs/doc) are a build-once table —
-    * persist them like `IvfIndex` and each incoming batch pays one
-    * signature pass over ITSELF plus a bucket join. */
-  /** The reference side's LSH state as a persistable table
-    * (doc_id, band, sig — 3 columns/row, Bands rows/doc): write it
-    * beside the corpus once, and every incoming batch joins against the
-    * stored table instead of re-signaturing the reference
-    * (`fuzzyReferenceDedup(…, refBuckets = Some(spark.read.parquet(p)))`).
-    * Reference TEXT is still read for verification, but only for
-    * candidate documents (semi-join pruned). */
-  def referenceSignatures(reference: DataFrame,
-      maxBucket: Int = Int.MaxValue): DataFrame = bandBuckets(reference, maxBucket)
-
+    * reference side's band buckets are a build-once table
+    * ([[referenceSignatures]]) — persist them like `IvfIndex` and each
+    * incoming batch pays one signature pass over ITSELF plus a bucket
+    * join. `maxBucket` is applied to BOTH sides, including a supplied
+    * `refBuckets` table (re-capping a persisted table is the same window
+    * the join shuffles on — a stricter cap at probe time needs no
+    * rebuild). */
   def fuzzyReferenceDedup(incoming: DataFrame, reference: DataFrame,
       num: Int, den: Int, maxBucket: Int = Int.MaxValue,
       refBuckets: Option[DataFrame] = None): DataFrame = {
     val cand = bandBuckets(incoming, maxBucket).as("a")
-      .join(refBuckets.getOrElse(bandBuckets(reference, maxBucket)).as("b"),
+      .join(capBuckets(refBuckets.getOrElse(bandBuckets(reference, Int.MaxValue)), maxBucket).as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()

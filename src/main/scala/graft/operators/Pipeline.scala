@@ -26,9 +26,9 @@ object Pipeline {
     * per-language training-data yield after all curation stages. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // 1. composite quality rules (q70 semantics), keeping full rows
-    val passing = docs.join(
-      Curation.qualityFilter(docs).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // 1. composite quality rules (q70 semantics) as a pure map filter —
+    //    full rows survive with NO re-join to recover the payload
+    val passing = docs.filter(Curation.qualityPredicate(col("text")))
     // 2. exact dedup on the canonical fingerprint, min doc_id wins (q44)
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val deduped = passing
@@ -43,9 +43,11 @@ object Pipeline {
     // 4. deterministic 50% sample per language (q72 machinery)
     val sampled = Curation.stratifiedSample(clean, "lang",
       Map("en" -> 500, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 500))
-    // 5. context-window chunking (q84) + per-language yield
-    Curation.chunkDocuments(sampled, chunkTokens = 32, stride = 24)
-      .join(sampled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // 5. context-window chunking (q84) carrying lang through the generator
+    //    — no join back against the curated subtree (which would replay
+    //    its whole lineage a second time just to recover one column)
+    Curation.chunkDocuments(sampled, chunkTokens = 32, stride = 24,
+        carryCols = Seq("lang"))
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_chunks"))
   }

@@ -177,7 +177,9 @@ class AsOfJoinSpec extends SparkSpec {
       val expected = base(k).filter(_ <= tolUs)
       assert(g == expected, s"$k: $g vs base ${base(k)}")
     }
-    // the tolerance must actually bite on this data
-    assert(tol.values.exists(_.isEmpty) && tol.values.exists(_.isDefined))
+    // the tolerance must actually bite: some q27 match exceeds 30 min (so
+    // q88 nulls it) — no-click purchases alone can't satisfy this
+    assert(base.values.exists(v => v.exists(_ > tolUs)))
+    assert(tol.values.exists(_.isDefined))
   }
 }
