@@ -218,6 +218,45 @@ object Dedup {
     docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
   }
 
+  /** Segment-level (sub-document) exact dedup — the CCNet-shaped pass that
+    * document-level dedup cannot replace: boilerplate paragraphs repeat
+    * across MOSTLY-distinct pages, so whole-document fingerprints never
+    * fire. Documents are cut on a non-overlapping `segTokens` grid
+    * (`Curation.chunkDocuments` with stride = chunk); a segment survives
+    * only at its FIRST corpus occurrence (min (doc_id, chunk_id) — the
+    * keep-first rule, so one copy of every repeated paragraph remains);
+    * each document is reassembled from its surviving segments in order.
+    *
+    * Scale shape: first-occurrence detection is a `groupBy(segment)` with
+    * a `min(struct(doc_id, chunk_id))` — partial aggregation collapses a
+    * million-occurrence boilerplate segment to one row PER MAP TASK before
+    * the shuffle (the reason this is an agg + join-back, not a window over
+    * the segment key, which would funnel every hot segment's occurrences
+    * into one partition). The join back to the chunk table is co-partitioned
+    * on the segment key (the agg's own partitioning is reusable) and
+    * AQE-skew-splittable. Reassembly is one groupBy(doc_id). Three
+    * shuffles total, all carrying (id, short-string) rows — never the
+    * original documents. */
+  def segmentDedup(docs: DataFrame, segTokens: Int): DataFrame = {
+    val chunks = Curation.chunkDocuments(docs, segTokens, segTokens)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"))
+    val firsts = chunks
+      .groupBy(col("chunk").as("seg"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"))
+    chunks.join(firsts, chunks("chunk") === firsts("seg"))
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") && col("first.chunk_id") === col("chunk_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("chunk_id"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("text_dedup"))
+  }
+
   /** The reference side's LSH state as a persistable BAND-BUCKET table
     * (doc_id, band, sig — Bands rows per doc, band hashes fixed to the
     * current 16×2 banding): write it beside the corpus once, and every
@@ -479,5 +518,38 @@ object Dedup {
              |SELECT doc_id FROM documents
              |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT a_id FROM dup)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q89: segment-level (sub-document) dedup ----------------------------
+    // 16-token non-overlapping grid, keep-first semantics: a repeated
+    // paragraph survives only at its min-(doc_id, chunk_id) occurrence;
+    // docs are reassembled from surviving segments. Exact-duplicate
+    // documents therefore keep ONE full copy (the min doc_id) and the
+    // others lose every segment (n_kept = 0, empty text) — the oracle
+    // checks both the counts and the reassembled text byte-for-byte.
+    QueryDef(
+      "q89_segment_dedup",
+      (s, d) => segmentDedup(Tables.documents(s, d), segTokens = 16)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, t, n,
+             |    unnest(range(0, (n + 15) // 16)) AS chunk_id
+             |  FROM t),
+             |ch AS (
+             |  SELECT doc_id, chunk_id,
+             |    array_to_string(t[(chunk_id * 16 + 1):least(chunk_id * 16 + 16, n)], ' ') AS chunk
+             |  FROM c),
+             |k AS (
+             |  SELECT doc_id, chunk_id, chunk,
+             |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS occ
+             |  FROM ch)
+             |SELECT doc_id,
+             |  count(*) AS n_segments,
+             |  count(CASE WHEN occ = 1 THEN 1 END) AS n_kept,
+             |  coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' ' ORDER BY chunk_id), '') AS text_dedup
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

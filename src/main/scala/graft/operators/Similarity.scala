@@ -65,6 +65,35 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** Semantic dedup (the SemDeDup recipe): embeddings are assigned to LSH
+    * cells (literal-seeded hyperplane signs — the replayable twin of a
+    * k-means quantizer), near-duplicate PAIRS are detected by exact cosine
+    * within each cell only, pairs become clusters via connected components,
+    * and every cluster keeps exactly its min-id representative. Returns one
+    * row per vector: (vec_id, rep_id, kept) — `kept = 0` marks the rows a
+    * training pipeline drops.
+    *
+    * Scale shape: the pair scan is O(Σ cell²), never O(n²) — cell count
+    * grows with the corpus (more sign bits), and the in-cell self-join is a
+    * bucket-co-partitioned equi-join like q46/q50. Components run on the
+    * candidate-bounded pair set, not the corpus; the final label join
+    * broadcasts the (tiny) clustered-id set against the corpus. */
+  def semanticDedup(embs: DataFrame, signs: Array[Array[Double]], tau: Double): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"),
+      VectorOps.literalSignature(col("embedding"), signs).as("cell"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6) > tau)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("label"))
+    embs.select(col("vec_id"))
+      .join(broadcast(labels), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("rep_id"),
+        (coalesce(col("label"), col("vec_id")) === col("vec_id")).cast("int").as("kept"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q48: embedding cosine near-dup pairs ------------------------------
@@ -206,7 +235,63 @@ object Similarity {
           .orderBy($"qid", $"rank")
       },
       Some(Ivf.oracle)),
+
+    // ---- q91: semantic dedup (SemDeDup: cells → in-cell cosine → clusters) -
+    // 4 sign bits → 16 cells; τ = 0.40 (the q48 threshold, so the planted
+    // near-dup structure is exercised). Like q50/q63, the cell planes are
+    // literals rendered into BOTH plans — the oracle replays cell
+    // assignment, in-cell pair detection, and the connected-components
+    // fixpoint (recursive CTE), so the approximate pipeline is
+    // value-checked end to end, kept/dropped decisions included.
+    QueryDef(
+      "q91_semantic_dedup",
+      (s, d) => semanticDedup(Tables.embeddings(s, d), SemDedup.signs, tau = 0.40)
+        .orderBy(col("vec_id")),
+      Some(SemDedup.oracle)),
   )
+
+  /** Shared constants + DuckDB oracle for q91 (same single-source-of-truth
+    * scheme as [[Lsh]]/[[Ivf]]). */
+  private[graft] object SemDedup {
+    val NBits = 4
+    val signs: Array[Array[Double]] = VectorOps.rademacherSigns(NBits, 64, seed = 91)
+
+    private def sqlList(row: Array[Double]): String =
+      row.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]") + "::DOUBLE[]"
+
+    private def projSql(row: Array[Double]): String =
+      s"list_sum(list_transform(list_zip(v, ${sqlList(row)}), t -> t[1]*t[2]))"
+
+    val oracle: String = {
+      val bucket = signs.zipWithIndex.map { case (row, p) =>
+        s"${1L << p}*(CASE WHEN ${projSql(row)} >= 0 THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, v, CAST($bucket AS BIGINT) AS cell FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bk a JOIN bk b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(
+         |    list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+         |      / nullif(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         |             * sqrt(list_sum(list_transform(b.v, x -> x * x))), 0.0), 6) > 0.40),
+         |ed AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |       UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT u, u FROM ed
+         |  UNION
+         |  SELECT r.src, ed.v FROM reach r JOIN ed ON ed.u = r.node),
+         |lab AS (SELECT src AS vec_id, min(node) AS rep FROM reach GROUP BY src)
+         |SELECT em.vec_id,
+         |  coalesce(l.rep, em.vec_id) AS rep_id,
+         |  CAST(coalesce(l.rep, em.vec_id) = em.vec_id AS INT) AS kept
+         |FROM embeddings em LEFT JOIN lab l ON l.vec_id = em.vec_id
+         |ORDER BY em.vec_id""".stripMargin
+    }
+  }
 
   /** Shared constants + DuckDB oracle text for q50. The sign literals are
     * rendered into the SQL from the same arrays the Spark plan uses —

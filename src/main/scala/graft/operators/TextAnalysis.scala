@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.functions.TextOps
@@ -11,6 +12,47 @@ import graft.functions.TextOps
   * small groupBy where present).
   */
 object TextAnalysis {
+
+  /** N-gram language-model quality scoring — the KenLM-shaped filter of a
+    * training-data pipeline: score every document by its mean bigram
+    * log-probability under a model trained on the corpus itself.
+    *
+    * The model is PRUNED to the `topK` most frequent bigrams ((freq DESC,
+    * gram) — deterministic cut); unseen bigrams back off to stupid-backoff
+    * unigram probability, 0.4 · c(w₂)/N. That pruning is what makes the
+    * shape work at 100 TB: the full bigram table is corpus-sized (a fat
+    * shuffle join to score against), but the pruned table + the unigram
+    * census are MBs — both broadcast, so the corpus side is explode →
+    * broadcast-join → one groupBy(doc_id) with map-side partial agg, and
+    * never shuffles its text. (Production would persist the two model
+    * tables once and reuse them per batch; here train + score fuse into
+    * one plan so the gate replays it.)
+    *
+    * Numerics: every ln() argument is a ratio of exact integer counts
+    * (identical doubles cross-engine); the mean is noise-dominated (≥1e-16
+    * relative summation noise against a ~1-magnitude value), so round(…, 6)
+    * is hash-stable per the repo's rounding rule. */
+  def lmScore(docs: DataFrame, topK: Int): DataFrame = {
+    val uni = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum("cu").as("n_total"))
+    val bg = docs.select(explode(TextOps.ngrams(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cb"))
+      .orderBy(desc("cb"), asc("g")).limit(topK)
+    docs
+      .select(col("doc_id"), explode(TextOps.ngrams(col("text"), 2)).as("g"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+      .join(broadcast(bg), Seq("g"), "left")
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        when(col("cb").isNotNull, log(col("cb").cast("double") / col("cu1")))
+          .otherwise(log(lit(0.4)) + log(col("cu2").cast("double") / col("n_total"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -99,5 +141,39 @@ object TextAnalysis {
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- q90: bigram-LM quality scoring (pruned model + stupid backoff) ----
+    // topK = 500 sits inside the gate corpus's distinct-bigram count, so
+    // BOTH paths (pruned-table hit and unigram backoff) are exercised and
+    // oracle-checked. Every ln() input is a ratio of integer counts —
+    // identical doubles on both engines; see lmScore's scaladoc.
+    QueryDef(
+      "q90_lm_score",
+      (s, d) => lmScore(Tables.documents(s, d), topK = 500)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |w AS (SELECT unnest(t) AS w FROM t),
+             |uni AS (SELECT w, count(*) AS cu FROM w GROUP BY w),
+             |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n_total FROM uni),
+             |bgall AS (
+             |  SELECT doc_id,
+             |    unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS g
+             |  FROM t WHERE len(t) >= 2),
+             |bg AS (
+             |  SELECT g, count(*) AS cb FROM bgall GROUP BY g
+             |  ORDER BY cb DESC, g LIMIT 500),
+             |j AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN b.cb IS NOT NULL
+             |         THEN ln(CAST(b.cb AS DOUBLE) / u1.cu)
+             |         ELSE ln(0.4) + ln(CAST(u2.cu AS DOUBLE) / (SELECT n_total FROM tot))
+             |    END AS lp
+             |  FROM bgall d
+             |  LEFT JOIN bg b ON b.g = d.g
+             |  JOIN uni u1 ON u1.w = string_split(d.g, ' ')[1]
+             |  JOIN uni u2 ON u2.w = string_split(d.g, ' ')[2])
+             |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

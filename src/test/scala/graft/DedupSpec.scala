@@ -157,6 +157,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("segmentDedup: keep-first, reassembly order, exact-dup doc empties out") {
+    val df = Seq(
+      (1L, "a b c d"),   // segs (S=2): "a b", "c d" — both first occurrences
+      (2L, "a b x y"),   // "a b" repeats doc1's → dropped; "x y" kept
+      (3L, "c d"),       // repeats doc1's second segment → nothing survives
+      (4L, "z"))         // short tail segment, unique
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, segTokens = 2)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, ""),
+      (4L, 1L, 1L, "z")))
+  }
+
+  test("segmentDedup: first occurrence within a doc wins over later chunk of same doc") {
+    // one doc whose two segments are identical: the chunk_id=0 copy survives
+    val df = Seq((7L, "p q p q")).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(df, segTokens = 2).head()
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((2L, 1L, "p q")))
+  }
+
   test("exact-dup summary counts distinct texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = df.agg(countDistinct($"text").as("d"), count(lit(1)).as("n")).head()

@@ -72,4 +72,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, s"LSH recall $recall — plumbing found nothing")
     assert(ann.forall { case (a, b) => a < b })
   }
+
+  test("semanticDedup: identical vectors cluster to min id, distinct directions survive") {
+    import graft.operators.Similarity
+    val dup = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val other = Array.tabulate(64)(i => if (i == 1) 1f else 0f) // cosine 0 vs dup
+    val df = Seq((1L, dup), (2L, dup), (3L, dup), (4L, other))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, Similarity.SemDedup.signs, 0.40)
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 4L, 1)))
+  }
+
+  test("semanticDedup invariants on real embeddings: one kept rep per cluster") {
+    val out = graft.operators.Similarity.defs.find(_.name == "q91_semantic_dedup").get
+      .build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    // rep is the component minimum, kept marks exactly the representative
+    assert(out.forall { case (id, rep, kept) => rep <= id && (kept == 1) == (rep == id) })
+    val reps = out.map(_._2).toSet
+    assert(out.count(_._3 == 1) == reps.size, "each cluster keeps exactly one row")
+  }
 }

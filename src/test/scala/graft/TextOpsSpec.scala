@@ -48,4 +48,19 @@ class TextOpsSpec extends SparkSpec {
       TextOps.stopwordCount($"text", Seq("the", "and")).as("sw")).head()
     assert(r.getInt(0) == 6 && r.getInt(1) == 3)
   }
+
+  test("lmScore: hand-computed bigram probabilities with pruning + backoff") {
+    // corpus: uni a=3, b=3, N=6; bigrams "a a"=1, "a b"=2, "b b"=1.
+    // topK=1 keeps only "a b" → the other bigrams take stupid backoff.
+    val df = Seq((1L, "a a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmScore(df, topK = 1)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hit = math.log(2.0 / 3.0)                      // "a b": ln(cb/cu(a))
+    val backoff = math.log(0.4) + math.log(3.0 / 6.0)  // unseen: ln(0.4·cu(w2)/N)
+    val expected = (hit + backoff) / 2.0               // same mean for both docs
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got.forall(_._2 == 2L), "each doc has two bigrams")
+    got.foreach { case (_, _, s) => assert(math.abs(s - expected) < 1e-6, s"$s vs $expected") }
+  }
 }
