@@ -58,6 +58,87 @@ object Multimodal {
       .when(hex(substring(bin, 1, 4)) === "52494646", "riff") // wav/avi container
       .otherwise("unknown")
 
+  /** REAL header parsing — pixel dimensions straight from container bytes,
+    * no codec library needed (this is how a 100 TB ingest filters
+    * by-resolution BEFORE paying for any decode):
+    *  - PNG:  IHDR width/height, big-endian u32 at offsets 16/20;
+    *  - GIF:  logical-screen width/height, little-endian u16 at 6/8;
+    *  - BMP:  BITMAPINFOHEADER width/height, little-endian i32 at 18/22;
+    *  - JPEG: marker scan to the first SOFn frame header (height/width
+    *    big-endian u16 at +5/+7 inside the segment).
+    * Returns None for unknown/truncated containers. */
+  def parseDimensions(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length >= 24 && be32(0) == 0x89504E47L && be32(4) == 0x0D0A1A0AL &&
+        new String(b, 12, 4, "US-ASCII") == "IHDR")
+      Some(("png", be32(16).toInt, be32(20).toInt))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some(("bmp", le32(18), le32(22)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk FF-marker segments to the first start-of-frame
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(i) != 0xff) return None // desynced — not a valid marker stream
+        val m = u8(i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01 || m == 0xff) i += 2 // standalone
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            return if (i + 8 < b.length) Some(("jpeg", be16(i + 7), be16(i + 5))) else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Column-expression twin of [[parseDimensions]] for the FIXED-OFFSET
+    * formats (PNG/GIF) — dimension filtering that stays inside whole-stage
+    * codegen with zero imperative code: big-endian u32 via hex→conv;
+    * little-endian u16 by swapping the hex byte pairs. Returns a
+    * (format, width, height) struct Column (nulls for other formats —
+    * JPEG needs the imperative marker scan above). */
+  def dimsColumn(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def be32(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("long")
+    def le16(off: Int) = {
+      val h = hex(substring(bin, off, 2))
+      conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+    }
+    val fmt = sniffFormat(bin)
+    when(fmt === "png" && length(bin) >= 24 && hex(substring(bin, 13, 4)) === "49484452",
+        struct(lit("png").as("format"), be32(17).as("width"), be32(21).as("height")))
+      .when(fmt === "gif" && length(bin) >= 10,
+        struct(lit("gif").as("format"), le16(7).as("width"), le16(9).as("height")))
+      .otherwise(lit(null).cast("struct<format:string,width:bigint,height:bigint>"))
+  }
+
+  /** Dimension extraction over a media dataset — [[parseDimensions]] in the
+    * partition-preserving mapPartitions tier (same batch shape as
+    * [[extractFeatures]]); parsed dims are authoritative, falling back to
+    * producer metadata when the container is unknown. */
+  def withDimensions(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val parsed = parseDimensions(r.content)
+        (r.media_id,
+          parsed.map(_._1).getOrElse("unknown"),
+          parsed.map(_._2).getOrElse(r.width),
+          parsed.map(_._3).getOrElse(r.height),
+          parsed.isDefined)
+      }
+    }.toDF("media_id", "format", "width", "height", "parsed")
+  }
+
   /** Decode + feature-extract over a media dataset. Partition-preserving;
     * the decoder is invoked once per record inside a per-partition batch. */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {

@@ -137,6 +137,52 @@ object EventStream {
       .toDF()
   }
 
+  /** CDC snapshot sink — the streaming twin of `Maintenance.upsertLatest`
+    * (q82): maintain a deduplicated latest-state table on plain parquet
+    * from a change stream. Each micro-batch folds into the current
+    * snapshot (latest-wins per key; delete markers drop rows) and commits
+    * as a NEW versioned directory `v<batchId>`, then the `_LATEST` pointer
+    * advances — the write-new-then-swap-pointer commit shape table formats
+    * use, so a reader never observes a half-written snapshot and the
+    * previous version stays consistent until the new one is complete.
+    * foreachBatch is the documented Structured Streaming idiom for sinks
+    * with merge semantics that no built-in sink has.
+    *
+    * Scale notes: per-batch cost is one key shuffle of snapshot+batch (the
+    * q82 shape) — at very large key counts, partition the snapshot by key
+    * range and rewrite only ranges a batch touches. Old versions
+    * accumulate; production vacuums all but the last N (left to the
+    * caller, as the retention window is a policy decision). */
+  def cdcSnapshotSink(spark: SparkSession, updates: DataFrame, snapshotDir: String,
+      checkpointDir: String, keys: Seq[String], versionCol: String,
+      deleteCol: Option[String] = None): StreamingQuery = {
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val base = currentSnapshot(spark, snapshotDir).getOrElse(batch.limit(0))
+        // after the first merge the snapshot no longer carries the delete
+        // column (upsertLatest drops it) — re-align for the union
+        val aligned = deleteCol.filterNot(base.columns.contains)
+          .foldLeft(base)((b, c) => b.withColumn(c, lit(false)))
+        graft.operators.Maintenance.upsertLatest(aligned, batch, keys, versionCol, deleteCol)
+          .write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(snapshotDir, "_LATEST"), s"v$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The current committed CDC snapshot, or None before the first commit. */
+  def currentSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
+    val ptr = java.nio.file.Paths.get(snapshotDir, "_LATEST")
+    if (java.nio.file.Files.exists(ptr))
+      Some(spark.read.parquet(s"$snapshotDir/${java.nio.file.Files.readString(ptr)}"))
+    else None
+  }
+
   /** Drive a streaming DataFrame to completion against a static source and
     * return the materialized result (memory sink; test/demo harness). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

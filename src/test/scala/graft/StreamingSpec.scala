@@ -130,4 +130,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(latest == exp)
   }
+
+  test("CDC snapshot sink: incremental merges across restarts equal the batch fold") {
+    import java.nio.file._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft_cdc_snap").toString
+    val ckptDir = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val ms = MemoryStream[(Long, String, Long, Boolean)]
+    val updates = ms.toDF().toDF("k", "payload", "version", "deleted")
+
+    // batch 1: two inserts
+    ms.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+    EventStream.cdcSnapshotSink(spark, updates, snapDir, ckptDir,
+      Seq("k"), "version", Some("deleted")).awaitTermination()
+    val s1 = EventStream.currentSnapshot(spark, snapDir).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == Map(1L -> "a", 2L -> "b"))
+
+    // batch 2 (a RESTARTED query on the same checkpoint): update k=1,
+    // delete k=2, insert k=3 — latest-wins + tombstone semantics
+    ms.addData((1L, "a2", 2L, false), (2L, "b", 2L, true), (3L, "c", 1L, false))
+    EventStream.cdcSnapshotSink(spark, updates, snapDir, ckptDir,
+      Seq("k"), "version", Some("deleted")).awaitTermination()
+    val s2 = EventStream.currentSnapshot(spark, snapDir).get
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(s2 == Map(1L -> (("a2", 2L)), 3L -> (("c", 1L))))
+
+    // the streamed result must equal folding the same two batches in batch
+    val b1 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("k", "payload", "version", "deleted")
+    val b2 = Seq((1L, "a2", 2L, false), (2L, "b", 2L, true), (3L, "c", 1L, false))
+      .toDF("k", "payload", "version", "deleted")
+    import graft.operators.Maintenance
+    val fold1 = Maintenance.upsertLatest(b1.limit(0), b1, Seq("k"), "version", Some("deleted"))
+      .withColumn("deleted", lit(false))
+    val folded = Maintenance.upsertLatest(fold1, b2, Seq("k"), "version", Some("deleted"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(s2 == folded)
+  }
 }
