@@ -94,6 +94,52 @@ object Similarity {
         (coalesce(col("label"), col("vec_id")) === col("vec_id")).cast("int").as("kept"))
   }
 
+  /** Per-class centroids (element-wise mean of an embedding column) — the
+    * prototype primitive behind k-means refinement, class-balanced
+    * coreset selection, and label-quality audits. Shape: positional
+    * explode (map-local) → ONE (label, pos) groupBy whose partial
+    * aggregation collapses each partition to |labels|·dim rows before the
+    * shuffle → re-assemble the dim-sorted array per label. At 100 TB the
+    * shuffle carries only running (sum, count) pairs per (label, pos) —
+    * never vectors. Means are rounded to 6 digits (noise-dominated
+    * aggregate; cross-engine summation order). */
+  def labelCentroids(embs: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    embs
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("cnt")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+
+  /** Distance-to-centroid outlier detection: the `topK` vectors FARTHEST
+    * from their own class centroid (squared L2, rounded before ranking) —
+    * the standard mislabeled/garbage-embedding audit. The centroid table
+    * is |labels| rows → broadcast; the corpus side stays a map stage until
+    * the final per-label top-k window (k rows per label survive). */
+  def centroidOutliers(embs: DataFrame, topK: Int, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = labelCentroids(embs, labelCol, vecCol)
+      .select(col("label"), col("centroid"))
+    val d2 = aggregate(
+      zip_with(col(vecCol).cast("array<double>"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("label")).orderBy(desc("d2"), col("vec_id"))
+    embs.select(col("vec_id"), col(labelCol).as("label"), col(vecCol))
+      .join(broadcast(cents), Seq("label"))
+      // floor-quantized, not round(): d2 is PURE RATIONAL (products/sums of
+      // exact 6-decimal centroid values), so decimal ties are possible and
+      // engine round() semantics differ — the repo's quantization rule
+      .select(col("label"), col("vec_id"),
+        (floor(d2 * lit(1e6) + lit(0.5)) / lit(1e6)).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q48: embedding cosine near-dup pairs ------------------------------
@@ -248,6 +294,55 @@ object Similarity {
       (s, d) => semanticDedup(Tables.embeddings(s, d), SemDedup.signs, tau = 0.40)
         .orderBy(col("vec_id")),
       Some(SemDedup.oracle)),
+
+    // ---- q92: per-label embedding centroids (positional mean-pool) ---------
+    // The shuffle carries (label, pos) partial sums — never vectors; means
+    // round to 6 (noise-dominated aggregate, cross-engine summation order).
+    QueryDef(
+      "q92_label_centroids",
+      (s, d) => labelCentroids(Tables.embeddings(s, d))
+        .orderBy(col("label")),
+      Some("""WITH e AS (
+             |  SELECT label,
+             |    unnest([{'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}
+             |            for i in range(1, len(embedding) + 1)]) AS s
+             |  FROM embeddings),
+             |g AS (
+             |  SELECT label, s.pos AS pos, round(avg(s.x), 6) AS m, count(*) AS cnt
+             |  FROM e GROUP BY 1, 2)
+             |SELECT label, max(cnt) AS n_vectors, list(m ORDER BY pos) AS centroid
+             |FROM g GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- q93: distance-to-centroid outliers (mislabeled-embedding audit) ---
+    // d2 ranks on the floor-quantized value with vec_id tiebreak; both
+    // engines fold the zipped difference squares left-to-right over
+    // identical (6-decimal) centroid doubles, so the quantized distances
+    // are bit-equal.
+    QueryDef(
+      "q93_centroid_outliers",
+      (s, d) => centroidOutliers(Tables.embeddings(s, d), topK = 5)
+        .orderBy(col("label"), col("rk")),
+      Some("""WITH e AS (
+             |  SELECT label,
+             |    unnest([{'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}
+             |            for i in range(1, len(embedding) + 1)]) AS s
+             |  FROM embeddings),
+             |g AS (
+             |  SELECT label, s.pos AS pos, round(avg(s.x), 6) AS m
+             |  FROM e GROUP BY 1, 2),
+             |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM g GROUP BY label),
+             |d AS (
+             |  SELECT em.label, em.vec_id,
+             |    floor(list_sum(list_transform(
+             |        list_zip(list_transform(em.embedding, x -> CAST(x AS DOUBLE)), c.centroid),
+             |        t -> (t[1] - t[2]) * (t[1] - t[2]))) * 1e6 + 0.5) / 1e6 AS d2
+             |  FROM embeddings em JOIN c ON c.label = em.label),
+             |r AS (
+             |  SELECT label, vec_id, d2,
+             |    row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+             |  FROM d)
+             |SELECT label, vec_id, d2, rk FROM r WHERE rk <= 5
+             |ORDER BY label, rk""".stripMargin)),
   )
 
   /** Shared constants + DuckDB oracle for q91 (same single-source-of-truth

@@ -85,6 +85,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 4L, 1)))
   }
 
+  test("labelCentroids: hand-computed mean-pool, dim order preserved") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), 0),
+      (2L, Array(3.0f, 2.0f, 1.0f), 0),
+      (3L, Array(10.0f, 0.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df).orderBy($"label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(got.toSeq == Seq(
+      (0, 2L, Seq(2.0, 2.0, 2.0)),
+      (1, 1L, Seq(10.0, 0.0, 0.0))))
+  }
+
+  test("centroidOutliers: farthest-from-centroid ranks first") {
+    import graft.operators.Similarity
+    // label 0: two points at distance 1 from centroid (1.5,0), one at ~0.25
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(1.5f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(df, topK = 2)
+      .orderBy($"rk").collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // centroid = (1.5, 1/6); d2(1)=d2(2)=0.25+1/36, d2(3)=1/9 — tie on d2
+    // breaks to min vec_id
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 == got(1)._2, "symmetric points tie on quantized d2")
+  }
+
   test("semanticDedup invariants on real embeddings: one kept rep per cluster") {
     val out = graft.operators.Similarity.defs.find(_.name == "q91_semantic_dedup").get
       .build(spark, sf0001)
