@@ -105,4 +105,27 @@ class PlanSpec extends SparkSpec {
       l.contains("Join") && l.contains("tkey")).getOrElse("")
     assert(joinLine.nonEmpty, s"join should use the tkey hash as its equi-key:\n$p")
   }
+
+  test("q89: first-occurrence decision is a partial agg, not a window over the segment key") {
+    val p = physicalPlan("q89_segment_dedup")
+    // the skew-robust shape: min(struct) collapses hot segments map-side
+    assert(p.contains("partial_min"), s"expected map-side min(struct) partial agg:\n$p")
+    // and NO window function keyed on the segment text anywhere
+    assert(!p.contains("row_number"), s"window over the segment key would funnel hot segments:\n$p")
+  }
+
+  test("q90: both LM model tables broadcast — the corpus side never shuffles its text") {
+    val p = physicalPlan("q90_lm_score")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(broadcasts >= 3, s"pruned bigram + 2 unigram joins should broadcast, got $broadcasts:\n$p")
+  }
+
+  test("q92: centroid shuffle carries (label, pos) partial sums, never vectors") {
+    val p = physicalPlan("q92_label_centroids")
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      s"positional mean must partially aggregate map-side:\n$p")
+    // after the explode the vector column must not survive into the exchange
+    val exchangeIdx = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(label"))
+    assert(exchangeIdx >= 0, s"expected a (label, pos) hash exchange:\n$p")
+  }
 }
