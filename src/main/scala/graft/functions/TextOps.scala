@@ -16,14 +16,21 @@ object TextOps {
 
   /** Word n-grams WITH multiplicity (the repetition-audit unit). Documents
     * shorter than n tokens yield an empty array (guarded: Spark's
-    * `sequence(1, 0)` would count DOWN, not produce empty). */
-  def ngrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - lit(n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-  }
+    * `sequence(1, 0)` would count DOWN, not produce empty).
+    *
+    * The token array is BOUND ONCE as a lambda variable (the single-element
+    * `transform` wrapper): higher-order functions re-evaluate captured
+    * subexpression trees per element, so referencing `split(text)` directly
+    * inside the per-ngram lambda re-tokenizes the document for EVERY ngram —
+    * O(tokens²) per row, measured as 90+ s single-task stalls on the q46
+    * verification path. A lambda variable is evaluated once and referenced
+    * O(1) per element, restoring the O(tokens) cost the codegen'd path has. */
+  def ngrams(text: Column, n: Int): Column =
+    flatten(transform(array(tokens(text)), t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))))
 
   /** Distinct word n-gram shingles — the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))

@@ -243,6 +243,94 @@ object Curation {
         carried: _*)
   }
 
+  /** BPE merge training — the second tokenizer-training primitive (after
+    * [[buildVocab]]): `iterations` rounds of (count adjacent token pairs
+    * corpus-wide → adopt the most frequent pair as a merge → rewrite every
+    * document with that pair fused, leftmost-greedy). Returns the learned
+    * merge list and the rewritten token arrays.
+    *
+    * Distribution shape per round: pair counting is explode → partial-agg
+    * → ONE TakeOrdered(1) (the Zipf head collapses map-side; ties break on
+    * (w1, w2) so every engine learns the same merge); the single winning
+    * pair — a model parameter, like IVF centroids — is the only thing that
+    * ever reaches the driver. The rewrite is a row-local left fold
+    * (leftmost-greedy: a merged token can never re-match w1 in the same
+    * round), zero shuffle. At scale, persist `t` between rounds to keep
+    * the plan bounded; at gate iteration counts the fused lineage is fine.
+    */
+  def bpeTrain(docs: DataFrame, iterations: Int,
+      textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
+    var cur = docs.select(col("doc_id"), TextOps.tokens(col(textCol)).as("t"))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 0 until iterations) {
+      val pairsCol = when(size(col("t")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2"))))
+      val top = cur.select(explode(pairsCol).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w1"), asc("w2"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (w1, w2) = (top(0).getString(0), top(0).getString(1))
+        merges += ((w1, w2))
+        cur = cur.select(col("doc_id"),
+          aggregate(col("t"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(w1) && x === lit(w2),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(w1 + " " + w2))))
+              .otherwise(concat(acc, array(x)))).as("t"))
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
+  /** DuckDB replay of one [[bpeTrain]] round for the q94 oracle: the fold's
+    * leftmost-greedy merge is equivalent to "merge every candidate position
+    * whose offset in its run of w1-tokens is even when w1 = w2, and every
+    * candidate otherwise" (adjacent candidates require w1 = w2), spelled
+    * with gaps-and-islands windows. tok{k} → tok{k+1}. */
+  private def bpeIterSql(k: Int): String = s"""
+    |pc$k AS (
+    |  SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c
+    |  FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+    |                       for i in range(1, greatest(len(t), 1))]) AS s FROM tok$k)
+    |  GROUP BY 1, 2),
+    |top$k AS (SELECT w1, w2 FROM pc$k ORDER BY c DESC, w1, w2 LIMIT 1),
+    |pos$k AS (
+    |  SELECT doc_id, s.i AS i, s.tok AS tok, s.cand AS cand, s.isw1 AS isw1,
+    |         tp.w1 AS w1, tp.w2 AS w2
+    |  FROM (SELECT doc_id,
+    |          unnest([{'i': i, 'tok': t[i],
+    |                   'cand': CASE WHEN i < len(t) AND t[i] = tp.w1 AND t[i+1] = tp.w2
+    |                           THEN 1 ELSE 0 END,
+    |                   'isw1': CASE WHEN t[i] = tp.w1 THEN 1 ELSE 0 END}
+    |                  for i in range(1, len(t) + 1)]) AS s
+    |        FROM tok$k, top$k tp), top$k tp),
+    |isl$k AS (
+    |  SELECT *, i - row_number() OVER (PARTITION BY doc_id, isw1 ORDER BY i) AS island
+    |  FROM pos$k),
+    |off$k AS (
+    |  SELECT *, i - min(i) OVER (PARTITION BY doc_id, isw1, island) AS off
+    |  FROM isl$k),
+    |mg$k AS (
+    |  SELECT *, CASE WHEN cand = 1 AND (w1 <> w2 OR off % 2 = 0) THEN 1 ELSE 0 END AS m
+    |  FROM off$k),
+    |em$k AS (
+    |  SELECT *, coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY i), 0) AS consumed
+    |  FROM mg$k),
+    |tok${k + 1} AS (
+    |  SELECT doc_id,
+    |    list(CASE WHEN m = 1 THEN w1 || ' ' || w2 WHEN consumed = 0 THEN tok END ORDER BY i)
+    |      FILTER (CASE WHEN m = 1 THEN w1 || ' ' || w2 WHEN consumed = 0 THEN tok END IS NOT NULL) AS t
+    |  FROM em$k GROUP BY doc_id)""".stripMargin
+
+  private[graft] def bpeOracle(iterations: Int): String =
+    "WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)," +
+      (0 until iterations).map(bpeIterSql).mkString(",") +
+      s"\nSELECT doc_id, len(t) AS n_after, t AS toks FROM tok$iterations ORDER BY doc_id"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q69: per-domain frequency capping ---------------------------------
@@ -499,5 +587,19 @@ object Curation {
              |  array_to_string(t[(chunk_id * 24 + 1):least(chunk_id * 24 + 32, n)], ' ') AS chunk,
              |  least(chunk_id * 24 + 32, n) - chunk_id * 24 AS n_chunk_tokens
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- q94: BPE merge training (3 rounds, oracle replays training) -------
+    // The oracle re-learns the same 3 merges from the corpus (count ties
+    // break on (w1, w2) in both engines) and replays the leftmost-greedy
+    // rewrite via the windowed run-parity formulation — so the gate checks
+    // the LEARNED MODEL and the rewritten corpus, not just plumbing.
+    QueryDef(
+      "q94_bpe_merges",
+      (s, d) => {
+        val (_, toks) = bpeTrain(Tables.documents(s, d), iterations = 3)
+        toks.select(col("doc_id"), size(col("t")).as("n_after"), col("t").as("toks"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeOracle(3))),
   )
 }

@@ -38,20 +38,42 @@ object Dedup {
   def jaccardCols(a: Column, b: Column): (Column, Column) =
     (size(array_intersect(a, b)), size(array_union(a, b)))
 
+  /** Fan a few-split source out across the session's parallelism BEFORE an
+    * expensive row-local projection. A gate-scale corpus is ONE small
+    * parquet file = one input split, so without this every stage above the
+    * scan — signature computation, candidate shingling — runs as a single
+    * task while 31 cores idle, and a single-thread critical path is
+    * maximally exposed to host CPU starvation (measured: the same q46 plan
+    * swings 2.4 s → 134 s when the one busy vCPU is contended). At 100 TB
+    * the scan has thousands of splits and this is a no-op — the guard
+    * keeps the extra exchange a small-input-only cost. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // the partition count is EXPLICIT: a bare repartition(col) exchange is
+    // AQE-coalescible, and AQE — seeing only the exchange's tiny byte size,
+    // not the cost of the projection above it — folds it back to one
+    // partition, recreating exactly the single-task stage this exists to
+    // break up (observed in thread dumps: stage with 1 task, 31 idle cores)
+    if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par, col("doc_id"))
+  }
+
   /** (band, signature) bucket memberships for a corpus — the shared LSH
     * candidate-generation front end of [[minhashLshPairs]] (self-join) and
     * [[fuzzyReferenceDedup]] (cross-corpus join). The repartition
     * materializes signatures through one reusable exchange (see
     * minhashLshPairs scaladoc, step 1). */
   private def bandBuckets(docs: DataFrame, maxBucket: Int): DataFrame = {
-    val toks = docs
+    val toks = fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
     val sig = toks
       .select(col("doc_id"),
         graft.expressions.MinHashSigExpr.minhashSig(
           transform(col("t"), x => xxhash64(x)), MinhashK).as("ms"))
-      .repartition(col("doc_id"))
+      // explicit partition count: AQE would coalesce this (tiny) exchange to
+      // one partition and single-thread the band join above it — see fanOut
+      .repartition(toks.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     // band signatures index the ms array directly — no 32-column expansion
     // (same xxhash64 over the same longs, less codegen per stage)
     val bandStructs = (0 until Bands).map { b =>
@@ -145,9 +167,11 @@ object Dedup {
     // The trailing repartition makes the (tiny, candidate-bounded) shingle
     // table a reusable exchange: both verification join sides read ONE
     // computed copy instead of re-scanning + re-shingling per side.
-    val sh = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sh = fanOut(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
-      .repartition(col("doc_id"))
+      // explicit count, same AQE-coalesce hazard: the verification joins and
+      // the (interpreted) intersect/union sit above this exchange
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
     broadcast(cand)
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
@@ -292,7 +316,7 @@ object Dedup {
       .distinct()
     def shinglesOf(docs: DataFrame, idAlias: String, shAlias: String) = {
       val ids = cand.select(col(s"${idAlias}").as("doc_id")).distinct()
-      docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      fanOut(docs.join(broadcast(ids), Seq("doc_id"), "left_semi"))
         .select(col("doc_id").as(idAlias),
           TextOps.shingles(col("text"), ShingleN).as(shAlias))
     }

@@ -228,6 +228,20 @@ class CurationSpec extends SparkSpec {
     assert(counts.sliding(2).forall { case Seq(a, b) => b <= a })
   }
 
+  test("bpeTrain: learned merges, tie-breaks, and leftmost-greedy rewrite") {
+    val df = Seq((1L, "a a a b c"), (2L, "a b a b x"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val (merges, toks) = Curation.bpeTrain(df, iterations = 3)
+    // iter0: (a,b) and (c,c) tie at 3 → (a,b) on lex order; iter1: (c,c);
+    // iter2: all pairs tie at 1 → (a,a) lex-min
+    assert(merges == Seq(("a", "b"), ("c", "c"), ("a", "a")))
+    val got = toks.orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a a", "a b", "c"), "run parity: 'a a a' merges once")
+    assert(got(2L) == Seq("a b", "a b", "x"))
+    assert(got(3L) == Seq("c c", "c c"), "'c c c c' merges twice, no chaining")
+  }
+
   test("plan: qualityFilter / stratifiedSample / quantizeInt8 are shuffle-free") {
     for (df <- Seq(
         Curation.qualityFilter(docsDf),
