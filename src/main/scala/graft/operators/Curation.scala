@@ -276,15 +276,35 @@ object Curation {
       if (top.nonEmpty) {
         val (w1, w2) = (top(0).getString(0), top(0).getString(1))
         merges += ((w1, w2))
-        cur = cur.select(col("doc_id"),
-          aggregate(col("t"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 && element_at(acc, -1) === lit(w1) && x === lit(w2),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(w1 + " " + w2))))
-              .otherwise(concat(acc, array(x)))).as("t"))
+        cur = cur.select(col("doc_id"), applyMerge(col("t"), w1, w2).as("t"))
       }
     }
     (merges.toSeq, cur)
   }
+
+  /** One leftmost-greedy merge pass over a token array — a row-local fold
+    * (a token emitted by a merge can never re-match `w1` in the same pass,
+    * because the fold's accumulator tail is the fused pair, not `w1`). */
+  private def applyMerge(toks: Column, w1: String, w2: String): Column =
+    aggregate(toks, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(w1) && x === lit(w2),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(w1 + " " + w2))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE ENCODE: apply an already-learned merge list (from [[bpeTrain]],
+    * or any external tokenizer dump) to a corpus, in merge order — the
+    * inference half of the tokenizer. Pure map stage: zero shuffle, zero
+    * driver round-trips; the merge list is compiled into the plan as
+    * `merges.length` chained folds, so at 100 TB it scales with input
+    * splits like any projection. (Production vocabularies with 10⁴⁺ merges
+    * would compile the merge list into a broadcast trie probed by one
+    * custom expression instead — the chained-fold form is for the
+    * DSL-sized merge lists the gate exercises.) */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    merges.foldLeft(docs.select(col("doc_id"), TextOps.tokens(col(textCol)).as("t"))) {
+      case (df, (w1, w2)) => df.select(col("doc_id"), applyMerge(col("t"), w1, w2).as("t"))
+    }
 
   /** DuckDB replay of one [[bpeTrain]] round for the q94 oracle: the fold's
     * leftmost-greedy merge is equivalent to "merge every candidate position

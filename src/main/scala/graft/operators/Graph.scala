@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Distributed graph analytics. [[Dedup.connectedComponents]] covers the
+  * clustering side; this module adds importance scoring — weighted
+  * PageRank, the canonical "quality signal from link structure" operator
+  * of web-corpus curation (domain-level rank feeds the same quality gate
+  * as the Gopher rules in [[Curation.qualityFilter]]).
+  */
+object Graph {
+
+  /** Weighted PageRank with damping and dangling-mass redistribution:
+    *
+    *   rank'(v) = (1-d)/n + d · ( Σ_{(u,v)∈E} rank(u) · w(u,v)/w_out(u)
+    *                              + danglingMass/n )
+    *
+    * Distribution shape (the GraphX/Pregel shape, spelled in DataFrames):
+    * the transition table `w/w_out` is built ONCE and checkpointed; each
+    * iteration is one hash join (edges ⋈ ranks on src) feeding one partial
+    * agg (sum of contributions per dst) — at web scale both sides are
+    * hash-partitioned on the same key, so the per-iteration cost is a
+    * single co-partitioned shuffle of (node, contribution) pairs, never
+    * the edge payload. The dangling term stays a one-row aggregate crossed
+    * back in (broadcast), not a driver value.
+    *
+    * `localCheckpoint(eager)` per iteration cuts the growing lineage —
+    * without it iteration i's plan embeds TWO copies of iteration i-1
+    * (contribution join + dangling sum), i.e. 2^iterations plan growth.
+    * The only driver round-trip is `nodes.count()` (one scalar, the graph
+    * order — a model parameter like IVF's k).
+    *
+    * Numerics: contribution sums are genuinely order-dependent doubles
+    * (~1e-16 relative), so gate outputs round(·, 6) per the repo rule for
+    * noise-dominated aggregates.
+    *
+    * @param edges (srcCol, dstCol, weightCol); parallel edges are summed
+    *              into the transition weight by the w_out census.
+    * @return (node, rank) — ranks sum to 1 over the node set.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w")).localCheckpoint(true)
+    val outW = e.groupBy("src").agg(sum("w").as("w_out"))
+    val trans = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("w_out")).as("p"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val danglingNodes = nodes
+      .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val dang = ranks.join(danglingNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val contribs = trans
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("p")).as("csum"))
+        .select(col("dst").as("node"), col("csum"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("csum"), lit(0.0)) + col("dm") / n)).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** q97 oracle: one PageRank iteration as a chained-CTE step,
+    * r{k} → r{k+1}. Every non-binary-exact literal is CAST to DOUBLE and
+    * every arithmetic node mirrors the Spark expression dag (DuckDB's
+    * default DECIMAL literals would otherwise compute 1 - 0.85 exactly,
+    * where IEEE gives 0.15000000000000002). */
+  private def prIterSql(k: Int): String = s"""
+    |d$k AS (
+    |  SELECT coalesce(sum(rank), CAST(0.0 AS DOUBLE)) AS dm FROM r$k
+    |  WHERE node IN (SELECT node FROM dangn)),
+    |c$k AS (
+    |  SELECT t.dst AS node, sum(r.rank * t.p) AS csum
+    |  FROM trans t JOIN r$k r ON r.node = t.src GROUP BY t.dst),
+    |r${k + 1} AS (
+    |  SELECT nodes.node,
+    |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+    |      + CAST(0.85 AS DOUBLE)
+    |        * (coalesce(c.csum, CAST(0.0 AS DOUBLE))
+    |           + (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS rank
+    |  FROM nodes LEFT JOIN c$k c USING (node))""".stripMargin
+
+  private def pageRankOracle(iterations: Int): String =
+    s"""WITH e AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |         CAST(count(*) AS DOUBLE) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, sum(w) AS w_out FROM e GROUP BY src),
+       |trans AS (SELECT e.src, e.dst, e.w / o.w_out AS p FROM e JOIN outw o USING (src)),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |dangn AS (SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),""".stripMargin +
+      (0 until iterations).map(prIterSql).mkString(",") +
+      s"""
+         |SELECT r.node, n.n_name, round(r.rank, 6) AS rank
+         |FROM r$iterations r JOIN nation n ON n.n_nationkey = r.node
+         |ORDER BY r.node""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q97: PageRank over the customer→supplier nation trade graph -------
+    // The edge census is the scale half: a fact⋈fact join (lineitem ⋈
+    // orders) enriched by two dims, collapsed by partial agg to ≤ nations²
+    // weighted edges BEFORE any iteration runs. The iterations then touch
+    // only the census. The oracle replays all 5 iterations as chained CTEs
+    // over the identical IEEE dag; r0 is uniform 1/n.
+    QueryDef(
+      "q97_pagerank",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey").as("src")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+        pageRank(edges, "src", "dst", "w", iterations = 5)
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+          .select(col("node"), col("n_name"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some(pageRankOracle(5))),
+  )
+}

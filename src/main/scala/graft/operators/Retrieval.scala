@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextOps
+
+/** Ranked retrieval over the `documents` table — the corpus-search side of
+  * a training-data pipeline (near-dup mining, contamination triage, and
+  * "find me documents like X" audits all reduce to scoring a corpus against
+  * a small term set).
+  *
+  * Scale shape shared by both operators: the corpus is the fact side and
+  * NEVER shuffles its text. BM25 needs exactly one extra exchange — the
+  * one-row corpus-statistics aggregate (N, Σdl, per-term df), which partial
+  * aggregation collapses map-side — broadcast back over the scan. The
+  * inverted index shuffles only (term, doc_id) pairs, sharded so no single
+  * reducer ever holds a full posting list.
+  */
+object Retrieval {
+
+  /** BM25 top-k with the RATIONAL odds form of idf,
+    * `(N - df + 0.5) / (df + 0.5)` — same document ordering as the classic
+    * `ln`-idf for a single term and strictly positive for any df (the
+    * log form goes negative past df > N/2, silently deleting evidence from
+    * common terms). Chosen over the log form for the gate because every
+    * input is an exact integer count (sums of integer-valued doubles are
+    * exact in IEEE at any summation order), so the whole score is a fixed
+    * dag of IEEE ops over identical operands — bit-equal cross-engine, and
+    * the output floor-quantization is belt-and-braces, not load-bearing.
+    *
+    * Plan: per-term tf is row-local (`size(filter(tokens, _ == term))` —
+    * the token array is projected once and re-used by every term column);
+    * the only shuffle is the one-row stats agg, re-broadcast via cross
+    * join; the top-k is TakeOrderedAndProject. At 100 TB: scan-bound, one
+    * scalar exchange, no corpus shuffle.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val tfCols = queryTerms.indices.map { i =>
+      size(filter(col("t"), x => x === lit(queryTerms(i)))).cast("double").as(s"tf_$i")
+    }
+    // two-step select: `t` stays an attribute, so the per-term tf columns
+    // share ONE tokenization (CollapseProject refuses to inline a non-cheap
+    // alias consumed more than once)
+    val base = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id") +: size(col("t")).cast("double").as("dl") +: tfCols: _*)
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl") / col("n_docs")
+    def idf(i: Int): Column =
+      (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
+    def tfNorm(i: Int): Column =
+      (col(s"tf_$i") * lit(2.2)) /
+        (col(s"tf_$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val score = queryTerms.indices.map(i => idf(i) * tfNorm(i)).reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_raw", score)
+      .filter(col("score_raw") > 0)
+      .select(col("doc_id"),
+        (floor(col("score_raw") * 1e6 + 0.5) / 1e6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]] — operand-for-operand the same IEEE dag
+    * (literals CAST to DOUBLE so DuckDB's default DECIMAL typing can't
+    * change a single rounding). */
+  private def bm25Oracle(terms: Seq[String], k: Int): String = {
+    val tf = terms.indices.map(i =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i")
+      .mkString(",\n    ")
+    val df = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i").mkString(",\n    ")
+    val score = terms.indices.map { i =>
+      s"""((n_docs - df_$i + CAST(0.5 AS DOUBLE)) / (df_$i + CAST(0.5 AS DOUBLE)))
+         | * ((tf_$i * CAST(2.2 AS DOUBLE))
+         |    / (tf_$i + CAST(1.2 AS DOUBLE)
+         |       * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs))))"""
+        .stripMargin
+    }.mkString("\n  + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+       |    $tf
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+       |    $df
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id,
+       |  $score AS score_raw
+       |  FROM base, stats)
+       |SELECT doc_id, floor(score_raw * 1e6 + 0.5) / 1e6 AS score
+       |FROM scored WHERE score_raw > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Doc-sharded inverted index: `(term, shard) → (cf, df, postings)` where
+    * `shard = doc_id % nShards`. The sharding is the 100 TB design point:
+    * a web-scale term's posting list does not fit one reducer, so the index
+    * is built (and served) doc-partitioned — every reducer holds at most
+    * `|corpus| / nShards` of any term's postings, and a query fans out to
+    * `nShards` lookups merged client-side. `maxPostings` caps the stored
+    * prefix (sorted ascending, so the cap keeps the smallest doc_ids —
+    * deterministic). cf counts occurrences (with multiplicity), df counts
+    * distinct documents, both per shard.
+    */
+  def invertedIndex(docs: DataFrame, nShards: Int, maxPostings: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), (col("doc_id") % nShards).as("shard"))
+      .agg(count(lit(1)).as("cf"),
+        sort_array(collect_set(col("doc_id"))).as("ps"))
+      .select(col("term"), col("shard"), col("cf"),
+        size(col("ps")).cast("long").as("df"),
+        slice(col("ps"), 1, maxPostings).as("postings"))
+      .orderBy(col("term"), col("shard"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q95: BM25 ranked retrieval ----------------------------------------
+    // Terms mix one rare token (high idf — 'dup' appears in ~5% of docs)
+    // with three mid-frequency ones, so the ranking exercises the idf
+    // spread, not just tf mass.
+    QueryDef(
+      "q95_bm25_topk",
+      (s, d) => bm25TopK(Tables.documents(s, d),
+        Seq("dup", "spark", "merge", "vector"), k = 20),
+      Some(bm25Oracle(Seq("dup", "spark", "merge", "vector"), k = 20))),
+
+    // ---- q96: sharded inverted index ---------------------------------------
+    QueryDef(
+      "q96_inverted_index",
+      (s, d) => invertedIndex(Tables.documents(s, d), nShards = 4, maxPostings = 12),
+      Some("""WITH x AS (
+             |  SELECT doc_id, doc_id % 4 AS shard,
+             |         unnest(string_split(text, ' ')) AS term
+             |  FROM documents)
+             |SELECT term, shard, count(*) AS cf,
+             |  CAST(len(list_distinct(list(doc_id))) AS BIGINT) AS df,
+             |  list_slice(list_sort(list_distinct(list(doc_id))), 1, 12) AS postings
+             |FROM x GROUP BY term, shard ORDER BY term, shard""".stripMargin)),
+  )
+}

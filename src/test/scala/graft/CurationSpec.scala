@@ -242,6 +242,22 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == Seq("c c", "c c"), "'c c c c' merges twice, no chaining")
   }
 
+  test("bpeEncode: replays bpeTrain's rewrite; applies learned merges to new text") {
+    val train = Seq((1L, "a a a b c"), (2L, "a b a b x"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val (merges, trained) = Curation.bpeTrain(train, iterations = 3)
+    // encoding the training corpus with the learned merges = training rewrite
+    val enc = Curation.bpeEncode(train, merges)
+    val l = trained.orderBy($"doc_id").collect().map(_.getSeq[String](1)).toSeq
+    val r = enc.orderBy($"doc_id").collect().map(_.getSeq[String](1)).toSeq
+    assert(l == r)
+    // unseen text: merges (a,b) then (c,c) then (a,a) apply in order
+    val fresh = Seq((9L, "c c a b a a b")).toDF("doc_id", "text")
+    val got = Curation.bpeEncode(fresh, merges).collect()(0).getSeq[String](1)
+    // (a,b): c c [a b] a [a b] → (c,c): [c c] ab a ab → (a,a): no a-a pair left
+    assert(got == Seq("c c", "a b", "a", "a b"))
+  }
+
   test("plan: qualityFilter / stratifiedSample / quantizeInt8 are shuffle-free") {
     for (df <- Seq(
         Curation.qualityFilter(docsDf),

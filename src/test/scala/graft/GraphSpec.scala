@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Int, Int, Double)], iters: Int): Map[Int, Double] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  test("pageRank: symmetric 2-cycle stays uniform at any iteration count") {
+    val r = ranksOf(Seq((1, 2, 1.0), (2, 1, 1.0)), iters = 4)
+    assert(math.abs(r(1) - 0.5) < 1e-12 && math.abs(r(2) - 0.5) < 1e-12)
+  }
+
+  test("pageRank: dangling sink, one iteration, hand-computed") {
+    // A→B only; B dangling. n=2, r0 = (.5, .5); dangling mass = .5.
+    // rank(B) = .15/2 + .85*(.5 + .25) = .7125; rank(A) = .075 + .85*.25
+    val r = ranksOf(Seq((1, 2, 1.0)), iters = 1)
+    assert(math.abs(r(2) - 0.7125) < 1e-12)
+    assert(math.abs(r(1) - 0.2875) < 1e-12)
+  }
+
+  test("pageRank: edge weights split contributions proportionally") {
+    // A→B (w=3), A→C (w=1); B,C dangling. After 1 iter, the flow out of A
+    // divides 3:1, so rank(B) - rank(C) = .85 * (3/4 - 1/4) * r0(A) = .85/6
+    val r = ranksOf(Seq((1, 2, 3.0), (1, 3, 1.0)), iters = 1)
+    assert(math.abs((r(2) - r(3)) - 0.85 * 0.5 * (1.0 / 3.0)) < 1e-12)
+  }
+
+  test("pageRank: ranks always sum to 1 (mass conservation incl. dangling)") {
+    val edges = Seq((1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (3, 4, 1.0),
+      (4, 5, 1.0), (5, 1, 3.0), (6, 1, 1.0)) // 6 has no in-links
+    for (k <- Seq(0, 1, 3, 7)) {
+      val r = ranksOf(edges, k)
+      assert(math.abs(r.values.sum - 1.0) < 1e-9, s"iter $k: ${r.values.sum}")
+      assert(r.values.forall(_ > 0))
+    }
+  }
+
+  test("pageRank: parallel edges merge into the transition weight") {
+    // (1→2 twice, w=1 each) must equal (1→2 once, w=2) exactly
+    val a = ranksOf(Seq((1, 2, 1.0), (1, 2, 1.0), (2, 1, 1.0)), iters = 3)
+    val b = ranksOf(Seq((1, 2, 2.0), (2, 1, 1.0)), iters = 3)
+    assert(a == b)
+  }
+}

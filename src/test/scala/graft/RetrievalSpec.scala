@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana banana banana banana"),
+    (3L, "apple cherry durian cherry"),
+    (4L, "kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi")
+  ).toDF("doc_id", "text")
+
+  test("bm25: hand-computed score on a 4-doc corpus") {
+    // term 'durian': tf=1 only in doc 3 (dl=4). N=4, sum_dl=20, avgdl=5,
+    // df=1 → idf = (4-1+0.5)/(1+0.5) = 7/3.
+    // tfn = 1*2.2 / (1 + 1.2*(0.25 + 0.75*4/5)) = 2.2/2.02
+    val got = Retrieval.bm25TopK(docs, Seq("durian"), k = 10).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L))
+    val expected = (7.0 / 3.0) * (2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 4.0 / 5.0)))
+    assert(got(0).getDouble(1) == math.floor(expected * 1e6 + 0.5) / 1e6)
+  }
+
+  test("bm25: rare-term idf outranks common-term tf mass") {
+    // 'durian' df=1 (doc 3); 'banana' df=2 with tf=4 in doc 2 — the rare
+    // term's single occurrence must outscore the common term's pile-up.
+    val got = Retrieval.bm25TopK(docs, Seq("durian", "banana"), k = 10).collect()
+    assert(got.head.getLong(0) == 3L)
+    assert(got.map(_.getLong(0)).contains(2L))
+  }
+
+  test("bm25: docs with no query term are excluded; ties break on doc_id") {
+    val got = Retrieval.bm25TopK(docs, Seq("apple"), k = 10).collect()
+    // docs 1 and 3 contain 'apple' (tf 2 and 1); 2 and 4 must not appear
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 3L))
+    // doc 1: tf=2, same dl → strictly higher tf-norm → ranks first
+    assert(got.head.getLong(0) == 1L)
+  }
+
+  test("bm25 plan: corpus side has no shuffle — only the one-row stats agg") {
+    // k strictly below the corpus row count — otherwise EliminateLimits
+    // drops the limit (k >= maxRows) and the top-k degenerates to a sort
+    val plan = Retrieval.bm25TopK(docs, Seq("apple", "banana"), k = 2)
+      .queryExecution.executedPlan.toString
+    // exactly one Exchange pair: the partial→final stats agg; the doc side
+    // feeds the top-k via BroadcastNestedLoopJoin of the 1-row stats
+    val shuffles = "Exchange hashpartitioning|Exchange SinglePartition".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1, s"expected at most the stats-agg exchange:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("invertedIndex: sharding, postings order, df/cf consistency, cap") {
+    val idx = Retrieval.invertedIndex(docs, nShards = 2, maxPostings = 2).collect()
+    val byKey = idx.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getSeq[Long](4))).toMap
+    // 'banana': doc 1 (shard 1, cf 1) and doc 2 (shard 0, cf 4)
+    assert(byKey(("banana", 0L)) == ((4L, 1L, Seq(2L))))
+    assert(byKey(("banana", 1L)) == ((1L, 1L, Seq(1L))))
+    // 'cherry' doc 1 (cf 1) + doc 3 (cf 2): both odd → one shard-1 row
+    assert(byKey(("cherry", 1L)) == ((3L, 2L, Seq(1L, 3L))))
+    assert(!byKey.contains(("cherry", 0L)))
+    for (((_, shard), (cf, df, ps)) <- byKey) {
+      assert(cf >= df && ps.size <= 2 && ps == ps.sorted)
+      assert(ps.forall(_ % 2 == shard))
+    }
+  }
+
+  test("invertedIndex: postings cap keeps the smallest doc_ids") {
+    val many = (0L until 10L).map(i => (i, "zebra")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(many, nShards = 1, maxPostings = 3).collect()
+    assert(idx.length == 1)
+    assert(idx(0).getSeq[Long](4) == Seq(0L, 1L, 2L))
+    assert(idx(0).getLong(3) == 10L, "df counts ALL docs, not the capped prefix")
+  }
+}
