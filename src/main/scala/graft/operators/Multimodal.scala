@@ -101,6 +101,116 @@ object Multimodal {
     } else None
   }
 
+  /** Parsed audio container metadata — everything a pre-decode audio
+    * filter needs (sample rate/channel/duration predicates), straight from
+    * header bytes. `frames`/`durationUs` derive from the DECLARED data
+    * size, so they are valid even on header-only prefixes of huge files. */
+  final case class AudioMeta(codec: String, channels: Int, sampleRate: Long,
+      bitsPerSample: Int, frames: Long, durationUs: Long)
+
+  /** REAL WAV (RIFF/WAVE) header parsing — the audio twin of
+    * [[parseDimensions]]: walks the chunk list (chunks are (fourcc, LE-u32
+    * size, payload) padded to even offsets, in ANY order) to the `fmt ` and
+    * `data` chunks. No codec; a 100 TB audio ingest filters by sample
+    * rate/channels/duration before paying for any PCM decode. Returns None
+    * for non-WAV, truncated, or desynced containers. */
+  def parseAudioMeta(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var i = 12L
+    var fmt: Option[(Int, Int, Long, Int)] = None
+    var dataSize: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val id = fourcc(i.toInt)
+      val size = le32(i.toInt + 4)
+      if (id == "fmt ") {
+        if (i + 8 + 16 > b.length || size < 16) return None // truncated fmt
+        fmt = Some((le16(i.toInt + 8), le16(i.toInt + 10),
+          le32(i.toInt + 12), le16(i.toInt + 22)))
+      } else if (id == "data") dataSize = Some(size)
+      i += 8 + size + (size & 1) // RIFF pads chunks to even boundaries
+    }
+    for {
+      (af, ch, sr, bits) <- fmt
+      ds <- dataSize
+      if ch > 0 && sr > 0 && bits >= 8
+    } yield {
+      val frames = ds / (ch.toLong * (bits / 8))
+      AudioMeta(
+        if (af == 1) "pcm" else if (af == 3) "ieee_float" else s"fmt_$af",
+        ch, sr, bits, frames, frames * 1000000L / sr)
+    }
+  }
+
+  /** Parsed video container metadata from an AVI main header. */
+  final case class VideoMeta(width: Int, height: Int, totalFrames: Long,
+      microSecPerFrame: Long, durationUs: Long)
+
+  /** REAL AVI (RIFF/'AVI ') header parsing: descends LIST chunks to the
+    * `avih` main header (µs/frame at +0, total frames at +16, width/height
+    * at +32/+36 within the payload). Same pre-decode filtering story as
+    * [[parseAudioMeta]] — resolution/duration predicates from header bytes
+    * alone. */
+  def parseVideoMeta(b: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    def walk(from: Long, limit: Long): Option[VideoMeta] = {
+      var i = from
+      while (i + 8 <= limit) {
+        val id = fourcc(i.toInt)
+        val size = le32(i.toInt + 4)
+        if (id == "avih") {
+          if (i + 8 + 40 > b.length || size < 40) return None
+          val p = i.toInt + 8
+          val usf = le32(p)
+          val frames = le32(p + 16)
+          return Some(VideoMeta(le32(p + 32).toInt, le32(p + 36).toInt,
+            frames, usf, frames * usf))
+        } else if (id == "LIST") {
+          // payload = list type fourcc + subchunks
+          val sub = walk(i + 12, math.min(limit, i + 8 + size))
+          if (sub.isDefined) return sub
+        }
+        i += 8 + size + (size & 1)
+      }
+      None
+    }
+    walk(12, b.length.toLong)
+  }
+
+  /** Column-expression twin of [[parseAudioMeta]] for CANONICAL layouts
+    * (`fmt ` as the first chunk at offset 12 — what encoders emit) — audio
+    * predicates that stay inside whole-stage codegen; falls back null for
+    * non-canonical chunk orders, which route through the imperative tier. */
+  def audioMetaColumn(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def le16(off: Int) = {
+      val h = hex(substring(bin, off, 2))
+      conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+    }
+    def le32(off: Int) = {
+      val h = hex(substring(bin, off, 4))
+      conv(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)),
+        16, 10).cast("long")
+    }
+    when(length(bin) >= 36 &&
+        hex(substring(bin, 1, 4)) === "52494646" && // RIFF
+        hex(substring(bin, 9, 4)) === "57415645" && // WAVE
+        hex(substring(bin, 13, 4)) === "666D7420",  // 'fmt '
+      struct(
+        le16(23).as("channels"),
+        le32(25).as("sample_rate"),
+        le16(35).as("bits_per_sample")))
+      .otherwise(lit(null).cast(
+        "struct<channels:bigint,sample_rate:bigint,bits_per_sample:bigint>"))
+  }
+
   /** Column-expression twin of [[parseDimensions]] for the FIXED-OFFSET
     * formats (PNG/GIF) — dimension filtering that stays inside whole-stage
     * codegen with zero imperative code: big-endian u32 via hex→conv;

@@ -99,5 +99,28 @@ object Relational2 {
              |  t - first_value(t) OVER (PARTITION BY user_id ORDER BY t, event_id
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS secs_since_first
              |FROM e ORDER BY user_id, t, event_id""".stripMargin)),
+
+    // ---- q98: salted skew join ---------------------------------------------
+    // Oracle = the PLAIN equi-join: proves the salt spreading + small-side
+    // replication is result-invariant (every key match meets in exactly one
+    // salt bucket). Plan shape (no single reducer owns a hot key) is pinned
+    // by SkewSpec; this row pins the semantics.
+    QueryDef(
+      "q98_skew_salted_join",
+      (s, d) => {
+        import s.implicits._
+        graft.core.Skew.saltedJoin(
+            Tables.lineitem(s, d).select($"l_partkey", $"l_quantity"),
+            Tables.part(s, d).select($"p_partkey", $"p_brand"),
+            $"l_partkey", $"p_partkey", buckets = 8)
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
   )
 }
