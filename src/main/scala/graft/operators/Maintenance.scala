@@ -103,6 +103,34 @@ object Maintenance {
         min(col("v")).as("v_min"), max(col("v")).as("v_max"))
   }
 
+  /** Small-file compaction — the OPTIMIZE of lake upkeep: a streaming/CDC
+    * sink leaves thousands of KB-sized parquet files per partition, and
+    * scan cost at 100 TB is dominated by file-open overhead + lost column
+    * pruning, not bytes. Rewrites `inDir` into `outDir` with
+    * `ceil(totalBytes / targetBytes)` output files. File count comes from
+    * the FILESYSTEM census (actual bytes), not a row-count guess, so the
+    * result tracks the real on-disk size; `sortCols` optionally re-sorts
+    * within partitions to preserve/restore clustering (e.g. a
+    * [[zorderValue]] key) through the rewrite — compaction must not undo
+    * layout. Repartition is round-robin: parallel writers, near-equal
+    * file sizes. Returns (filesBefore, filesAfter). */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long, sortCols: Seq[String] = Nil): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir).repartition(nOut)
+    val sorted = if (sortCols.nonEmpty)
+      df.sortWithinPartitions(sortCols.map(col): _*) else df
+    sorted.write.mode("overwrite").parquet(outDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q82: CDC upsert merge ---------------------------------------------

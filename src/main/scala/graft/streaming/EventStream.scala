@@ -79,6 +79,33 @@ object EventStream {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Streaming trending terms — tumbling 10-minute term census over a
+    * document stream (requires a `ts` event-time column; the watermark
+    * bounds state to ~1 hour of (window, term) keys). Emits the census,
+    * not the ranking: Structured Streaming allows one stateful operator
+    * per query, so the per-window top-k runs on the emitted counts
+    * ([[topTermsPerWindow]], in foreachBatch or sink-side) — the standard
+    * rank-on-closed-windows split. The census shuffle carries (window,
+    * term) partial counts (map-side combined), never document text. */
+  def trendingTerms(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(graft.functions.TextOps.tokens(col("text"))).as("term"))
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("term"), col("n"))
+
+  /** Rank a [[trendingTerms]] census: top-k terms per window, ties broken
+    * on term for determinism. Spark's rank-limit pushdown prunes to k rows
+    * per (window, map partition) below the exchange. */
+  def topTermsPerWindow(counts: DataFrame, k: Int): DataFrame =
+    counts
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win_start")).orderBy(desc("n"), asc("term"))))
+      .filter(col("rk") <= k)
+      .select(col("win_start"), col("rk"), col("term"), col("n"))
+
   /** documents.parquet schema for streaming document ingest. */
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -75,4 +75,32 @@ class MaintenanceSpec extends SparkSpec {
       assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") < 128, r.toString)
     }
   }
+
+  test("compactFiles: bin-packs small files to the byte target, preserves rows and sort") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact_out").toString + "/t"
+    // 16 tiny files of ~25 rows each
+    spark.range(400).select($"id", ($"id" % 7).as("grp"))
+      .repartition(16).write.mode("overwrite").parquet(in)
+    val bytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (before, after) = Maintenance.compactFiles(
+      spark, in, out, targetBytes = (bytes + 2) / 3, sortCols = Seq("grp"))
+    assert(before == 16)
+    assert(after == 3, s"expected ceil(total/target)=3 output files, got $after")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 400)
+    assert(got.select(sum($"id")).first().getLong(0) == 399L * 400 / 2, "row content preserved")
+    // clustering preserved: within every output file, grp is non-decreasing
+    val perFile = got.select(input_file_name().as("f"), $"grp")
+      .collect().groupBy(_.getString(0))
+    assert(perFile.size == 3)
+    // (round-robin repartition reorders rows; the sortWithinPartitions must
+    // still leave each FILE internally sorted by grp)
+    for ((_, rows) <- perFile) {
+      val gs = rows.map(_.getLong(1))
+      assert(gs.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    }
+  }
 }

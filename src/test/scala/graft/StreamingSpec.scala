@@ -92,6 +92,36 @@ class StreamingSpec extends SparkSpec {
     assert(exp.nonEmpty && got == exp)
   }
 
+  test("trending terms: streaming census equals batch; top-k ranking agrees") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_docs_trend")
+    Files.createSymbolicLink(dir.resolve("documents.parquet"),
+      Paths.get(s"$sf0001/documents.parquet"))
+    // synthetic event time: one document per minute → several 10-min windows
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros($"doc_id" * 60000000L))
+    val census = EventStream.runToMemory(spark,
+      EventStream.trendingTerms(withTs(EventStream.readDocuments(spark, dir.toString))),
+      "trend_census")
+    val batchCensus = withTs(graft.core.Tables.documents(spark, sf0001))
+      .select($"ts", explode(graft.functions.TextOps.tokens($"text")).as("term"))
+      .groupBy(window($"ts", "10 minutes").as("w"), $"term")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"w.start").as("win_start"), $"term", $"n")
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(toSet(census).nonEmpty && toSet(census) == toSet(batchCensus))
+    // ranking layer: k rows per window, deterministic tie-break, n ordered
+    val top = EventStream.topTermsPerWindow(census, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val byWin = top.groupBy(_._1)
+    assert(byWin.values.forall(_.length == 3))
+    for ((_, rows) <- byWin) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall { case Array(a, b) => a >= b })
+    }
+  }
+
   test("stateless curation stages run unchanged on a stream (PII scrub + chunking)") {
     // The scrub/prep map stages are plain Column compositions — the SAME
     // operator objects drive readStream with no code changes, which is the
