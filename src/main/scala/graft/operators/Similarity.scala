@@ -140,6 +140,26 @@ object Similarity {
       .filter(col("rk") <= topK)
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce `array<float>`
+    * embeddings to `signs.length` dimensions via literal Rademacher (±1)
+    * planes, scaled by 1/√k to preserve expected norms — the standard
+    * cheap pre-ANN shrink (project once, index/search the short vectors,
+    * re-rank survivors in the original space). Pure map stage: zero
+    * shuffle, scales with input splits; the projection matrix is a plan
+    * literal, so any executor (or any engine — the oracle embeds the same
+    * signs) reproduces identical outputs bit-for-bit. Outputs are
+    * floor-quantized (pure-rational inputs × ±1 sums, then one
+    * correctly-rounded sqrt — deterministic cross-engine). */
+  def randomProject(embs: DataFrame, signs: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    val scale = 1.0 / math.sqrt(signs.length.toDouble)
+    val projCols = signs.zipWithIndex.map { case (s, j) =>
+      (floor(VectorOps.literalProj(col(vecCol), s) * lit(scale) * 1e6 + 0.5) / 1e6)
+        .as(s"p$j")
+    }
+    embs.select(col("vec_id") +: projCols.toSeq: _*)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q48: embedding cosine near-dup pairs ------------------------------
@@ -343,7 +363,40 @@ object Similarity {
              |  FROM d)
              |SELECT label, vec_id, d2, rk FROM r WHERE rk <= 5
              |ORDER BY label, rk""".stripMargin)),
+
+    // ---- q99: JL random projection (pre-ANN dimensionality reduction) -----
+    // 64 → 8 dims through literal ±1 planes; the oracle renders the SAME
+    // sign arrays and scale literal into SQL (single source of truth), so
+    // both engines walk an identical IEEE dag per output coordinate.
+    QueryDef(
+      "q99_random_projection",
+      (s, d) => randomProject(Tables.embeddings(s, d), RandProj.signs)
+        .orderBy(col("vec_id")),
+      Some(RandProj.oracle)),
   )
+
+  /** Shared constants + DuckDB oracle for q99 (same scheme as [[Lsh]]). */
+  private[graft] object RandProj {
+    val OutDim = 8
+    val signs: Array[Array[Double]] = VectorOps.rademacherSigns(OutDim, 64, seed = 99)
+    private val scaleLit: String = (1.0 / math.sqrt(OutDim.toDouble)).toString
+
+    private def sqlList(row: Array[Double]): String =
+      row.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]") + "::DOUBLE[]"
+
+    val oracle: String = {
+      val cols = signs.zipWithIndex.map { case (row, j) =>
+        s"floor(list_sum(list_transform(list_zip(v, ${sqlList(row)}), t -> t[1]*t[2]))" +
+          s" * $scaleLit * 1e6 + 0.5) / 1e6 AS p$j"
+      }.mkString(",\n  ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  $cols
+         |FROM e ORDER BY vec_id""".stripMargin
+    }
+  }
 
   /** Shared constants + DuckDB oracle for q91 (same single-source-of-truth
     * scheme as [[Lsh]]/[[Ivf]]). */

@@ -123,4 +123,26 @@ class SimilaritySpec extends SparkSpec {
     val reps = out.map(_._2).toSet
     assert(out.count(_._3 == 1) == reps.size, "each cluster keeps exactly one row")
   }
+
+  test("randomProject: shape, determinism, and exact JL norm on basis vectors") {
+    import graft.operators.Similarity
+    val e = graft.core.Tables.embeddings(spark, sf0001)
+    val p = Similarity.randomProject(e, Similarity.RandProj.signs)
+    assert(p.columns.toSeq == ("vec_id" +: (0 until 8).map(i => s"p$i")))
+    assert(p.count() == e.count())
+    val run1 = p.orderBy($"vec_id").collect().map(_.toSeq)
+    val run2 = Similarity.randomProject(e, Similarity.RandProj.signs)
+      .orderBy($"vec_id").collect().map(_.toSeq)
+    assert(run1.toSeq == run2.toSeq, "plan-literal planes → bit-identical re-runs")
+    // a basis vector e_i projects to (±1/√8, …) so ‖Pe_i‖² = 8·(1/8) = 1
+    // EXACTLY, for ANY Rademacher sign matrix — the JL norm identity the
+    // quantization must not break beyond 1e-5
+    val basis = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val norms = Similarity.randomProject(basis, Similarity.RandProj.signs)
+      .select($"vec_id", (0 until 8).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _).as("n2"))
+      .collect().map(_.getDouble(1))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5), norms.take(5).mkString(","))
+  }
 }
