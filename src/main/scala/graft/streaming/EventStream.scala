@@ -106,6 +106,31 @@ object EventStream {
       .filter(col("rk") <= k)
       .select(col("win_start"), col("rk"), col("term"), col("n"))
 
+  /** Streaming similarity search — online near-neighbor alerts: each
+    * incoming embedding is LSH-bucketed with the SAME literal Rademacher
+    * planes as the static index (plan-literal model — every executor and
+    * every restart buckets identically), equi-joined stream-static on the
+    * bucket id, and verified by exact cosine ≥ τ. Entirely STATELESS
+    * (map + stream-static join + filter → append mode, no watermark
+    * needed): the streaming twin of the q50 LSH candidate/verify split.
+    * At scale the index side is bucketed/persisted once ([[graft.operators.IvfIndex]]
+    * style) so each micro-batch joins against only its probed buckets. */
+  def neighborAlerts(stream: DataFrame, index: DataFrame,
+      signs: Array[Array[Double]], tau: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val probes = stream.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"),
+      VectorOps.literalSignature(col("embedding"), signs).as("bucket"))
+    val idx = index.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_vec"),
+      VectorOps.literalSignature(col("embedding"), signs).as("bucket"))
+    probes.join(idx, "bucket")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorOps.cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** documents.parquet schema for streaming document ingest. */
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

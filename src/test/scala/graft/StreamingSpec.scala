@@ -122,6 +122,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming neighbor alerts equal the batch LSH candidate/verify twin") {
+    import java.nio.file._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_emb_stream")
+    Files.createSymbolicLink(dir.resolve("embeddings.parquet"),
+      Paths.get(s"$sf0001/embeddings.parquet"))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // 4-bit cells, like q91: at sf0.001 (50 vectors) 8-bit cells leave
+    // every vector alone in its bucket and no alert can fire
+    val signs = graft.functions.VectorOps.rademacherSigns(4, 64, seed = 91)
+    val staticIndex = graft.core.Tables.embeddings(spark, sf0001)
+    val stream = EventStream.neighborAlerts(
+      spark.readStream.schema(schema).parquet(dir.toString), staticIndex,
+      signs, tau = 0.4)
+    val got = EventStream.runToMemory(spark, stream, "nn_alerts", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the SAME stateless operator over the static frame is the batch twin
+    val batchTwin = EventStream.neighborAlerts(staticIndex, staticIndex, signs, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == batchTwin)
+    // alerts are genuinely verified: every emitted cosine clears τ
+    assert(got.forall(_._3 >= 0.4))
+  }
+
   test("stateless curation stages run unchanged on a stream (PII scrub + chunking)") {
     // The scrub/prep map stages are plain Column compositions — the SAME
     // operator objects drive readStream with no code changes, which is the
