@@ -123,6 +123,31 @@ object Retrieval {
         slice(col("ps"), 1, maxPostings).as("postings"))
       .orderBy(col("term"), col("shard"))
 
+  /** Positional-index phrase search: find documents containing the exact
+    * token sequence `phrase`, by JOINING per-term position lists
+    * (pos(term₂) = pos(term₁)+1 ∧ …) instead of substring-scanning text —
+    * the inverted-index algorithm search engines use, because at 100 TB
+    * the position lists of the phrase's RAREST term bound the join while
+    * a LIKE scan reads every byte of every document. Emits (doc_id,
+    * n_hits) with hit multiplicity. The plan keeps only positions of the
+    * phrase's terms (an `array_position`-style pre-filter inside the
+    * generator input would not prune; the explode output IS filtered
+    * before the self-join, so the join inputs are phrase-term-only). */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least two tokens")
+    val positions = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+    val anchored = phrase.zipWithIndex.map { case (t, i) =>
+      positions.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    anchored.reduceLeft((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q95: BM25 ranked retrieval ----------------------------------------
@@ -147,5 +172,23 @@ object Retrieval {
              |  CAST(len(list_distinct(list(doc_id))) AS BIGINT) AS df,
              |  list_slice(list_sort(list_distinct(list(doc_id))), 1, 12) AS postings
              |FROM x GROUP BY term, shard ORDER BY term, shard""".stripMargin)),
+
+    // ---- q100: positional-index phrase search ------------------------------
+    // CROSS-ALGORITHM oracle: Spark answers by joining per-term position
+    // lists; DuckDB answers by scanning each token array for consecutive
+    // matches. Two different algorithms agreeing on (docs, multiplicity)
+    // checks the semantics, not the implementation.
+    QueryDef(
+      "q100_phrase_search",
+      (s, d) => phraseSearch(Tables.documents(s, d), Seq("table", "value")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |    len([i for i in range(1, len(t) - 2 + 2)
+             |         if t[i] = 'table' AND t[i+1] = 'value']) AS n_hits
+             |  FROM t)
+             |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -68,6 +68,21 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("phraseSearch: multiplicity, overlaps, and 3-token phrases") {
+    val corpus = Seq(
+      (1L, "a b c a b c"),      // "a b c" twice
+      (2L, "a a a"),            // "a a" OVERLAPS: starts at 1 and 2
+      (3L, "a b"),              // prefix only — no "a b c"
+      (4L, "c b a")             // right terms, wrong order
+    ).toDF("doc_id", "text")
+    val abc = Retrieval.phraseSearch(corpus, Seq("a", "b", "c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(abc == Map(1L -> 2L))
+    val aa = Retrieval.phraseSearch(corpus, Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa == Map(2L -> 2L), "overlapping occurrences both count")
+  }
+
   test("invertedIndex: postings cap keeps the smallest doc_ids") {
     val many = (0L until 10L).map(i => (i, "zebra")).toDF("doc_id", "text")
     val idx = Retrieval.invertedIndex(many, nShards = 1, maxPostings = 3).collect()
