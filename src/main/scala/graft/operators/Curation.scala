@@ -322,7 +322,14 @@ object Curation {
     |  FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
     |                       for i in range(1, greatest(len(t), 1))]) AS s FROM tok$k)
     |  GROUP BY 1, 2),
-    |top$k AS (SELECT w1, w2 FROM pc$k ORDER BY c DESC, w1, w2 LIMIT 1),
+    |-- coalesce to an unmatchable sentinel (chr(1) cannot appear in a
+    |-- token) so an exhausted-pairs round is an IDENTITY rewrite, matching
+    |-- bpeTrain's skip — a bare LIMIT 1 would go EMPTY and the cross join
+    |-- below would delete every document from the oracle output
+    |top$k AS (
+    |  SELECT
+    |    coalesce((SELECT w1 FROM pc$k ORDER BY c DESC, w1, w2 LIMIT 1), chr(1)) AS w1,
+    |    coalesce((SELECT w2 FROM pc$k ORDER BY c DESC, w1, w2 LIMIT 1), chr(1)) AS w2),
     |pos$k AS (
     |  SELECT doc_id, s.i AS i, s.tok AS tok, s.cand AS cand, s.isw1 AS isw1,
     |         tp.w1 AS w1, tp.w2 AS w2

@@ -47,14 +47,22 @@ object Dedup {
     * swings 2.4 s → 134 s when the one busy vCPU is contended). At 100 TB
     * the scan has thousands of splits and this is a no-op — the guard
     * keeps the extra exchange a small-input-only cost. */
-  private def fanOut(df: DataFrame): DataFrame = {
+  private def fanOut(df: DataFrame, gauge: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // `gauge` is the frame whose partition count decides, and it must be a
+    // RAW SCAN (`.rdd` on a scan only lists files) — NOT `df` itself: at
+    // the verification call sites df contains a broadcast join, and
+    // `.rdd.getNumPartitions` under AQE materializes every query stage
+    // beneath it, executing the whole candidate pipeline once for the
+    // count and again for the real action. The broadcast join preserves
+    // its stream side's partitioning, so gauging the bare scan makes the
+    // identical decision for free.
     // the partition count is EXPLICIT: a bare repartition(col) exchange is
     // AQE-coalescible, and AQE — seeing only the exchange's tiny byte size,
     // not the cost of the projection above it — folds it back to one
     // partition, recreating exactly the single-task stage this exists to
     // break up (observed in thread dumps: stage with 1 task, 31 idle cores)
-    if (df.rdd.getNumPartitions >= par) df
+    if (gauge.rdd.getNumPartitions >= par) df
     else df.repartition(par, col("doc_id"))
   }
 
@@ -64,7 +72,7 @@ object Dedup {
     * materializes signatures through one reusable exchange (see
     * minhashLshPairs scaladoc, step 1). */
   private def bandBuckets(docs: DataFrame, maxBucket: Int): DataFrame = {
-    val toks = fanOut(docs.select(col("doc_id"), col("text")))
+    val toks = fanOut(docs.select(col("doc_id"), col("text")), gauge = docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
     val sig = toks
@@ -167,7 +175,7 @@ object Dedup {
     // The trailing repartition makes the (tiny, candidate-bounded) shingle
     // table a reusable exchange: both verification join sides read ONE
     // computed copy instead of re-scanning + re-shingling per side.
-    val sh = fanOut(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    val sh = fanOut(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"), gauge = docs)
       .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
       // explicit count, same AQE-coalesce hazard: the verification joins and
       // the (interpreted) intersect/union sit above this exchange
@@ -316,7 +324,7 @@ object Dedup {
       .distinct()
     def shinglesOf(docs: DataFrame, idAlias: String, shAlias: String) = {
       val ids = cand.select(col(s"${idAlias}").as("doc_id")).distinct()
-      fanOut(docs.join(broadcast(ids), Seq("doc_id"), "left_semi"))
+      fanOut(docs.join(broadcast(ids), Seq("doc_id"), "left_semi"), gauge = docs)
         .select(col("doc_id").as(idAlias),
           TextOps.shingles(col("text"), ShingleN).as(shAlias))
     }

@@ -118,8 +118,20 @@ object Maintenance {
       outDir: String, targetBytes: Long, sortCols: Seq[String] = Nil): (Int, Int) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+    // FLAT-DIRECTORY contract: this compacts ONE leaf (= one partition
+    // directory at lake scale — see SCALING.md: each leaf is independent
+    // and embarrassingly parallel). A hive-partitioned root must be driven
+    // per leaf; silently flattening it would both miscount (0 files seen
+    // here) and destroy the partition layout on rewrite.
+    val subDirs = entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+    require(subDirs.isEmpty,
+      s"compactFiles expects a flat leaf directory; $inDir contains " +
+        s"subdirectories (${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "invoke per partition directory")
+    val files = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no .parquet files under $inDir")
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inDir).repartition(nOut)

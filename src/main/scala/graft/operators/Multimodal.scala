@@ -171,6 +171,11 @@ object Multimodal {
           val p = i.toInt + 8
           val usf = le32(p)
           val frames = le32(p + 16)
+          // both fields are unvalidated u32s: a fuzzer-grade header with
+          // 0xFFFFFFFF in each would overflow Long into a NEGATIVE
+          // duration and silently mislead duration predicates — treat an
+          // overflowing product as a corrupt container
+          if (usf != 0 && frames > Long.MaxValue / usf) return None
           return Some(VideoMeta(le32(p + 32).toInt, le32(p + 36).toInt,
             frames, usf, frames * usf))
         } else if (id == "LIST") {

@@ -124,25 +124,32 @@ object Retrieval {
       .orderBy(col("term"), col("shard"))
 
   /** Positional-index phrase search: find documents containing the exact
-    * token sequence `phrase`, by JOINING per-term position lists
-    * (pos(term₂) = pos(term₁)+1 ∧ …) instead of substring-scanning text —
-    * the inverted-index algorithm search engines use, because at 100 TB
-    * the position lists of the phrase's RAREST term bound the join while
-    * a LIKE scan reads every byte of every document. Emits (doc_id,
-    * n_hits) with hit multiplicity. The plan keeps only positions of the
-    * phrase's terms (an `array_position`-style pre-filter inside the
-    * generator input would not prune; the explode output IS filtered
-    * before the self-join, so the join inputs are phrase-term-only). */
+    * token sequence `phrase`, from per-term POSITIONS instead of
+    * substring-scanning text. A token at position p matching phrase term k
+    * votes for candidate start `p − k`; a start that collects ALL
+    * `phrase.length` DISTINCT k votes is an occurrence (each vote asserts
+    * token(start+k) = phrase(k), so a full set is exactly a match —
+    * including overlapping and repeated-term phrases).
+    *
+    * Physical shape — and why it beats the textbook "join the position
+    * lists per term": the corpus is scanned and exploded ONCE, the
+    * K-row (term, k) index broadcasts, and the vote count is one
+    * partial-aggregated shuffle of (doc, start) pairs for phrase-term
+    * positions only. A per-term-branch join would re-scan the corpus per
+    * term (Catalyst pushes each branch's `term = tₖ` filter below any
+    * shared exchange, defeating ReuseExchange — the q46 semi-join rule),
+    * and per-phrase-term position lists never materialize anywhere. */
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, "a phrase needs at least two tokens")
-    val positions = docs
+    val session = docs.sparkSession
+    import session.implicits._
+    val termIdx = phrase.zipWithIndex.toDF("term", "k")
+    docs
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
-      .filter(col("term").isin(phrase: _*))
-    val anchored = phrase.zipWithIndex.map { case (t, i) =>
-      positions.filter(col("term") === t)
-        .select(col("doc_id"), (col("pos") - i).as("start"))
-    }
-    anchored.reduceLeft((a, b) => a.join(b, Seq("doc_id", "start")))
+      .join(broadcast(termIdx), "term") // keeps phrase-term positions only
+      .groupBy(col("doc_id"), (col("pos") - col("k")).as("start"))
+      .agg(countDistinct(col("k")).as("nk"))
+      .filter(col("nk") === phrase.length)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))

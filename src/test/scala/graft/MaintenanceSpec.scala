@@ -103,4 +103,16 @@ class MaintenanceSpec extends SparkSpec {
       assert(gs.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
     }
   }
+
+  test("compactFiles refuses a hive-partitioned root instead of flattening it") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_compact_part").toString
+    spark.range(100).select($"id", ($"id" % 3).as("p"))
+      .write.partitionBy("p").mode("overwrite").parquet(in)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactFiles(spark, in,
+        Files.createTempDirectory("graft_compact_part_out").toString + "/t", 1L << 20)
+    }
+    assert(e.getMessage.contains("per partition directory"))
+  }
 }

@@ -83,6 +83,16 @@ class RetrievalSpec extends SparkSpec {
     assert(aa == Map(2L -> 2L), "overlapping occurrences both count")
   }
 
+  test("phraseSearch plan: the corpus is exploded ONCE — no per-term re-scan") {
+    // K generators in the plan would mean K corpus scans at 100 TB; the
+    // vote formulation keeps exactly one, with the (term, k) index broadcast
+    val plan = Retrieval.phraseSearch(docs, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    val generators = "Generate posexplode".r.findAllIn(plan).size
+    assert(generators == 1, s"expected a single explode:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("invertedIndex: postings cap keeps the smallest doc_ids") {
     val many = (0L until 10L).map(i => (i, "zebra")).toDF("doc_id", "text")
     val idx = Retrieval.invertedIndex(many, nShards = 1, maxPostings = 3).collect()
