@@ -153,4 +153,48 @@ class PropertiesSpec extends SparkSpec {
         }
     }
   }
+
+  private val corpusGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+      .map(_.mkString(" ")))
+
+  test("property: phraseSearch equals the naive sliding-window count on any corpus") {
+    val phraseGen = for {
+      len <- Gen.choose(2, 3)
+      ts <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield ts
+    forAll(Gen.zip(corpusGen, phraseGen)) { case (texts, phrase) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Retrieval.phraseSearch(df, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split(" ").toSeq
+        val n = toks.sliding(phrase.length).count(_ == phrase)
+        if (n > 0) Some(i.toLong -> n.toLong) else None
+      }.toMap
+      assert(got == expected, s"phrase=$phrase corpus=$texts")
+    }
+  }
+
+  test("property: invertedIndex per-shard stats recompose to the global census") {
+    forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val idx = graft.operators.Retrieval.invertedIndex(df, nShards = 3,
+        maxPostings = Int.MaxValue).collect()
+      val byTerm = idx.groupBy(_.getString(0))
+      val toks = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").map(w => (w, i.toLong)) }
+      for ((term, rows) <- byTerm) {
+        assert(rows.map(_.getLong(2)).sum == toks.count(_._1 == term), s"cf of $term")
+        assert(rows.map(_.getLong(3)).sum ==
+          toks.filter(_._1 == term).map(_._2).distinct.size, s"df of $term")
+        // shards partition the postings: disjoint, correct residues
+        val all = rows.flatMap(r => r.getSeq[Long](4).map(_ -> r.getLong(1)))
+        assert(all.forall { case (d, s) => d % 3 == s })
+        assert(all.map(_._1).distinct.size == all.size)
+      }
+    }
+  }
 }
