@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Similarity.defs ++ operators.Streams.defs ++
       operators.Multimodal.defs ++ operators.Generators.defs ++
       operators.NestedTypes.defs ++ operators.Temporal.defs ++
-      operators.Retrieval.defs ++ operators.Graph.defs
+      operators.Retrieval.defs ++ operators.Graph.defs ++
+      operators.Sketches.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

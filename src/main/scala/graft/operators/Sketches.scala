@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Mergeable frequency sketches — the bounded-memory path for frequency
+  * questions over HIGH-CARDINALITY keys (URLs, user ids, shingle hashes)
+  * where an exact census would itself be a large table. The exact census
+  * (q81-style partial agg) stays the right tool for bounded vocabularies;
+  * Count-Min is for the regime where even the aggregated key space
+  * doesn't fit: the sketch is d×w cells whatever the key cardinality, and
+  * cells are pure counters, so per-partition sketches MERGE by elementwise
+  * addition — the same partial-agg → combine contract Spark's own
+  * aggregates scale by ([[graft.SparkEntry]] q25's HLL covers the
+  * distinct-count face of this; this module covers frequency).
+  *
+  * Hash family: multiplicative-shift `((key·Aⱼ + Bⱼ) mod P) mod w` with
+  * literal constants — pure integer arithmetic, deterministic on any
+  * executor and replayable in an external engine's SQL (the same scheme
+  * as the literal-seeded LSH planes). P = 1e9+7; key·Aⱼ stays ≪ 2⁶³ for
+  * any realistic id (ANSI mode would throw on real overflow — loudly,
+  * not wrongly).
+  */
+object Sketches {
+
+  val P = 1000000007L
+
+  /** Deterministic per-row hash constants for the d rows of the sketch
+    * (seeded PRNG — stable, literal, engine-portable). Multipliers are
+    * ODD in [2³⁰, 2³¹): every unit key step then wraps P at least once,
+    * so `(k·A + B) mod P` mixes all key bits BEFORE the `mod w` bucket
+    * reduction. A small multiplier never wraps P for small keys, the mod
+    * P is then a no-op, and the bucket degenerates to `k·A mod w` — keys
+    * congruent mod w collide in EVERY row (measured: est 518 vs exact 2).
+    * Valid for |key| < 2³² (k·A stays within Long; ANSI throws loudly
+    * beyond, never aliases). */
+  def cmsParams(d: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(d)(((1L << 30) + r.nextInt(1 << 29).toLong * 2 + 1,
+      r.nextInt(1 << 30).toLong))
+  }
+
+  private def bucket(key: Column, a: Long, b: Long, w: Int): Column =
+    pmod(key * lit(a) + lit(b), lit(P)) % w
+
+  /** Build the Count-Min table: (j, bucket, c) — d·w rows at most,
+    * whatever the input cardinality. One explode (d small) + one
+    * partial-aggregated groupBy: the shuffle carries at most d·w rows per
+    * map partition. */
+  def countMin(df: DataFrame, keyCol: String, w: Int,
+      params: Seq[(Long, Long)]): DataFrame = {
+    val rows = params.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"), bucket(col(keyCol), a, b, w).as("bucket"))
+    }
+    df.select(explode(array(rows: _*)).as("r"))
+      .groupBy(col("r.j").as("j"), col("r.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for `queries` against a built sketch: the min over
+    * the d cells each key hashes to. Guaranteed ≥ the exact count
+    * (one-sided error); expected overshoot ≤ 2N/w per row pair. The
+    * sketch is d·w rows → broadcast; the query side stays a map stage. */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame, keyCol: String,
+      w: Int, params: Seq[(Long, Long)]): DataFrame = {
+    val probes = params.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"), bucket(col(keyCol), a, b, w).as("bucket"))
+    }
+    queries
+      .select(col(keyCol), explode(array(probes: _*)).as("r"))
+      .select(col(keyCol), col("r.j").as("j"), col("r.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** Shared constants + oracle for q101 (single source of truth). */
+  private[graft] object Cms {
+    val D = 4
+    val W = 64
+    val params: Seq[(Long, Long)] = cmsParams(D, seed = 101)
+
+    /** The full pipeline in DuckDB: same integer hash dag, same min-over-d
+      * estimate, alongside the exact census it upper-bounds. */
+    val oracle: String = {
+      val bucketSql = (1 to D).map { j1 =>
+        val (a, b) = params(j1 - 1)
+        s"{'j': ${j1 - 1}, 'bucket': ((user_id * $a + $b) % $P + $P) % $P % $W}"
+      }.mkString("[", ", ", "]")
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |cells AS (
+         |  SELECT r.j AS j, r.bucket AS bucket, count(*) AS c
+         |  FROM (SELECT unnest($bucketSql) AS r FROM ev)
+         |  GROUP BY 1, 2),
+         |q AS (SELECT DISTINCT user_id FROM ev WHERE user_id < 20),
+         |probes AS (
+         |  SELECT user_id, r.j AS j, r.bucket AS bucket
+         |  FROM (SELECT user_id, unnest($bucketSql) AS r FROM q)),
+         |est AS (
+         |  SELECT p.user_id, min(coalesce(c.c, 0)) AS est
+         |  FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+         |  GROUP BY p.user_id),
+         |exact AS (
+         |  SELECT user_id, count(*) AS n_exact FROM ev
+         |  WHERE user_id < 20 GROUP BY user_id)
+         |SELECT e.user_id, e.est, x.n_exact
+         |FROM est e JOIN exact x ON x.user_id = e.user_id
+         |ORDER BY e.user_id""".stripMargin
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q101: Count-Min frequency sketch ----------------------------------
+    // Build the sketch over every event's user_id, point-estimate the
+    // first 20 users, and emit the exact census beside it — the gate
+    // checks the ENTIRE sketch pipeline (hashing, cell counts, min-probe)
+    // value-for-value cross-engine, plus exposes the one-sided error for
+    // the spec to bound.
+    QueryDef(
+      "q101_countmin_sketch",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"))
+        val sketch = countMin(ev, "user_id", Cms.W, Cms.params)
+        val queries = ev.filter(col("user_id") < 20).distinct()
+        val exact = ev.filter(col("user_id") < 20)
+          .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        cmsEstimate(sketch, queries, "user_id", Cms.W, Cms.params)
+          .join(exact, "user_id")
+          .select(col("user_id"), col("est"), col("n_exact"))
+          .orderBy(col("user_id"))
+      },
+      Some(Cms.oracle)),
+  )
+}

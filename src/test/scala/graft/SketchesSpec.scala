@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Sketches.cmsParams(4, seed = 7)
+
+  test("countMin estimates are one-sided: est >= exact for every key") {
+    val keys = (Seq.fill(500)(1L) ++ Seq.fill(30)(2L) ++
+      (100L until 400L) ++ (100L until 400L)).toDF("k")
+    val sketch = Sketches.countMin(keys, "k", w = 32, params)
+    val exact = keys.groupBy($"k").agg(count(lit(1)).as("n"))
+    val est = Sketches.cmsEstimate(sketch, keys.distinct(), "k", 32, params)
+    val joined = est.join(exact, "k")
+      .select($"k", $"est", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(joined.nonEmpty)
+    assert(joined.forall { case (_, e, n) => e >= n },
+      joined.filter { case (_, e, n) => e < n }.take(5).mkString(","))
+    // the overshoot is bounded: est − exact ≤ 2N/w with high probability
+    // (deterministic here — fixed params + data; measured overshoot 18)
+    val n = joined.map(_._3).sum
+    assert(joined.forall { case (_, e, x) => e - x <= 2 * n / 32 },
+      joined.maxBy { case (_, e, x) => e - x }.toString)
+  }
+
+  test("countMin sketches MERGE: elementwise sum of halves equals the full sketch") {
+    val all = (0L until 2000L).map(i => i % 37).toDF("k")
+    val h1 = all.filter($"k" % 2 === 0)
+    val h2 = all.filter($"k" % 2 =!= 0)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.countMin(df, "k", w = 16, params).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cells(h1).keySet ++ cells(h2).keySet).map { key =>
+      key -> (cells(h1).getOrElse(key, 0L) + cells(h2).getOrElse(key, 0L))
+    }.toMap
+    assert(merged == cells(all))
+  }
+
+  test("countMin sketch size is d x w whatever the input cardinality") {
+    val wide = (0L until 5000L).toDF("k") // 5000 distinct keys
+    val n = Sketches.countMin(wide, "k", w = 8, params).count()
+    assert(n <= 4 * 8, s"sketch must stay bounded, got $n cells")
+  }
+}
