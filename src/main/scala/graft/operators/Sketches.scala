@@ -123,9 +123,12 @@ object Sketches {
       (s, d) => {
         val ev = Tables.events(s, d).select(col("user_id"))
         val sketch = countMin(ev, "user_id", Cms.W, Cms.params)
-        val queries = ev.filter(col("user_id") < 20).distinct()
         val exact = ev.filter(col("user_id") < 20)
           .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        // probe keys DERIVE from the census so the two subtrees are one
+        // shared scan+shuffle (ReuseExchange), not two — the CLAUDE.md
+        // shared-subtree rule
+        val queries = exact.select("user_id")
         cmsEstimate(sketch, queries, "user_id", Cms.W, Cms.params)
           .join(exact, "user_id")
           .select(col("user_id"), col("est"), col("n_exact"))

@@ -34,8 +34,9 @@ class SketchesSpec extends SparkSpec {
     def cells(df: org.apache.spark.sql.DataFrame) =
       Sketches.countMin(df, "k", w = 16, params).collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val merged = (cells(h1).keySet ++ cells(h2).keySet).map { key =>
-      key -> (cells(h1).getOrElse(key, 0L) + cells(h2).getOrElse(key, 0L))
+    val (c1, c2) = (cells(h1), cells(h2))
+    val merged = (c1.keySet ++ c2.keySet).map { key =>
+      key -> (c1.getOrElse(key, 0L) + c2.getOrElse(key, 0L))
     }.toMap
     assert(merged == cells(all))
   }
