@@ -75,6 +75,46 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Equi-width histogram quantile sketch — the MERGEABLE approximate-
+    * percentile path whose output (unlike an internal KLL/GK sketch) is a
+    * plain deterministic dag, so the estimate itself is oracle-checkable:
+    * bin counts over [lo, hi] partial-aggregate map-side and merge by
+    * addition; a quantile estimate is the midpoint of the first bin whose
+    * cumulative count reaches ⌈q·n⌉. Error is bounded by the bin width
+    * (hi−lo)/bins — the spec pins estimates against exact percentiles.
+    * At 100 TB: one stats pass (min/max), one binned partial-agg shuffle
+    * of ≤ groups·bins rows, one tiny window — state per group is `bins`
+    * counters however many rows stream through (the q23 exact-percentile
+    * state bound this path exists to avoid). Global [lo, hi] keeps bins
+    * comparable across groups (per-group ranges would tighten error at
+    * the cost of non-mergeable bin edges). */
+  def histogramQuantiles(df: DataFrame, valCol: String, groupCol: String,
+      bins: Int, qs: Seq[Double]): DataFrame = {
+    val v = col(valCol).cast("double")
+    val stats = df.agg(min(v).as("lo"), max(v).as("hi"))
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((v - col("lo")) / (col("hi") - col("lo")) * bins),
+        lit(bins - 1L)).cast("long"))
+    val counts = df.crossJoin(broadcast(stats))
+      .select(col(groupCol), bin.as("bin"), col("lo"), col("hi"))
+      .groupBy(col(groupCol), col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .crossJoin(broadcast(df.sparkSession.range(1)
+        .select(explode(array(qs.map(lit): _*)).as("q"))))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col(groupCol), col("q"), col("lo"), col("hi"), col("n"))
+      .agg(min(col("bin")).as("qbin"))
+      .select(col(groupCol), col("q"),
+        (floor((col("lo") + (col("qbin") + lit(0.5)) * (col("hi") - col("lo")) / bins)
+          * 1e6 + 0.5) / 1e6).as("est"))
+  }
+
   /** Shared constants + oracle for q101 (single source of truth). */
   private[graft] object Cms {
     val D = 4
@@ -135,5 +175,42 @@ object Sketches {
           .orderBy(col("user_id"))
       },
       Some(Cms.oracle)),
+
+    // ---- q102: histogram quantile sketch (mergeable approx percentiles) ----
+    // The oracle replays the ENTIRE estimate (bin edges, cumulative walk,
+    // midpoint) — unlike q23b whose engine-internal sketch is rows-only.
+    // Quantile literals are CAST to DOUBLE in SQL: DuckDB's decimal 0.95*n
+    // is EXACT where IEEE is not, and ceil() would part ways right at
+    // integer boundaries (the CLAUDE.md decimal rule).
+    QueryDef(
+      "q102_histogram_quantiles",
+      (s, d) => histogramQuantiles(Tables.lineitem(s, d),
+        "l_extendedprice", "l_returnflag", bins = 1024, qs = Seq(0.5, 0.95))
+        .orderBy(col("l_returnflag"), col("q")),
+      Some("""WITH stats AS (
+             |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             |         max(CAST(l_extendedprice AS DOUBLE)) AS hi
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT l_returnflag AS grp,
+             |    CASE WHEN hi = lo THEN 0
+             |         ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+             |                        / (hi - lo) * 1024), 1023) AS BIGINT)
+             |    END AS bin, lo, hi
+             |  FROM lineitem, stats),
+             |c AS (SELECT grp, bin, lo, hi, count(*) AS c FROM b GROUP BY 1, 2, 3, 4),
+             |cum AS (
+             |  SELECT grp, bin, lo, hi,
+             |    sum(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             |    sum(c) OVER (PARTITION BY grp) AS n
+             |  FROM c),
+             |qv AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q),
+             |sel AS (
+             |  SELECT grp, q, lo, hi, min(bin) AS qbin
+             |  FROM cum, qv WHERE cum >= ceil(q * n)
+             |  GROUP BY grp, q, lo, hi)
+             |SELECT grp AS l_returnflag, q,
+             |  floor((lo + (qbin + 0.5) * (hi - lo) / 1024) * 1e6 + 0.5) / 1e6 AS est
+             |FROM sel ORDER BY l_returnflag, q""".stripMargin)),
   )
 }

@@ -41,6 +41,35 @@ class SketchesSpec extends SparkSpec {
     assert(merged == cells(all))
   }
 
+  test("histogramQuantiles: estimates land within one bin width of exact") {
+    val li = graft.core.Tables.lineitem(spark, sf0001)
+    val est = Sketches.histogramQuantiles(li, "l_extendedprice", "l_returnflag",
+      bins = 1024, qs = Seq(0.5, 0.95)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val Array(lo, hi) = li.agg(min($"l_extendedprice"), max($"l_extendedprice"))
+      .collect().flatMap(r => Array(r.getDouble(0), r.getDouble(1)))
+    val width = (hi - lo) / 1024
+    // the precise invariant: the estimate is the midpoint of the bin
+    // holding the ⌈q·n⌉-th ORDER STATISTIC, so it sits within width/2 of
+    // that order stat (interpolated percentiles can straddle bins)
+    val byFlag = li.select($"l_returnflag", $"l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).sorted }
+    assert(est.size == byFlag.size * 2)
+    for ((flag, vs) <- byFlag; q <- Seq(0.5, 0.95)) {
+      val orderStat = vs(math.ceil(q * vs.length).toInt - 1)
+      assert(math.abs(est((flag, q)) - orderStat) <= width / 2 + 1e-6,
+        s"$flag q=$q: est ${est((flag, q))} vs order stat $orderStat (width $width)")
+    }
+  }
+
+  test("histogramQuantiles: constant column collapses to the single value") {
+    val df = Seq.fill(50)(("g", 42.0)).toDF("grp", "v")
+    val got = Sketches.histogramQuantiles(df, "v", "grp", 1024, Seq(0.5))
+      .collect()
+    assert(got.length == 1 && got(0).getDouble(2) == 42.0)
+  }
+
   test("countMin sketch size is d x w whatever the input cardinality") {
     val wide = (0L until 5000L).toDF("k") // 5000 distinct keys
     val n = Sketches.countMin(wide, "k", w = 8, params).count()
