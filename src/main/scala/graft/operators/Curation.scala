@@ -133,6 +133,32 @@ object Curation {
     docs.withColumn("bucket", bucket).filter(col("bucket") < rate)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws priority `u^(1/w)` from a
+    * multiplicative-hash uniform `u ∈ (0,1)` — no RNG state, so the
+    * sample is identical across retries and speculative tasks (the same
+    * reproducibility argument as [[stratifiedSample]]) — and the k
+    * highest priorities win. Inclusion probability is proportional to
+    * weight (the A-ES theorem); rows with weight ≤ 0 get priority 0 and
+    * can never be selected. Distribution shape: priority is a pure map,
+    * selection is TakeOrderedAndProject — k rows per partition cross the
+    * wire, no global sort. `pow` is transcendental, so this operator is
+    * SPEC-verified (priority recomputed from the exposed `u`), not
+    * oracle-replayed — the one numeric class the DuckDB gate can't hash.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val u = expr(
+      s"(CAST(((pmod($idCol, 2147483648) * 2654435761) % 4294967296) AS DOUBLE) + 1.0) / 4294967297.0")
+    val w = col(weightCol).cast("double")
+    val priority = when(w > 0, pow(col("u"), lit(1.0) / w)).otherwise(lit(0.0))
+    docs.withColumn("u", u)
+      .withColumn("priority", priority)
+      .filter(col("priority") > 0)
+      .orderBy(desc("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Greedy sequence packing: within each shard (ordered by doc_id), a
     * document opens at running-token-offset `cum − n` and lands in bin
     * `(cum − n) div budget` — the standard start-offset approximation of

@@ -258,6 +258,34 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq("c c", "a b", "a", "a b"))
   }
 
+  test("weightedSample: A-ES selection is deterministic, weight-monotone, and exact given u") {
+    val df = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble)).toDF("doc_id", "w")
+    val s1 = Curation.weightedSample(df, "w", k = 20).collect()
+    val s2 = Curation.weightedSample(df, "w", k = 20).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq, "re-runs identical")
+    assert(s1.length == 20)
+    // exact selection check: recompute priority from the exposed u and
+    // verify the output IS the top-k by (priority, doc_id)
+    val all = Curation.weightedSample(df, "w", k = 200).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    // within 1 ulp, not bit-equal: pow's intrinsic may differ from the
+    // driver's by a unit in the last place — the very reason this
+    // operator is spec-verified instead of DuckDB-oracle-replayed
+    for ((id, u, p) <- all) {
+      val e = math.pow(u, 1.0 / ((id % 7 + 1).toDouble))
+      assert(math.abs(p - e) <= math.ulp(e), s"doc $id: $p vs $e")
+    }
+    val expectedTop = all.sortBy { case (id, _, p) => (-p, id) }.take(20).map(_._1).toSeq
+    assert(s1.map(_.getLong(0)).toSeq == expectedTop)
+    // a weight-1e9 row beats weight-1e-9 rows for ANY u in (0,1)
+    val skew = Seq((1L, 1e-9), (2L, 1e9), (3L, 1e-9)).toDF("doc_id", "w")
+    assert(Curation.weightedSample(skew, "w", k = 1).collect()(0).getLong(0) == 2L)
+    // non-positive weights are never selected
+    val mixed = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0)).toDF("doc_id", "w")
+    assert(Curation.weightedSample(mixed, "w", k = 3).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("plan: qualityFilter / stratifiedSample / quantizeInt8 are shuffle-free") {
     for (df <- Seq(
         Curation.qualityFilter(docsDf),
