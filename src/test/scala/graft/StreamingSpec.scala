@@ -120,6 +120,12 @@ class StreamingSpec extends SparkSpec {
       val sorted = rows.sortBy(_._2)
       assert(sorted.map(_._4).sliding(2).forall { case Array(a, b) => a >= b })
     }
+    // the scaladoc's scale claim: the rank filter must reach the map side
+    // as a WindowGroupLimit below the exchange (k rows per partition
+    // cross the wire, not every (window, term) count)
+    val rankPlan = EventStream.topTermsPerWindow(batchCensus, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(rankPlan.contains("WindowGroupLimit"), rankPlan)
   }
 
   test("streaming neighbor alerts equal the batch LSH candidate/verify twin") {
