@@ -19,12 +19,17 @@ final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    // gate = false keeps the query out of the driver's correctness gate
+    // (Verify/queries) while still benching it when headline = true — for
+    // production twins whose outputs are engine-specific by design (sketch
+    // estimates) and whose semantics are pinned by a spec instead.
+    gate: Boolean = true)
 
 object QueryDef {
   /** Registry helper: modules expose `defs: Seq[QueryDef]`. */
   def toQueriesMap(all: Seq[QueryDef]): Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.build).toMap
+    all.filter(_.gate).map(q => q.name -> q.build).toMap
 
   def toOracleMap(all: Seq[QueryDef]): Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -387,7 +387,8 @@ object Curation {
   private[graft] def bpeOracle(iterations: Int): String =
     "WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)," +
       (0 until iterations).map(bpeIterSql).mkString(",") +
-      s"\nSELECT doc_id, len(t) AS n_after, t AS toks FROM tok$iterations ORDER BY doc_id"
+      s"\nSELECT doc_id, len(t) AS n_after, array_to_string(t, chr(1)) AS toks" +
+      s" FROM tok$iterations ORDER BY doc_id"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -473,6 +474,10 @@ object Curation {
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- q73: sequence packing by token budget -----------------------------
+    // Oracle CASTs: DuckDB sum()/`//` return HUGEINT, which pandas widens
+    // to float64 — the official checker's hash is dtype-sensitive, so an
+    // un-cast oracle fails against Spark's int64 even when every value
+    // matches (r4 red row). CAST AS BIGINT on every sum()///-derived column.
     QueryDef(
       "q73_pack_sequences",
       (s, d) => packSequences(Tables.documents(s, d), "source", budget = 256)
@@ -486,14 +491,21 @@ object Curation {
              |        sum(n) OVER (PARTITION BY source ORDER BY doc_id
              |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              |      FROM t)
-             |SELECT source, (cum - n) // 256 AS bin,
-             |  count(*) AS n_docs, sum(n) AS n_tokens
+             |SELECT source, CAST((cum - n) // 256 AS BIGINT) AS bin,
+             |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
              |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
 
     // ---- q74: int8 embedding quantization ----------------------------------
+    // Gate output is SCALAR-ONLY: the official checker sorts outputs with
+    // pandas sort_values, which crashes on ndarray cells, so the qvec array
+    // is serialized to a comma-joined string on BOTH sides (exact for
+    // integers — no float formatting involved). quantizeInt8 itself keeps
+    // the typed array API.
     QueryDef(
       "q74_embed_quantize",
       (s, d) => quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("scale_q"),
+          array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec"))
         .orderBy(col("vec_id")),
       Some("""WITH t AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -504,7 +516,8 @@ object Curation {
              |        CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m)
              |SELECT vec_id,
              |  CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_q,
-             |  list_transform(v, x -> greatest(-127, least(127, CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qvec
+             |  array_to_string(list_transform(v, x ->
+             |    CAST(greatest(-127, least(127, CAST(floor(x * scale + 0.5) AS BIGINT))) AS VARCHAR)), ',') AS qvec
              |FROM s ORDER BY vec_id""".stripMargin)),
 
     // ---- q75: quality-based cluster representatives ------------------------
@@ -651,11 +664,16 @@ object Curation {
     // break on (w1, w2) in both engines) and replays the leftmost-greedy
     // rewrite via the windowed run-parity formulation — so the gate checks
     // the LEARNED MODEL and the rewritten corpus, not just plumbing.
+    // Gate output is scalar-only (driver sort_values crashes on ndarray
+    // cells): the token array serializes through chr(1), which cannot
+    // appear inside a token (merged tokens contain ' ', so space would be
+    // ambiguous; the  join is injective given n_after).
     QueryDef(
       "q94_bpe_merges",
       (s, d) => {
         val (_, toks) = bpeTrain(Tables.documents(s, d), iterations = 3)
-        toks.select(col("doc_id"), size(col("t")).as("n_after"), col("t").as("toks"))
+        toks.select(col("doc_id"), size(col("t")).as("n_after"),
+            array_join(col("t"), "\u0001").as("toks"))
           .orderBy(col("doc_id"))
       },
       Some(bpeOracle(3))),

@@ -113,9 +113,11 @@ object RelationalExt {
     // ---- q23b: approx-percentile production twin ---------------------------
     // The 100 TB path for q23: percentile_approx keeps O(accuracy) state per
     // group (GK sketch) instead of buffering every value for exact order
-    // statistics. Rows-only at the gate (sketch outputs differ across
-    // engines); RelationalExtSpec pins it to q23's exact values within
-    // tolerance. Headline so the bench shows the exact-vs-sketch cost gap.
+    // statistics. gate = false: sketch outputs differ across engines by
+    // design, so a DuckDB oracle cannot exist and a rows-only gate row reads
+    // as a permanent `err` on an otherwise green board (r4 verdict #5).
+    // RelationalExtSpec pins it to q23's exact values within tolerance;
+    // still headline so the bench shows the exact-vs-sketch cost gap.
     QueryDef(
       "q23b_percentiles_approx",
       (s, d) => {
@@ -133,6 +135,7 @@ object RelationalExt {
           .orderBy($"l_returnflag")
       },
       None,
-      headline = true),
+      headline = true,
+      gate = false),
   )
 }

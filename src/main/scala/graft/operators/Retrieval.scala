@@ -168,16 +168,24 @@ object Retrieval {
       Some(bm25Oracle(Seq("dup", "spark", "merge", "vector"), k = 20))),
 
     // ---- q96: sharded inverted index ---------------------------------------
+    // Gate output is scalar-only (driver sort_values crashes on ndarray
+    // cells): the BIGINT[] posting list serializes to a comma-joined
+    // string on both sides — exact for integers. invertedIndex itself
+    // keeps the typed array API.
     QueryDef(
       "q96_inverted_index",
-      (s, d) => invertedIndex(Tables.documents(s, d), nShards = 4, maxPostings = 12),
+      (s, d) => invertedIndex(Tables.documents(s, d), nShards = 4, maxPostings = 12)
+        .select(col("term"), col("shard"), col("cf"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), ",").as("postings")),
       Some("""WITH x AS (
              |  SELECT doc_id, doc_id % 4 AS shard,
              |         unnest(string_split(text, ' ')) AS term
              |  FROM documents)
              |SELECT term, shard, count(*) AS cf,
              |  CAST(len(list_distinct(list(doc_id))) AS BIGINT) AS df,
-             |  list_slice(list_sort(list_distinct(list(doc_id))), 1, 12) AS postings
+             |  array_to_string(list_transform(
+             |    list_slice(list_sort(list_distinct(list(doc_id))), 1, 12),
+             |    x -> CAST(x AS VARCHAR)), ',') AS postings
              |FROM x GROUP BY term, shard ORDER BY term, shard""".stripMargin)),
 
     // ---- q100: positional-index phrase search ------------------------------

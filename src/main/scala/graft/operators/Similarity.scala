@@ -318,10 +318,17 @@ object Similarity {
     // ---- q92: per-label embedding centroids (positional mean-pool) ---------
     // The shuffle carries (label, pos) partial sums — never vectors; means
     // round to 6 (noise-dominated aggregate, cross-engine summation order).
+    // Gate output is scalar-only (the driver's pandas sorter crashes on
+    // array cells): the DOUBLE[] centroid is exploded to one (label, pos,
+    // m) row per dimension — no float stringification, exact doubles on
+    // both sides. labelCentroids itself keeps the assembled-array API.
     QueryDef(
       "q92_label_centroids",
       (s, d) => labelCentroids(Tables.embeddings(s, d))
-        .orderBy(col("label")),
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("pos", "m")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy(col("label"), col("pos")),
       Some("""WITH e AS (
              |  SELECT label,
              |    unnest([{'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}
@@ -329,9 +336,12 @@ object Similarity {
              |  FROM embeddings),
              |g AS (
              |  SELECT label, s.pos AS pos, round(avg(s.x), 6) AS m, count(*) AS cnt
-             |  FROM e GROUP BY 1, 2)
-             |SELECT label, max(cnt) AS n_vectors, list(m ORDER BY pos) AS centroid
-             |FROM g GROUP BY label ORDER BY label""".stripMargin)),
+             |  FROM e GROUP BY 1, 2),
+             |n AS (SELECT label, max(cnt) AS n_vectors FROM g GROUP BY label)
+             |SELECT g.label AS label, n.n_vectors AS n_vectors,
+             |  CAST(g.pos - 1 AS BIGINT) AS pos, g.m AS m
+             |FROM g JOIN n ON n.label = g.label
+             |ORDER BY label, pos""".stripMargin)),
 
     // ---- q93: distance-to-centroid outliers (mislabeled-embedding audit) ---
     // d2 ranks on the floor-quantized value with vec_id tiebreak; both

@@ -27,7 +27,10 @@ class RelationalExtSpec extends SparkSpec {
   test("q23b approx percentiles track q23 exact percentiles per group") {
     val exact = SparkEntry.queries("q23_percentiles")(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = SparkEntry.queries("q23b_percentiles_approx")(spark, sf0001)
+    // q23b is gate = false (no DuckDB oracle can exist for a sketch), so it
+    // lives only in the defs registry, not in SparkEntry.queries
+    val q23b = graft.operators.RelationalExt.defs.find(_.name == "q23b_percentiles_approx").get
+    val approx = q23b.build(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (flag, (m, p90, q1)) =>
