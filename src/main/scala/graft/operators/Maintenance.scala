@@ -116,9 +116,19 @@ object Maintenance {
     * file sizes. Returns (filesBefore, filesAfter). */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetBytes: Long, sortCols: Seq[String] = Nil): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
-    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = inPath.getFileSystem(conf)
+    // overwrite-into-source would clobber the input mid-read (the rewrite
+    // streams from inDir while writing); compare fully-qualified paths so
+    // "file:/x" and "/x/" can't sneak past as different spellings
+    val inQ = fs.makeQualified(inPath)
+    val outQ = outPath.getFileSystem(conf).makeQualified(outPath)
+    require(inQ != outQ,
+      s"compactFiles: outDir must differ from inDir ($inQ) — mode overwrite " +
+        "would clobber the source mid-read; write to a sibling and swap")
+    val entries = fs.listStatus(inPath)
     // FLAT-DIRECTORY contract: this compacts ONE leaf (= one partition
     // directory at lake scale — see SCALING.md: each leaf is independent
     // and embarrassingly parallel). A hive-partitioned root must be driven
@@ -138,7 +148,9 @@ object Maintenance {
     val sorted = if (sortCols.nonEmpty)
       df.sortWithinPartitions(sortCols.map(col): _*) else df
     sorted.write.mode("overwrite").parquet(outDir)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+    // the output may live on a DIFFERENT filesystem (e.g. compact HDFS →
+    // S3): count through outDir's own FS, not inDir's
+    val after = outPath.getFileSystem(conf).listStatus(outPath)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (files.length, after)
   }

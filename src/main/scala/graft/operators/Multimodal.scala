@@ -86,7 +86,12 @@ object Multimodal {
       while (i + 3 < b.length) {
         if (u8(i) != 0xff) return None // desynced — not a valid marker stream
         val m = u8(i + 1)
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01 || m == 0xff) i += 2 // standalone
+        // 0xFF after 0xFF is a fill byte, not a standalone marker: any run
+        // of fill bytes precedes the real marker, so consume ONE byte and
+        // re-sync on the next 0xFF (advancing 2 would swallow the first
+        // byte of the true marker and desync the walk on padded files)
+        if (m == 0xff) i += 1
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
         else {
           val len = be16(i + 2)
           if (len < 2) return None

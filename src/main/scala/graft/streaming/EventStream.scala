@@ -219,20 +219,52 @@ object EventStream {
           .foldLeft(base)((b, c) => b.withColumn(c, lit(false)))
         graft.operators.Maintenance.upsertLatest(aligned, batch, keys, versionCol, deleteCol)
           .write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(snapshotDir, "_LATEST"), s"v$batchId")
+        writePointer(spark, snapshotDir, s"v$batchId")
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
   }
 
+  /** Advance the `_LATEST` pointer through the Hadoop FileSystem API with
+    * write-temp-then-rename: the parquet versions already go through
+    * Hadoop FS, so the pointer must too (java.nio silently breaks on
+    * HDFS/S3 paths), and a truncate-in-place write would let a concurrent
+    * reader observe an empty/partial pointer — rename is atomic on HDFS
+    * and local FS, so readers see either the old or the new version,
+    * never a torn one (the swap-commit the versioned layout promises). */
+  private def writePointer(spark: SparkSession, snapshotDir: String, version: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s"._LATEST.tmp-$version")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new Path(dir, "_LATEST")
+    // FileContext rename supports atomic OVERWRITE (plain FileSystem.rename
+    // won't replace an existing target, and delete-then-rename would leave
+    // a window where the pointer is absent)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dir.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** The current committed CDC snapshot, or None before the first commit. */
   def currentSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
-    val ptr = java.nio.file.Paths.get(snapshotDir, "_LATEST")
-    if (java.nio.file.Files.exists(ptr))
-      Some(spark.read.parquet(s"$snapshotDir/${java.nio.file.Files.readString(ptr)}"))
-    else None
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(dir, "_LATEST")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val version =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      Some(spark.read.parquet(s"$snapshotDir/$version"))
+    }
   }
 
   /** Drive a streaming DataFrame to completion against a static source and

@@ -104,6 +104,17 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("compactFiles refuses outDir == inDir (overwrite would clobber the source mid-read)") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_compact_same").toString
+    spark.range(10).write.mode("overwrite").parquet(in)
+    // same dir under a different spelling must still be caught
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactFiles(spark, in, in + "/", 1L << 20)
+    }
+    assert(e.getMessage.contains("must differ"))
+  }
+
   test("compactFiles refuses a hive-partitioned root instead of flattening it") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("graft_compact_part").toString

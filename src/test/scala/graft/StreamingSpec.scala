@@ -231,5 +231,12 @@ class StreamingSpec extends SparkSpec {
     val folded = Maintenance.upsertLatest(fold1, b2, Seq("k"), "version", Some("deleted"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(s2 == folded)
+
+    // pointer commit hygiene: the temp-then-rename swap must leave no
+    // ._LATEST.tmp-* residue, and _LATEST must name the NEWEST v<batch> dir
+    val names = new java.io.File(snapDir).list().toSeq
+    assert(!names.exists(_.startsWith("._LATEST.tmp")), s"tmp residue in $names")
+    val newest = names.filter(_.matches("v\\d+")).maxBy(_.drop(1).toLong)
+    assert(Files.readString(Paths.get(snapDir, "_LATEST")) == newest)
   }
 }
