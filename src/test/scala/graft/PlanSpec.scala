@@ -128,4 +128,25 @@ class PlanSpec extends SparkSpec {
     val exchangeIdx = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(label"))
     assert(exchangeIdx >= 0, s"expected a (label, pos) hash exchange:\n$p")
   }
+
+  test("q102: histogram-quantile sketch stays mergeable — partial bin counts before the exchange, stats broadcast") {
+    // q102 is q23's documented scale path (SCALING.md): exact percentiles
+    // buffer every value per group; the sketch must instead carry ≤
+    // groups·bins partial counters through the shuffle. Two plan facts
+    // make that true and are pinned here: (1) the bin census partially
+    // aggregates map-side (a million-row partition collapses to ≤ bins
+    // rows before the exchange), (2) the global [lo, hi] stats frame joins
+    // as a broadcast of ONE row — never a shuffle of the fact side.
+    val p = physicalPlan("q102_histogram_quantiles")
+    assert(p.contains("partial_count"),
+      s"bin census must partially aggregate before the exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row stats frame must broadcast, not shuffle:\n$p")
+    // the value column must not survive into any exchange: the shuffle
+    // carries (group, bin) keys and counters only
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected a (group, bin) hash exchange:\n$p")
+    assert(!exchanges.exists(_.contains("l_extendedprice")),
+      s"raw value column leaked into an exchange:\n${exchanges.mkString("\n")}")
+  }
 }
