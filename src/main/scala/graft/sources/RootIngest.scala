@@ -27,16 +27,48 @@ object RootIngest {
   def convertedPath(rootPath: String): String = rootPath + ".parquet"
 
   /** Read the events of `tree` inside `rootPath`, via its converted Parquet
-    * sidecar. Fails with conversion instructions if the sidecar is absent.
+    * sidecar. Fails with conversion instructions if the sidecar is absent —
+    * an INFORMED failure: the native container reader ([[RootBinary]], the
+    * r4 native-decode spike) opens the actual `.root` file and appends its
+    * real object census (is the tree there? how is it compressed?) so the
+    * user learns what the file holds, not just that a sidecar is missing.
+    * The decision record for why basket decode stays on the converter is
+    * in [[RootBinary]]'s scaladoc.
     */
   def fromRoot(spark: SparkSession, rootPath: String,
       tree: String = "myana/mytree",
       converted: Option[String] = None): DataFrame = {
     val sidecar = converted.getOrElse(convertedPath(rootPath))
     val p = new Path(sidecar)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     if (fs.exists(p)) spark.read.parquet(sidecar)
-    else throw new UnsupportedOperationException(conversionInstructions(rootPath, tree, sidecar))
+    else throw new UnsupportedOperationException(
+      conversionInstructions(rootPath, tree, sidecar) + census(conf, rootPath))
+  }
+
+  /** Native container-layer census of the ROOT file itself, when present
+    * and small enough to inspect whole (census is a diagnostic, not a data
+    * path — cap the read instead of streaming). */
+  private def census(conf: org.apache.hadoop.conf.Configuration, rootPath: String): String = {
+    val rp = new Path(rootPath)
+    try {
+      val rfs = rp.getFileSystem(conf)
+      if (!rfs.exists(rp)) s"\n\n(note: $rootPath itself does not exist)"
+      else {
+        val len = rfs.getFileStatus(rp).getLen
+        if (len > (256L << 20)) "" // census only for inspectable sizes
+        else {
+          val in = rfs.open(rp)
+          val bytes = try {
+            val b = new Array[Byte](len.toInt); in.readFully(0, b); b
+          } finally in.close()
+          RootBinary.describe(bytes)
+            .map(d => s"\n\nNative container-layer inspection of the file:\n$d")
+            .getOrElse(s"\n\n(note: $rootPath is not a ROOT file — bad magic)")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
   }
 
   /** The out-of-band recipe (public tooling only: uproot + pyarrow). */
