@@ -7,16 +7,19 @@ import graft.core.{QueryDef, Tables}
 /** Multimodal column support: image/audio/video as opaque `binary` columns
   * with typed metadata, plus a decode → feature-extract stage.
   *
-  * The Spark-side plumbing (schema, partition-preserving batched iteration,
-  * feature schema) is real and tested; the codec itself is STUBBED with a
-  * deterministic byte-histogram "decoder" because no image/audio libraries
-  * exist in this container — swap [[FakeMediaDecoder.decode]] for an actual
-  * codec call in production. Iteration is `mapPartitions` (the documented
-  * last-resort tier: genuine per-partition imperative logic over opaque
-  * bytes that Column expressions cannot express). Each partition processes
-  * its records as one batch — the same shape a vectorized/Arrow UDF would
-  * have — so codec initialization can amortize per partition, and the
-  * operator scales embarrassingly with input splits at 100 TB.
+  * Decode is REAL for every format the standard JDK ships a codec for —
+  * PNG/JPEG/BMP/GIF pixels via `javax.imageio`, WAV PCM via
+  * `javax.sound.sampled`, animated-GIF frame extraction ([[JdkMediaDecoder]]
+  * — public platform APIs, no external dependency). Payloads outside the
+  * JDK's codec set (e.g. AVI video streams) fall back to the deterministic
+  * byte-histogram / byte-slice tier so every operator stays total; a
+  * production codec for those slots into the same per-record branch.
+  * Iteration is `mapPartitions` (the documented last-resort tier: genuine
+  * per-partition imperative logic over opaque bytes that Column
+  * expressions cannot express). Each partition processes its records as
+  * one batch — the same shape a vectorized/Arrow UDF would have — so codec
+  * initialization can amortize per partition, and the operator scales
+  * embarrassingly with input splits at 100 TB.
   */
 object Multimodal {
 
@@ -34,8 +37,10 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])
 
-  /** STUB decoder — deterministic 16-bin byte histogram, normalized.
-    * Production: decode image → resize → channel stats / embedding. */
+  /** Fallback "decoder" for genuinely OPAQUE payloads (unknown container,
+    * codec the JDK lacks, truncated file): deterministic 16-bin byte
+    * histogram, normalized — so the feature column is total even when the
+    * pixel path isn't. Real decode lives in [[JdkMediaDecoder]]. */
   object FakeMediaDecoder {
     val FeatureDim = 16
     def decode(bytes: Array[Byte]): Array[Float] = {
@@ -46,6 +51,112 @@ object Multimodal {
         while (i < FeatureDim) { h(i) /= bytes.length; i += 1 }
       }
       h
+    }
+  }
+
+  /** REAL media decode on the standard JDK (`javax.imageio` for
+    * PNG/JPEG/BMP/GIF pixels, `javax.sound.sampled` for WAV PCM) — public
+    * platform APIs present in every Java 17 runtime, no external codec
+    * dependency. Executor-side usage pattern: each [[extractFeatures]]
+    * partition calls these per record; `ImageIO.read` / `AudioSystem`
+    * construct fresh reader instances per call, so the object is
+    * thread-safe across Spark's task threads, and headless mode is forced
+    * once per JVM below (executors have no display).
+    *
+    * JPEG nuance: pixel values after inverse-DCT may differ by ±1 LSB
+    * across JDK builds, so decoded-JPEG FEATURES are near-deterministic,
+    * not bit-exact — fine for filtering/embedding tiers; anything needing
+    * bit-exactness (dedup fingerprints) must hash the CONTAINER bytes,
+    * which is what q56 does. */
+  object JdkMediaDecoder {
+    System.setProperty("java.awt.headless", "true")
+
+    /** Decoded raster: width, height, row-major ARGB pixels. */
+    final case class DecodedImage(width: Int, height: Int, argb: Array[Int])
+
+    def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else Some(DecodedImage(img.getWidth, img.getHeight,
+          img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Image features, FeatureDim = 16: [meanR, meanG, meanB, stdLuma,
+      * 12-bin luminance histogram (normalized)] — all in [0, 1]. Rec. 601
+      * luma weights; deterministic given the decoded raster. */
+    def imageFeatures(img: DecodedImage): Array[Float] = {
+      val n = img.argb.length.max(1)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      val hist = new Array[Float](12)
+      var i = 0
+      while (i < img.argb.length) {
+        val p = img.argb(i)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+        hist(math.min((l / 256.0 * 12).toInt, 11)) += 1f
+        i += 1
+      }
+      val mean = sl / n
+      val variance = math.max(sl2 / n - mean * mean, 0.0)
+      val out = new Array[Float](FakeMediaDecoder.FeatureDim)
+      out(0) = (sr / n / 255.0).toFloat
+      out(1) = (sg / n / 255.0).toFloat
+      out(2) = (sb / n / 255.0).toFloat
+      out(3) = (math.sqrt(variance) / 255.0).toFloat
+      i = 0
+      while (i < 12) { out(4 + i) = hist(i) / n; i += 1 }
+      out
+    }
+
+    /** Decoded audio: sample rate, channels, interleaved samples in
+      * [-1, 1] (16/8-bit PCM widened to float). */
+    final case class DecodedAudio(sampleRate: Float, channels: Int, samples: Array[Float])
+
+    def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val raw = in.readAllBytes()
+          val bits = f.getSampleSizeInBits
+          if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) None
+          else {
+            val out = new Array[Float](raw.length / (bits / 8))
+            var i = 0
+            while (i < out.length) {
+              val v =
+                if (bits == 16) {
+                  val lo = raw(2 * i) & 0xff; val hi = raw(2 * i + 1)
+                  val s = if (f.isBigEndian) ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)).toShort
+                          else ((hi << 8) | lo).toShort
+                  s / 32768f
+                } else (((raw(i) & 0xff) - 128) / 128f)
+              out(i) = v
+              i += 1
+            }
+            Some(DecodedAudio(f.getSampleRate, f.getChannels, out))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Audio features: [rms, peak, zero-crossing rate, duration seconds]. */
+    def audioFeatures(a: DecodedAudio): Array[Float] = {
+      val n = a.samples.length.max(1)
+      var s2 = 0.0; var peak = 0f; var zc = 0
+      var i = 0
+      while (i < a.samples.length) {
+        val v = a.samples(i)
+        s2 += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && (v >= 0) != (a.samples(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      Array(math.sqrt(s2 / n).toFloat, peak,
+        zc.toFloat / n, n.toFloat / a.channels / a.sampleRate)
     }
   }
 
@@ -260,7 +371,12 @@ object Multimodal {
   }
 
   /** Decode + feature-extract over a media dataset. Partition-preserving;
-    * the decoder is invoked once per record inside a per-partition batch. */
+    * the decoder is invoked once per record inside a per-partition batch.
+    * REAL pixel decode via [[JdkMediaDecoder]] (standard-JDK ImageIO) for
+    * PNG/JPEG/BMP/GIF; payloads the JDK cannot decode fall back to the
+    * deterministic byte-histogram so the feature column stays total (both
+    * paths emit FeatureDim floats — downstream ANN/centroid ops see one
+    * schema). */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
@@ -272,57 +388,136 @@ object Multimodal {
           case b if b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' => "riff"
           case _ => "unknown"
         }
-        MediaFeatures(r.media_id, fmtName, r.content.length.toLong,
-          FakeMediaDecoder.decode(r.content))
+        val feats = JdkMediaDecoder.decodeImage(r.content)
+          .map(JdkMediaDecoder.imageFeatures)
+          .getOrElse(FakeMediaDecoder.decode(r.content))
+        MediaFeatures(r.media_id, fmtName, r.content.length.toLong, feats)
       }
     }
   }
 
-  /** Nearest-neighbor resize, treating the payload as a row-major
-    * single-channel (gray8) `width × height` raster — REAL pixel math on
-    * the plumbing's canonical byte layout (a production codec would decode
-    * to exactly this shape first; only the upstream decode is stubbed).
-    * Short payloads are zero-padded, matching a decoder's black fill.
+  /** Audio decode + feature-extract: REAL WAV PCM decode via the JDK's
+    * `javax.sound.sampled` — rms/peak/zero-crossing-rate/duration as typed
+    * columns, NULL row values for payloads that are not decodable audio
+    * (total over any input, like every filter tier here). Same
+    * partition-preserving batch shape as [[extractFeatures]]. */
+  def extractAudioFeatures(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        JdkMediaDecoder.decodeAudio(r.content) match {
+          case Some(a) =>
+            val f = JdkMediaDecoder.audioFeatures(a)
+            (r.media_id, Some(a.sampleRate), Some(a.channels),
+              Some(f(0)), Some(f(1)), Some(f(2)), Some(f(3)))
+          case None =>
+            (r.media_id, None: Option[Float], None: Option[Int],
+              None: Option[Float], None: Option[Float], None: Option[Float], None: Option[Float])
+        }
+      }
+    }.toDF("media_id", "sample_rate", "channels", "rms", "peak", "zcr", "duration_sec")
+  }
+
+  /** Resize. Two tiers, chosen per record:
+    *  - REAL image path: payloads ImageIO can decode are pixel-resized
+    *    (nearest-neighbor draw onto a `newW × newH` canvas) and re-encoded
+    *    as PNG — an actual decode → transform → encode stage on standard
+    *    JDK codecs;
+    *  - raster fallback: undecodable payloads are treated as a row-major
+    *    single-channel gray8 `width × height` raster and nearest-neighbor
+    *    sampled directly (short payloads zero-pad, a decoder's black
+    *    fill), so the operator stays total over opaque bytes.
     * Partition-preserving mapPartitions; metadata (width/height) is kept
-    * consistent with the new raster. */
+    * consistent with the new raster either way. */
   def resize(spark: SparkSession, media: Dataset[MediaRecord], newW: Int, newH: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     require(newW > 0 && newH > 0)
     media.mapPartitions { it =>
       it.map { r =>
-        val out = new Array[Byte](newW * newH)
-        if (r.width > 0 && r.height > 0) {
-          var y = 0
-          while (y < newH) {
-            val sy = y * r.height / newH
-            var x = 0
-            while (x < newW) {
-              val sx = x * r.width / newW
-              val si = sy * r.width + sx
-              out(y * newW + x) = if (si < r.content.length) r.content(si) else 0
-              x += 1
+        JdkMediaDecoder.decodeImage(r.content) match {
+          case Some(_) =>
+            val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+            val dst = new java.awt.image.BufferedImage(newW, newH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+              g.drawImage(src, 0, 0, newW, newH, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            MediaRecord(r.media_id, bos.toByteArray, "image/png", newW, newH)
+          case None =>
+            val out = new Array[Byte](newW * newH)
+            if (r.width > 0 && r.height > 0) {
+              var y = 0
+              while (y < newH) {
+                val sy = y * r.height / newH
+                var x = 0
+                while (x < newW) {
+                  val sx = x * r.width / newW
+                  val si = sy * r.width + sx
+                  out(y * newW + x) = if (si < r.content.length) r.content(si) else 0
+                  x += 1
+                }
+                y += 1
+              }
             }
-            y += 1
-          }
+            MediaRecord(r.media_id, out, r.mime_hint, newW, newH)
         }
-        MediaRecord(r.media_id, out, r.mime_hint, newW, newH)
       }
     }
   }
 
-  /** Frame sampling stub: N evenly spaced fixed-width slices of the payload
-    * (a video decoder would seek keyframes; the slicing/plumbing is real). */
+  /** Frame sampling. REAL tier for the multi-frame format the standard
+    * JDK decodes — animated GIF: N evenly spaced frames are pixel-decoded
+    * via an ImageIO reader and re-encoded as PNG. Everything else (AVI
+    * etc. — codecs the JDK lacks) falls back to N evenly spaced fixed-width
+    * byte slices, keeping the operator total and the plumbing identical
+    * (a production video codec slots into the same per-record branch). */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord], n: Int, frameBytes: Int): DataFrame = {
     import spark.implicits._
     media.flatMap { r =>
       val L = r.content.length
       if (L == 0 || n <= 0) Iterator.empty
-      else (0 until n).iterator.map { i =>
-        val off = math.min((L.toLong * i / n).toInt, math.max(L - 1, 0))
-        val end = math.min(off + frameBytes, L)
-        (r.media_id, i, r.content.slice(off, end))
+      else gifFrames(r.content, n) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.map { case (f, i) => (r.media_id, i, f) }
+        case None =>
+          (0 until n).iterator.map { i =>
+            val off = math.min((L.toLong * i / n).toInt, math.max(L - 1, 0))
+            val end = math.min(off + frameBytes, L)
+            (r.media_id, i, r.content.slice(off, end))
+          }
       }
     }.toDF("media_id", "frame_idx", "frame")
+  }
+
+  /** N evenly spaced real frames of an animated GIF as PNG bytes; None
+    * unless the payload is a GIF with at least 2 frames (single images go
+    * through [[extractFeatures]]/[[resize]], not frame sampling). */
+  private def gifFrames(bytes: Array[Byte], n: Int): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 3 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(in)
+        val total = reader.getNumImages(true)
+        if (total < 2) None
+        else Some((0 until n).map { i =>
+          val idx = math.min((total.toLong * i / n).toInt, total - 1)
+          val img = reader.read(idx)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        })
+      } finally { reader.dispose(); in.close() }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   val defs: Seq[QueryDef] = Seq(
