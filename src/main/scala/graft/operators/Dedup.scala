@@ -38,6 +38,64 @@ object Dedup {
   def jaccardCols(a: Column, b: Column): (Column, Column) =
     (size(array_intersect(a, b)), size(array_union(a, b)))
 
+  /** Prefix-filtered EXACT set-similarity self-join — the All-Pairs /
+    * PPJoin candidate scheme (Bayardo et al., WWW'07; Chaudhuri et al.,
+    * ICDE'06): the third way between q45's O(n²) brute force (exact but
+    * capped) and q46's LSH (scales but probabilistic). Exact AND scalable:
+    *
+    *  1. order every doc's shingle set by GLOBAL rarity — ascending
+    *     document frequency, ties broken by the shingle string, so the
+    *     total order is identical on every executor;
+    *  2. keep each doc's PREFIX of its p = n − ⌈t·n⌉ + 1 rarest shingles.
+    *     If J(x,y) ≥ t then |x∩y| ≥ ⌈t·max(nx,ny)⌉, and the rarest common
+    *     shingle sits within the first nᵢ − |x∩y| + 1 ≤ pᵢ positions of
+    *     BOTH ordered sets — so every qualifying pair shares a prefix
+    *     token and survives candidate generation (no misses, by theorem,
+    *     not by probability — the uncapped brute-force oracle checks
+    *     exactly this);
+    *  3. equi-join prefixes on shingle (+ id order + the |min|·tDen ≥
+    *     |max|·tNum length filter, which J ≥ t implies), distinct the
+    *     candidate pairs, then verify exact Jaccard with the same integer
+    *     inter·tDen ≥ uni·tNum test as q45 — no float crosses an engine.
+    *
+    * Shape at 100 TB: one explode + one groupBy(shingle) for the df table,
+    * one shuffle join back, a per-doc LOCAL sort of its own tokens, then a
+    * prefix equi-join whose fan-in per shingle is bounded by construction —
+    * a shingle enters prefixes only for docs where it ranks among the
+    * (1−t)·n rarest, so globally-hot boilerplate shingles are exactly the
+    * ones EXCLUDED from most prefixes (the inverse of q46's hot-bucket
+    * problem; the same `capBuckets`-style guard applies if a boilerplate
+    * cluster shares rare shingles). Candidate sets are re-joined to shingle
+    * arrays by id AFTER distinct-ing, so full arrays never ride the
+    * prefix-explode fan-out. */
+  def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
+    val sh = withShingles(docs)
+    val toks = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = toks.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+        t => t.getField("tok")).as("toks"))
+    val n = size(col("toks"))
+    // integer ceil: ⌈tNum·n/tDen⌉ = (tNum·n + tDen − 1) div tDen
+    val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")
+    val prefixes = ordered.select(col("doc_id"), n.as("n"),
+      explode(slice(col("toks"), lit(1), p)).as("tok"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * tNum <=
+            least(col("a.n"), col("b.n")) * tDen)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
+    cands
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"), inter.as("inter"), uni.as("uni"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+  }
+
   /** Fan a few-split source out across the session's parallelism BEFORE an
     * expensive row-local projection. A gate-scale corpus is ONE small
     * parquet file = one input split, so without this every stage above the
@@ -393,6 +451,29 @@ object Dedup {
              |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
              |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
              |        WHERE doc_id < 2000)
+             |  WHERE len(t) >= 3)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  len(list_intersect(a.sh, b.sh)) AS inter,
+             |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(list_distinct(list_concat(a.sh, b.sh))) * 4
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- q104: prefix-filtered EXACT set-similarity join -------------------
+    // Same truth as q45 (J ≥ 0.8 shingle pairs) through a completely
+    // different plan: All-Pairs prefix filtering instead of the O(n²) pair
+    // join — so the gate verifies the filter is LOSSLESS against the
+    // uncapped brute-force oracle, the same way q46's gate verifies LSH.
+    // Unlike q45 there is no doc_id cap: the prefix join IS the scale path.
+    QueryDef(
+      "q104_setsim_prefix_join",
+      (s, d) => prefixJaccardPairs(Tables.documents(s, d), tNum = 4, tDen = 5)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""WITH s AS (
+             |  SELECT doc_id, t,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
              |  WHERE len(t) >= 3)
              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |  len(list_intersect(a.sh, b.sh)) AS inter,

@@ -140,6 +140,61 @@ object Similarity {
       .filter(col("rk") <= topK)
   }
 
+  /** Lloyd k-means over an embedding column as a fully DECLARATIVE plan —
+    * the oracle-checkable twin of the Spark-ML KMeans that seeds
+    * [[graft.operators.IvfIndex]] (whose internal init is not replayable in
+    * an external engine; this one is, so the gate can value-check every
+    * assignment and centroid cross-engine).
+    *
+    * Determinism discipline (the q92/q93 rules): init = the k lowest-id
+    * vectors (raw doubles, no rounding needed); updated centroid means
+    * round(·, 6) (noise-dominated aggregate — cross-engine row-summation
+    * order); per-row distances fold the zipped difference squares
+    * left-to-right over identical inputs (bit-equal cross-engine) and
+    * floor-quantize to 1e-6 before the argmin, whose ties break on cluster
+    * id — so both engines pick identical assignments every iteration.
+    *
+    * Shape at 100 TB: each iteration is one map-side argmin against a
+    * BROADCAST k×dim centroid table (k·dim doubles — tiny) plus one
+    * (cluster, pos) groupBy whose partial aggregation collapses every map
+    * partition to k·dim running (sum, count) pairs before the shuffle —
+    * vectors never shuffle. `iters` is a model parameter like PageRank's
+    * iteration count: the loop unrolls into one static dag with no
+    * driver-side data round-trip (past ~10 iterations, checkpoint between
+    * rounds the way [[graft.operators.Graph.pageRank]] does). */
+  def kmeansLloyd(embs: DataFrame, k: Int, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val base = embs.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val d2 = aggregate(
+      zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val d2q = floor(d2 * lit(1e6) + lit(0.5)) / lit(1e6)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster"))
+      base.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cluster"), col("v"), d2q.as("d2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .drop("rk")
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          t => t.getField("m")).as("c"))
+    // init: the k lowest-id vectors, cluster id = vec_id (requires ids
+    // 0..k−1 present, as the contiguous-id tables here guarantee; pass a
+    // re-keyed frame otherwise)
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("v").as("c"))
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    assign(cents) // (vec_id, cluster, v, d2) under the final centroids
+  }
+
   /** Johnson–Lindenstrauss random projection: reduce `array<float>`
     * embeddings to `signs.length` dimensions via literal Rademacher (±1)
     * planes, scaled by 1/√k to preserve expected norms — the standard
@@ -374,6 +429,19 @@ object Similarity {
              |SELECT label, vec_id, d2, rk FROM r WHERE rk <= 5
              |ORDER BY label, rk""".stripMargin)),
 
+    // ---- q105: declarative Lloyd k-means (oracle-checked end to end) -------
+    // k=4, 2 update rounds + final assignment; the oracle's generated CTE
+    // chain replays init, every distance, every argmin, and every rounded
+    // centroid — then both engines report identical per-cluster sizes and
+    // inertia (round(sum,3): noise-dominated cross-row aggregate).
+    QueryDef(
+      "q105_kmeans_lloyd",
+      (s, d) => kmeansLloyd(Tables.embeddings(s, d), k = Km.K, iters = Km.Iters)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), round(sum(col("d2")), 3).as("inertia"))
+        .orderBy(col("cluster")),
+      Some(Km.oracle)),
+
     // ---- q99: JL random projection (pre-ANN dimensionality reduction) -----
     // 64 → 8 dims through literal ±1 planes; the oracle renders the SAME
     // sign arrays and scale literal into SQL (single source of truth), so
@@ -384,6 +452,48 @@ object Similarity {
         .orderBy(col("vec_id")),
       Some(RandProj.oracle)),
   )
+
+  /** Shared constants + generated DuckDB oracle for q105: the CTE chain is
+    * produced by the same (k, iters) parameters the Scala loop unrolls
+    * with — one source of truth for how many rounds both engines walk. */
+  private[graft] object Km {
+    val K = 4
+    val Iters = 2
+
+    val oracle: String = {
+      def dist(c: String): String =
+        s"floor(list_sum(list_transform(list_zip(e.v, $c.c), " +
+          s"t -> (t[1] - t[2]) * (t[1] - t[2]))) * 1e6 + 0.5) / 1e6"
+      // dd/aa prefixes keep CTE names clear of the d2 COLUMN name
+      def assignStep(i: Int): String =
+        s"""dd$i AS (
+           |  SELECT e.vec_id, c$i.cluster, ${dist(s"c$i")} AS d2
+           |  FROM e, c$i),
+           |aa$i AS (
+           |  SELECT vec_id, cluster, d2 FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+           |    FROM dd$i) WHERE rk = 1)"""
+      def updateStep(i: Int): String =
+        s"""g${i + 1} AS (
+           |  SELECT aa$i.cluster, s.pos AS pos, round(avg(s.x), 6) AS m
+           |  FROM aa$i JOIN ep ON ep.vec_id = aa$i.vec_id GROUP BY 1, 2),
+           |c${i + 1} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM g${i + 1} GROUP BY cluster)"""
+      val chain = (0 until Iters)
+        .map(i => assignStep(i) + ",\n" + updateStep(i)).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |ep AS (
+         |  SELECT vec_id,
+         |    unnest([{'pos': i, 'x': v[i]} for i in range(1, len(v) + 1)]) AS s
+         |  FROM e),
+         |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < $K),
+         |$chain,
+         |${assignStep(Iters)}
+         |SELECT cluster, count(*) AS n, round(sum(d2), 3) AS inertia
+         |FROM aa$Iters GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
+  }
 
   /** Shared constants + DuckDB oracle for q99 (same scheme as [[Lsh]]). */
   private[graft] object RandProj {

@@ -115,6 +115,134 @@ object Sketches {
           * 1e6 + 0.5) / 1e6).as("est"))
   }
 
+  // ---------------------------------------------------------------------------
+  // HyperLogLog distinct sketch (q103)
+  // ---------------------------------------------------------------------------
+
+  /** Register count m = 2⁷. 128 registers give ~1.04/√128 ≈ 9.2% relative
+    * error — plenty for the census-vs-sketch gate; production callers pick
+    * m per error budget (the shapes below are m-generic). */
+  val HllM = 128
+  /** The tail z = h div m is uniform on [0, HllR] with HllR = (P−1) div m
+    * ≈ 2^22.9 — NOT on a power-of-two range. ρ therefore comes from
+    * thresholds HALVED FROM HllR (below), not from bit positions: reading
+    * z's bits directly would inflate every P(z < 2^j) by 2^23/HllR ≈ 1.07
+    * and bias every estimate up ~7% systematically (measured before the
+    * fix: +7.4% mean across seeds on real keys). */
+  val HllR: Long = (P - 1) / HllM
+  /** ρ exceeding every halved threshold clamps here (z = 0 territory):
+    * HllR >> 22 = 1, so the chain is k = 1..22 with ρ = 23 as the tail. */
+  val HllRhoMax = 23
+  /** α·m² with α = 0.7213/(1 + 1.079/m) (Flajolet et al. 2007). Every op
+    * below is an exact power-of-two scaling or a single IEEE add/divide,
+    * so the oracle's identically-shaped SQL expression reproduces the
+    * identical double. */
+  val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+
+  /** Geometric rank of the tail: ρ(z) = the smallest k ≥ 1 with
+    * z ≥ HllR >> k, clamped to [[HllRhoMax]] — a descending CASE chain of
+    * exact integer comparisons (each P(ρ = k) = 2^(−k) ± 1/HllR), never a
+    * floating log2, which could misround exactly at the branch
+    * boundaries. */
+  def hllRho(z: Column): Column =
+    (1 until HllRhoMax).foldLeft(Option.empty[Column]) { (acc, k) =>
+      val cond = z >= (HllR >> k)
+      Some(acc.fold(when(cond, lit(k)))(_.when(cond, lit(k))))
+    }.get.otherwise(lit(HllRhoMax))
+
+  /** HyperLogLog register table per group: (grp, reg, rho) — at most
+    * m rows per group whatever the key cardinality. The groupBy's partial
+    * aggregation collapses every map partition to ≤ |groups|·m rows before
+    * the shuffle, and register tables MERGE by `max(rho)` per register —
+    * the union-of-streams contract that makes HLL the distinct-count face
+    * of the mergeable-sketch family (Count-Min above is the frequency
+    * face).
+    *
+    * Hash: the [[cmsParams]] multiplicative-shift, then CUBED mod P.
+    * The linear step alone is enough for BUCKETING sketches (CMS, LSH
+    * bands), where only equidistribution matters — but HLL reads the
+    * hash's bit TAIL as a geometric variable, and a linear map sends any
+    * key set to an arithmetic progression mod P whose too-regular gaps
+    * wreck the extreme-value statistics the α constant corrects for
+    * (measured on 14.7k real keys: est 35.7k or 4.3k depending on seed —
+    * seed-dependent 2.5× bias). Cubing is the minimal nonlinear fix that
+    * stays replayable integer SQL: gcd(3, P−1) = 1 makes x³ mod P a
+    * BIJECTION (no entropy loss), and ((h²) mod P)·h stays < 2⁶³
+    * (measured after: estimates land within 1.5σ of exact across seeds).
+    * Same |key| < 2³² domain as CMS (ANSI throws loudly beyond). */
+  def hllRegisters(df: DataFrame, keyCol: String, grpCol: Column,
+      a: Long, b: Long): DataFrame = {
+    val h1 = pmod(col(keyCol) * lit(a) + lit(b), lit(P))
+    val h = pmod(pmod(h1 * h1, lit(P)) * h1, lit(P))
+    df.select(grpCol.as("grp"), (h % HllM).as("reg"),
+        floor(h / HllM).cast("long").as("z"))
+      .groupBy(col("grp"), col("reg"))
+      .agg(max(hllRho(col("z"))).as("rho"))
+  }
+
+  /** Distinct-count estimate from a register table: the raw HLL formula
+    * E = α·m² / (Σ 2^(−ρⱼ) + #empty·2⁰). Every 2^(−ρ) term is an exact
+    * power of two spanning < 53 exponent bits, so the sum is EXACT in IEEE
+    * double regardless of summation order — the estimate is bit-identical
+    * cross-engine without any transcendental in the dag, and the 1e-6
+    * floor-quantization is belt-and-braces, not load-bearing.
+    *
+    * Deliberately raw-branch only: the small-range linear-counting
+    * correction (E ≤ 2.5m with empty registers → m·ln(m/V)) introduces a
+    * cross-engine ln(); callers in that regime should use an exact census
+    * instead (m = 128 ⇒ the correction zone is n ≲ 320 distinct, where
+    * counting exactly is trivial). The spec pins the error bound in the
+    * raw regime. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("grp"))
+      .agg(sum(pow(lit(2.0), -col("rho").cast("double"))).as("s_occ"),
+        count(lit(1)).as("n_occ"))
+      .select(col("grp"),
+        (floor(lit(HllAlphaM2) / (col("s_occ") + (lit(HllM) - col("n_occ")))
+          * 1e6 + 0.5) / 1e6).as("est"))
+
+  /** Shared constants + oracle for q103 (single source of truth). */
+  private[graft] object Hll {
+    val (a, b) = cmsParams(1, seed = 103).head
+
+    /** The ρ CASE chain rendered for DuckDB — same branches, same order. */
+    val rhoSql: String = {
+      val cases = (1 until HllRhoMax)
+        .map(k => s"WHEN z >= ${HllR >> k} THEN $k").mkString(" ")
+      s"CASE $cases ELSE $HllRhoMax END"
+    }
+
+    /** Full pipeline in DuckDB: same hash, same registers, same merge by
+      * max, same exact-power-of-two estimate — alongside the exact census
+      * each estimate approximates. */
+    val oracle: String =
+      s"""WITH k0 AS (
+         |  SELECT l_returnflag, ((l_orderkey * $a + $b) % $P + $P) % $P AS h1
+         |  FROM lineitem),
+         |k AS (SELECT l_returnflag, ((h1 * h1) % $P) * h1 % $P AS h FROM k0),
+         |zt AS (SELECT l_returnflag, h % $HllM AS reg, h // $HllM AS z FROM k),
+         |regs AS (
+         |  SELECT l_returnflag AS grp, reg, max($rhoSql) AS rho
+         |  FROM zt GROUP BY 1, 2),
+         |mregs AS (SELECT 'ALL' AS grp, reg, max(rho) AS rho FROM regs GROUP BY 2),
+         |u AS (SELECT * FROM regs UNION ALL SELECT * FROM mregs),
+         |est AS (
+         |  SELECT grp,
+         |    floor(CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $HllM)
+         |            * $HllM * $HllM
+         |          / (sum(power(2.0, -rho)) + ($HllM - count(*))) * 1e6 + 0.5)
+         |      / 1e6 AS est
+         |  FROM u GROUP BY grp),
+         |ex AS (
+         |  SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS n_exact
+         |  FROM lineitem GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'ALL', count(DISTINCT l_orderkey) FROM lineitem)
+         |SELECT e.grp, e.est, x.n_exact
+         |FROM est e JOIN ex x ON x.grp = e.grp
+         |ORDER BY e.grp""".stripMargin
+  }
+
   /** Shared constants + oracle for q101 (single source of truth). */
   private[graft] object Cms {
     val D = 4
@@ -175,6 +303,32 @@ object Sketches {
           .orderBy(col("user_id"))
       },
       Some(Cms.oracle)),
+
+    // ---- q103: HyperLogLog distinct sketch (mergeable cardinality) ---------
+    // Registers per l_returnflag over l_orderkey, PLUS the merged-global
+    // sketch derived from the per-group register tables by max(rho) — the
+    // gate value-checks the whole pipeline cross-engine (hash, registers,
+    // merge, estimate) AND demonstrates mergeability on data where it
+    // matters: per-flag distinct orderkeys (~11k each) genuinely differ
+    // from their union (~14.7k), so the ALL row is not a replay of any
+    // group. Exact censuses sit beside each estimate.
+    QueryDef(
+      "q103_hll_distinct",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_orderkey"))
+        val perRegs = hllRegisters(li, "l_orderkey", col("l_returnflag"), Hll.a, Hll.b)
+        val allRegs = perRegs.groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+          .select(lit("ALL").as("grp"), col("reg"), col("rho"))
+        val est = hllEstimate(perRegs.unionByName(allRegs))
+        val exact = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+          .unionByName(li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+            .select(lit("ALL").as("grp"), col("n_exact")))
+        est.join(exact, "grp")
+          .select(col("grp"), col("est"), col("n_exact"))
+          .orderBy(col("grp"))
+      },
+      Some(Hll.oracle)),
 
     // ---- q102: histogram quantile sketch (mergeable approx percentiles) ----
     // The oracle replays the ENTIRE estimate (bin edges, cumulative walk,

@@ -186,4 +186,34 @@ class DedupSpec extends SparkSpec {
     val r = df.agg(countDistinct($"text").as("d"), count(lit(1)).as("n")).head()
     assert(r.getLong(0) == 2 && r.getLong(1) == 3)
   }
+
+  test("prefixJaccardPairs: lossless vs brute force at J >= 0.8") {
+    val sh = Dedup.withShingles(docs)
+    val (inter, uni) = Dedup.jaccardCols($"a.sh", $"b.sh")
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"), inter.as("i"), uni.as("u"))
+      .filter($"i" * 5 >= $"u" * 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val got = Dedup.prefixJaccardPairs(docs, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    // the prefix filter is lossless by THEOREM (not probability): exact
+    // equality with brute force, evidence integers included
+    assert(got == truth,
+      s"prefix join != brute force: missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("prefixJaccardPairs: threshold boundary in/out on constructed sets") {
+    // 12 shared tokens of 14/14 → shingles J = inter/uni; build docs whose
+    // SHINGLE sets sit just above and just below 0.8
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),          // 8 shingles
+      (2L, "a b c d e f g h i j"),          // identical → J = 1 (IN)
+      (3L, "a b c d e f g h i k"),          // differs in last token:
+                                            //   shared 3-shingles = 7 of 9 → J = 7/9 < 0.8 (OUT)
+      (4L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString)
+  }
 }

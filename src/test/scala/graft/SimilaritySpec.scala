@@ -145,4 +145,36 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(1))
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-5), norms.take(5).mkString(","))
   }
+
+  test("kmeansLloyd: partitions the corpus; Lloyd updates do not increase inertia") {
+    import graft.operators.Similarity
+    val embs = graft.core.Tables.embeddings(spark, sf0001)
+    val n = embs.count()
+    val fin = Similarity.kmeansLloyd(embs, k = 4, iters = 2)
+      .select($"vec_id", $"cluster", $"d2").collect()
+    assert(fin.length == n && fin.map(_.getLong(0)).distinct.length == n,
+      "every vector assigned exactly once")
+    assert(fin.map(_.getLong(1)).distinct.forall(c => c >= 0 && c < 4))
+    // iters = 0 is the assignment under the raw init centroids; two Lloyd
+    // rounds must not increase total inertia (ties in assignment break
+    // identically, and 1e-6 absorbs the centroid quantization)
+    val inertia0 = Similarity.kmeansLloyd(embs, k = 4, iters = 0)
+      .select($"d2").collect().map(_.getDouble(0)).sum
+    val inertia2 = fin.map(_.getDouble(2)).sum
+    assert(inertia2 <= inertia0 + 1e-6, s"inertia rose: $inertia0 -> $inertia2")
+  }
+
+  test("kmeansLloyd: separates well-apart blobs whose seeds straddle them") {
+    import graft.operators.Similarity
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (2L, Array(0.5, 0.0)),
+      (3L, Array(0.0, 0.5)), (4L, Array(0.4, 0.4)),
+      (1L, Array(10.0, 10.0)), (5L, Array(10.5, 10.0)), (6L, Array(10.0, 10.5)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(pts, k = 2, iters = 2)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 2L, 3L, 4L).map(got) == Set(0L), got.toString)
+    assert(Set(1L, 5L, 6L).map(got) == Set(1L), got.toString)
+  }
 }

@@ -75,4 +75,51 @@ class SketchesSpec extends SparkSpec {
     val n = Sketches.countMin(wide, "k", w = 8, params).count()
     assert(n <= 4 * 8, s"sketch must stay bounded, got $n cells")
   }
+
+  test("hllRho: halved-threshold geometric rank, exact at boundaries") {
+    val R = Sketches.HllR
+    val got = Seq(0L, 1L, R >> 22, (R >> 1) - 1, R >> 1, R >> 2, (R >> 2) - 1,
+      (R >> 21) - 1, R).toDF("z")
+      .select($"z", Sketches.hllRho($"z").as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // ρ(z) = smallest k with z ≥ R >> k, clamped at 23
+    assert(got(R) == 1 && got(R >> 1) == 1 && got((R >> 1) - 1) == 2)
+    assert(got(R >> 2) == 2 && got((R >> 2) - 1) == 3)
+    assert(got(R >> 22) == 22 && got((R >> 21) - 1) == 22)
+    assert(got(1L) == 22 && got(0L) == 23) // R >> 22 == 1
+  }
+
+  test("hll registers stay bounded by m and estimates land within 3 sigma") {
+    val li = graft.core.Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_orderkey")
+    val regs = Sketches.hllRegisters(li, "l_orderkey", $"l_returnflag",
+      Sketches.Hll.a, Sketches.Hll.b)
+    val perGroup = regs.groupBy($"grp").count().collect()
+    assert(perGroup.forall(_.getLong(1) <= Sketches.HllM),
+      perGroup.mkString(","))
+    val est = Sketches.hllEstimate(regs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = li.groupBy($"l_returnflag".as("grp"))
+      .agg(countDistinct($"l_orderkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // m = 128 ⇒ σ ≈ 1.04/√128 = 9.2%; 3σ = 28% (raw-branch regime: the
+    // sf0.001 per-flag cardinalities are ≫ 2.5m)
+    for ((g, n) <- exact) {
+      assert(n > 2.5 * Sketches.HllM, s"$g: spec assumes raw-branch regime")
+      assert(math.abs(est(g) / n - 1.0) < 0.28, s"$g: est ${est(g)} vs $n")
+    }
+  }
+
+  test("hll registers MERGE: max of per-half registers equals the full table") {
+    val all = (0L until 3000L).map(i => i * 7 % 1001).toDF("k") // 1001 distinct
+    def regTable(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "k", lit("g"), Sketches.Hll.a, Sketches.Hll.b)
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val (h1, h2) = (regTable(all.filter($"k" % 2 === 0)),
+      regTable(all.filter($"k" % 2 =!= 0)))
+    val merged = (h1.keySet ++ h2.keySet).map { reg =>
+      reg -> math.max(h1.getOrElse(reg, 0), h2.getOrElse(reg, 0))
+    }.toMap
+    assert(merged == regTable(all))
+  }
 }
