@@ -58,25 +58,52 @@ object Dedup {
     *     candidate pairs, then verify exact Jaccard with the same integer
     *     inter·tDen ≥ uni·tNum test as q45 — no float crosses an engine.
     *
-    * Shape at 100 TB: one explode + one groupBy(shingle) for the df table,
-    * one shuffle join back, a per-doc LOCAL sort of its own tokens, then a
-    * prefix equi-join whose fan-in per shingle is bounded by construction —
+    * Shape at 100 TB: ONE corpus scan, ONE shingle evaluation.
+    *  - The document-frequency census is a `count(*) OVER (PARTITION BY
+    *    tok)` window on the already-tok-partitioned explode output — NOT a
+    *    census groupBy joined back: the join spelling creates a second
+    *    census subtree that column pruning makes canonically UNEQUAL to
+    *    the first (the census branch drops doc_id below its exchange), so
+    *    neither static ReuseExchange nor AQE stage reuse can dedupe it and
+    *    the corpus is scanned + shingled twice (observed in the executed
+    *    plan). The window reuses the repartition(tok) exchange and adds
+    *    none of its own.
+    *  - The shingle projection feeds `explode_outer` + a post-generate
+    *    null filter, NOT a plain explode: a non-outer generator carries an
+    *    implicit non-empty guard that Catalyst rewrites through the
+    *    projection INTO THE SCAN, re-evaluating the full shingle
+    *    expression per document inside the scan's DataFilters (the q79
+    *    generator-guard hazard; observed here before the fix).
+    *  - The per-doc rarity sort lands in an explicit repartition(doc_id)
+    *    exchange shared by BOTH sides of the prefix self-join AND both
+    *    verification joins (ReusedExchange at runtime — the same
+    *    load-bearing-exchange design as minhashLshPairs, which measured
+    *    13.7 s → 4.9 s from it; without explicit exchanges this plan
+    *    re-scanned the corpus 12×).
+    * The prefix equi-join's fan-in per shingle is bounded by construction:
     * a shingle enters prefixes only for docs where it ranks among the
     * (1−t)·n rarest, so globally-hot boilerplate shingles are exactly the
     * ones EXCLUDED from most prefixes (the inverse of q46's hot-bucket
-    * problem; the same `capBuckets`-style guard applies if a boilerplate
-    * cluster shares rare shingles). Candidate sets are re-joined to shingle
-    * arrays by id AFTER distinct-ing, so full arrays never ride the
+    * problem; a capBuckets-style guard applies if a boilerplate cluster
+    * shares rare shingles). Verification re-reads the rarity-ordered
+    * `toks` arrays by id AFTER distinct-ing candidates — Jaccard is
+    * order-independent, so no re-shingling, and full arrays never ride the
     * prefix-explode fan-out. */
   def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
-    val sh = withShingles(docs)
-    val toks = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = toks.join(freq, "tok")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = fanOut(docs.select(col("doc_id"), col("text")), gauge = docs)
+      .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .repartition(par, col("tok"))
+    val ordered = toks
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
         t => t.getField("tok")).as("toks"))
+      .repartition(par, col("doc_id"))
     val n = size(col("toks"))
     // integer ceil: ⌈tNum·n/tDen⌉ = (tNum·n + tDen − 1) div tDen
     val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")
@@ -90,8 +117,8 @@ object Dedup {
       .distinct()
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
     cands
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(ordered.select(col("doc_id").as("a_id"), col("toks").as("a_sh")), "a_id")
+      .join(ordered.select(col("doc_id").as("b_id"), col("toks").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), inter.as("inter"), uni.as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }

@@ -164,8 +164,14 @@ object Similarity {
     * rounds the way [[graft.operators.Graph.pageRank]] does). */
   def kmeansLloyd(embs: DataFrame, k: Int, iters: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // `base` is consumed by every assign (iters+1×) and every update
+    // (iters×); the explicit exchange makes all consumers ReusedExchange
+    // readers of ONE scan instead of re-scanning the corpus per round —
+    // the declarative stand-in for the `.cache()` an ML k-means would do
     val base = embs.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
     val d2 = aggregate(
       zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
       lit(0.0d), (acc, x) => acc + x)

@@ -5,10 +5,14 @@ import graft.SparkEntry
 
 /** Dev tool: dump the formatted physical plan of selected gate queries
   * (args = query names; default = the newest additions) for shuffle /
-  * pushdown / codegen review. */
+  * pushdown / codegen review. SPARK_GRAFT_EXEC=1 additionally EXECUTES
+  * each query and prints the final adaptive plan — under AQE, exchange
+  * reuse (ReusedExchange/stage cache) only appears at runtime, so a
+  * static dump over-counts scans for shared-lineage plans. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
@@ -21,8 +25,15 @@ object PlanAudit {
         "q82_upsert_merge", "q83_zorder_stats", "q84_chunk_windows")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        // collect() drives df's OWN QueryExecution so the printed plan is
+        // the FINALIZED adaptive one (a noop write would execute a copy)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

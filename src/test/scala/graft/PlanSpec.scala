@@ -149,4 +149,41 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("l_extendedprice")),
       s"raw value column leaked into an exchange:\n${exchanges.mkString("\n")}")
   }
+
+  /** Execute and return the FINALIZED adaptive plan string (final section
+    * only): under AQE, exchange/stage reuse appears only at runtime, so
+    * static plans over-count scans for shared-lineage queries. */
+  private def finalizedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("Initial Plan")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("q104: ONE corpus scan, ONE shingle pass — exchanges reused at runtime") {
+    val p = finalizedPlan("q104_setsim_prefix_join")
+    // one load-bearing exchange feeds census, both self-join sides, and
+    // both verification joins; without reuse this plan re-scanned 12×
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"expected exactly 1 documents scan in the finalized plan:\n$p")
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"shared lineage must resolve to ReusedExchange at runtime:\n$p")
+    // the q79 generator-guard hazard: the shingle expression must never
+    // leak into the scan's pushed data filters (explode_outer blocks it)
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(!scanLine.contains("array_distinct"),
+      s"shingle expression leaked into the scan filters:\n$scanLine")
+  }
+
+  test("q105: k-means re-reads ONE materialized corpus exchange per round, not the scan") {
+    val p = finalizedPlan("q105_kmeans_lloyd")
+    // 3 assigns + 2 updates consume `base`; all but the first must be
+    // ReusedExchange readers. A second scan is expected and CORRECT: the
+    // init-centroid branch pushes vec_id < k into a k-row pruned scan.
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2, s"corpus must not re-scan per Lloyd round, got $scans:\n$p")
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"base exchange must be reused across rounds:\n$p")
+  }
 }
