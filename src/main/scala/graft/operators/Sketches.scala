@@ -172,12 +172,20 @@ object Sketches {
     * Same |key| < 2³² domain as CMS (ANSI throws loudly beyond). */
   def hllRegisters(df: DataFrame, keyCol: String, grpCol: Column,
       a: Long, b: Long): DataFrame = {
-    val h1 = pmod(col(keyCol) * lit(a) + lit(b), lit(P))
-    val h = pmod(pmod(h1 * h1, lit(P)) * h1, lit(P))
-    df.select(grpCol.as("grp"), (h % HllM).as("reg"),
-        floor(h / HllM).cast("long").as("z"))
+    val (reg, rho) = hllCols(col(keyCol), a, b)
+    df.select(grpCol.as("grp"), reg.as("reg"), rho.as("rho"))
       .groupBy(col("grp"), col("reg"))
-      .agg(max(hllRho(col("z"))).as("rho"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-row (register, ρ) column pair for a key — the row-local front end
+    * of [[hllRegisters]], exposed so streaming aggregations can compute
+    * the same registers under a watermarked `groupBy(window, reg)`
+    * (graft.streaming.EventStream.windowedDistinctUsers). */
+  def hllCols(key: Column, a: Long, b: Long): (Column, Column) = {
+    val h1 = pmod(key * lit(a) + lit(b), lit(P))
+    val h = pmod(pmod(h1 * h1, lit(P)) * h1, lit(P))
+    (h % HllM, hllRho(floor(h / HllM).cast("long")))
   }
 
   /** Distinct-count estimate from a register table: the raw HLL formula
@@ -200,6 +208,30 @@ object Sketches {
       .select(col("grp"),
         (floor(lit(HllAlphaM2) / (col("s_occ") + (lit(HllM) - col("n_occ")))
           * 1e6 + 0.5) / 1e6).as("est"))
+
+  /** [[hllEstimate]] plus Flajolet's small-range correction: when the raw
+    * estimate falls in the linear-counting zone (E ≤ 2.5m) and empty
+    * registers remain, the occupancy estimator m·ln(m/V) is far more
+    * accurate (it is exact in expectation for a Poissonized stream). This
+    * variant is the PRODUCTION read path for low-cardinality groups —
+    * e.g. per-window distinct users, where n ≪ 2.5m makes the raw branch
+    * meaningless — but it is deliberately NOT the oracle-gated path: ln()
+    * is a transcendental whose last ulp is not contractually identical
+    * across engines (the repo's cross-engine numerics rule), so the gate
+    * checks registers and the raw formula, and the spec pins this
+    * branch's accuracy in-engine. */
+  def hllEstimateCorrected(regs: DataFrame): DataFrame =
+    regs.groupBy(col("grp"))
+      .agg(sum(pow(lit(2.0), -col("rho").cast("double"))).as("s_occ"),
+        count(lit(1)).as("n_occ"))
+      .select(col("grp"),
+        col("s_occ"), col("n_occ"),
+        (lit(HllAlphaM2) / (col("s_occ") + (lit(HllM) - col("n_occ"))))
+          .as("raw"))
+      .select(col("grp"),
+        (floor(when(col("raw") <= 2.5 * HllM && col("n_occ") < HllM,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / (lit(HllM) - col("n_occ"))))
+          .otherwise(col("raw")) * 1e6 + 0.5) / 1e6).as("est"))
 
   /** Shared constants + oracle for q103 (single source of truth). */
   private[graft] object Hll {
@@ -278,7 +310,13 @@ object Sketches {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  // lazy: Streams.defs initializes BEFORE Sketches in SparkEntry.allDefs and
+  // touches Sketches.Hll (q106 shares the q103 hash constants); Hll's init
+  // re-enters the still-initializing outer object, and an EAGER defs would
+  // capture Hll.oracle as null mid-construction (observed: Verify NPE on a
+  // null oracle string). Deferring defs lets both objects finish
+  // initializing before any QueryDef captures nested-object state.
+  lazy val defs: Seq[QueryDef] = Seq(
 
     // ---- q101: Count-Min frequency sketch ----------------------------------
     // Build the sketch over every event's user_id, point-estimate the

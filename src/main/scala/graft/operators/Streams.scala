@@ -146,5 +146,36 @@ object Streams {
              |SELECT day, user_id, day_value,
              |  row_number() OVER (PARTITION BY day ORDER BY day_value DESC, user_id) AS rnk
              |FROM daily QUALIFY rnk <= 3 ORDER BY day, rnk""".stripMargin)),
+
+    // ---- q106: windowed approximate-distinct registers (HLL per day) -------
+    // The batch twin of EventStream.windowedDistinctUsers: daily HyperLogLog
+    // register tables over user_id — ≤ m rows per window whatever the event
+    // volume, mergeable by max across shards/restarts. The gate
+    // value-checks the REGISTERS (integer-exact cross-engine); estimate
+    // math is q103's gate-checked formula, and the per-window read path is
+    // hllEstimateCorrected (n ≪ 2.5m here — linear-counting regime), whose
+    // accuracy the streaming spec pins. StreamingSpec also asserts the
+    // streaming register table equals this one.
+    QueryDef(
+      "q106_windowed_distinct",
+      (s, d) => {
+        import s.implicits._
+        val (reg, rho) = Sketches.hllCols($"user_id", Sketches.Hll.a, Sketches.Hll.b)
+        Tables.events(s, d)
+          .select(window($"ts", "1 day").as("w"), reg.as("reg"), rho.as("rho"))
+          .select(unix_timestamp($"w.start").as("win_start"), $"reg", $"rho")
+          .groupBy($"win_start", $"reg")
+          .agg(max($"rho").as("rho"))
+          .orderBy($"win_start", $"reg")
+      },
+      Some(s"""WITH k0 AS (
+             |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) * 86400 AS BIGINT) AS win_start,
+             |    ((user_id * ${Sketches.Hll.a} + ${Sketches.Hll.b}) % ${Sketches.P} + ${Sketches.P}) % ${Sketches.P} AS h1
+             |  FROM events),
+             |k AS (SELECT win_start, ((h1 * h1) % ${Sketches.P}) * h1 % ${Sketches.P} AS h FROM k0),
+             |zt AS (SELECT win_start, h % ${Sketches.HllM} AS reg, h // ${Sketches.HllM} AS z FROM k)
+             |SELECT win_start, reg, max(${Sketches.Hll.rhoSql}) AS rho
+             |FROM zt GROUP BY 1, 2
+             |ORDER BY win_start, reg""".stripMargin)),
   )
 }

@@ -59,6 +59,29 @@ object EventStream {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
+  /** Windowed approximate-distinct users: HyperLogLog registers per daily
+    * window — the streaming face of q103/q106. State per (window,
+    * register) is ONE small int (the running max ρ), so distinct-count
+    * state stays ≤ m integers per window however many events or distinct
+    * users stream through — the unbounded-state alternative
+    * (dropDuplicates + count) keeps every user id until the watermark
+    * closes. Register rows from shards or restarts MERGE by max, the same
+    * contract the q106 batch gate value-checks cross-engine; estimates
+    * are a sink-side read via
+    * [[graft.operators.Sketches.hllEstimateCorrected]] (per-window n is
+    * ≪ 2.5m here — the linear-counting regime). */
+  def windowedDistinctUsers(events: DataFrame): DataFrame = {
+    val (reg, rho) = graft.operators.Sketches.hllCols(col("user_id"),
+      graft.operators.Sketches.Hll.a, graft.operators.Sketches.Hll.b)
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), reg.as("reg"), rho.as("rho"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("reg"),
+        col("rho"))
+  }
+
   /** Watermarked stream-stream interval join: each purchase joined to the
     * same user's clicks in the preceding 30 minutes. Both sides carry
     * watermarks so the join state is bounded — the streaming form of the

@@ -110,6 +110,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllEstimateCorrected: linear counting in the small-n zone, raw passthrough above") {
+    // n = 200 < 2.5m = 320: the corrected branch must engage and land
+    // within ~3σ of exact (raw HLL is meaningless at this load)
+    val small = (0L until 200L).toDF("k")
+    val sregs = Sketches.hllRegisters(small, "k", lit("s"), Sketches.Hll.a, Sketches.Hll.b)
+    val sEst = Sketches.hllEstimateCorrected(sregs).collect().head.getDouble(1)
+    assert(math.abs(sEst / 200.0 - 1.0) < 0.25, s"corrected est $sEst vs 200")
+    // n = 5000 ≫ 2.5m: correction must NOT engage — corrected == raw
+    val big = (0L until 5000L).toDF("k")
+    val bregs = Sketches.hllRegisters(big, "k", lit("b"), Sketches.Hll.a, Sketches.Hll.b)
+    val raw = Sketches.hllEstimate(bregs).collect().head.getDouble(1)
+    val corr = Sketches.hllEstimateCorrected(bregs).collect().head.getDouble(1)
+    assert(corr == raw, s"large-n corrected $corr must equal raw $raw")
+  }
+
   test("hll registers MERGE: max of per-half registers equals the full table") {
     val all = (0L until 3000L).map(i => i * 7 % 1001).toDF("k") // 1001 distinct
     def regTable(df: org.apache.spark.sql.DataFrame) =

@@ -34,6 +34,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("windowed distinct (HLL): streaming registers equal the q106 batch twin; corrected estimates track exact") {
+    val stream = EventStream.windowedDistinctUsers(EventStream.readEvents(spark, eventsPath))
+    val got = EventStream.runToMemory(spark, stream, "wdu")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val q106 = graft.operators.Streams.defs.find(_.name == "q106_windowed_distinct").get
+      .build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.nonEmpty)
+    assert(got == q106,
+      s"stream vs batch registers: ${got.toSet diff q106.toSet} / ${q106.toSet diff got.toSet}")
+    // sink-side read path: daily n ≈ 11–15 ≪ 2.5m, so the corrected
+    // (linear-counting) estimate applies; ±25% covers its ~4σ at this n
+    // plus the integer-V granularity of m·ln(m/V)
+    val est = graft.operators.Sketches.hllEstimateCorrected(
+      spark.table("wdu").select(col("win_start").as("grp"), col("reg"), col("rho")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = batch.groupBy(window($"ts", "1 day").as("w"))
+      .agg(countDistinct($"user_id").as("n"))
+      .select(unix_timestamp($"w.start"), $"n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    for ((w, n) <- exact)
+      assert(math.abs(est(w) / n - 1.0) < 0.25, s"window $w: est ${est(w)} vs exact $n")
+  }
+
   test("session windows: streaming equals batch session_window, and matches q54 session counts") {
     val stream = EventStream.sessionWindows(EventStream.readEvents(spark, eventsPath))
     val got = EventStream.runToMemory(spark, stream, "sessions")
