@@ -374,6 +374,87 @@ object Dedup {
           " ").as("text_dedup"))
   }
 
+  /** Exact duplicated-SPAN removal — the position-level tier below
+    * [[segmentDedup]]'s fixed grid: find every word `n`-gram whose total
+    * corpus occurrence count (with multiplicity, within AND across
+    * documents) reaches `minCount`, merge the token positions those grams
+    * cover into maximal spans per document, and strip the covered tokens.
+    * This is the "duplicate text spans" pass of LLM-corpus curation
+    * (boilerplate headers, license blocks, templated sentences) where the
+    * repeated region does NOT align to any grid: a 40-token footer split
+    * across two 16-token grid cells survives `segmentDedup` but is fully
+    * covered here, because coverage is per-position, not per-cell.
+    *
+    * Output per document: `n_spans` (maximal merged spans), `dup_tokens`
+    * (positions covered), `n_tokens`, `dup_permille` (integer ‰ —
+    * integer `div`, no float), and `clean_text` (the uncovered tokens in
+    * order; "" when everything was duplicated).
+    *
+    * Exactness: span merging is gaps-and-islands over the covered-position
+    * set (`cpos − row_number()` constant within a run of consecutive
+    * integers) — no heuristics, so a SQL oracle replays it bit-for-bit.
+    *
+    * Scale shape: the gram census is a `groupBy(gram)` partial agg (the
+    * Zipf head collapses map-side — same reasoning as [[segmentDedup]]'s
+    * agg-not-window rule), probed by an equi-join that AQE broadcasts when
+    * the duplicated-gram set is small (the usual case: boilerplate is rare
+    * by type, frequent by token). The census and the probe each scan the
+    * (doc_id, text)-pruned corpus once — two scans beat a `count(*) OVER
+    * (PARTITION BY gram)` single pass, which would shuffle EVERY gram
+    * occurrence instead of map-collapsed counts. Everything after the
+    * probe carries only (doc_id, int) rows; the island window partitions
+    * by doc_id (bounded by document length, never by gram popularity).
+    * Text rebuild is row-local: covered positions aggregate to one array
+    * per affected doc, join back, and an indexed `filter` drops covered
+    * tokens without re-shuffling the corpus. At 100 TB, census grams on
+    * `xxhash64` instead of raw text (64-bit keys on the wire; exact-text
+    * verify on the candidate join) — the gate keeps raw grams because the
+    * oracle must replay them. */
+  def dupSpans(docs: DataFrame, n: Int, minCount: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1 (got $n)")
+    require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
+    val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")))
+    // q84's blessed generator shape: index-only explode input, slice after.
+    val grams = base.where(col("n_tokens") >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n_tokens") - n)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", expr(s"slice(t, pos + 1, $n)")).as("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("gram"))
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cpos"))
+    val spanStats = covered
+      .withColumn("k", col("cpos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(col("cpos")).as("s"), max(col("cpos")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    val covSets = covered.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("cpos"))).as("cov"))
+    base
+      .join(spanStats, Seq("doc_id"), "left")
+      .join(covSets, Seq("doc_id"), "left")
+      .withColumn("covA", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        expr("coalesce(dup_tokens, 0L) * 1000 div greatest(n_tokens, 1)")
+          .as("dup_permille"),
+        array_join(
+          filter(col("t"), (tok, i) => !array_contains(col("covA"), i)),
+          " ").as("clean_text"))
+  }
+
   /** The reference side's LSH state as a persistable BAND-BUCKET table
     * (doc_id, band, sig — Bands rows per doc, band hashes fixed to the
     * current 16×2 banding): write it beside the corpus once, and every
@@ -691,5 +772,60 @@ object Dedup {
              |  count(CASE WHEN occ = 1 THEN 1 END) AS n_kept,
              |  coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' ' ORDER BY chunk_id), '') AS text_dedup
              |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- q107: exact duplicated-span removal (position-level dedup) --------
+    // Any word 4-gram occurring >= 2 times corpus-wide (multiplicity counts
+    // within-doc repeats too) marks its 4 token positions; positions merge
+    // to maximal spans via gaps-and-islands, and clean_text drops covered
+    // tokens. The oracle replays the census, the coverage, the island
+    // arithmetic, and the token-level text rebuild — every output column is
+    // integer or exact string, so the hash check is bit-for-bit.
+    QueryDef(
+      "q107_dup_spans",
+      (s, d) => dupSpans(Tables.documents(s, d), n = 4, minCount = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 4], ' ') AS gram
+             |  FROM (SELECT doc_id, t, unnest(range(0, n - 3)) AS pos
+             |        FROM t WHERE n >= 4)),
+             |census AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |dup AS (SELECT g.doc_id, g.pos FROM g JOIN census USING (gram)),
+             |cov AS (
+             |  SELECT DISTINCT doc_id, pos + u.r AS cpos
+             |  FROM dup, (SELECT unnest(range(0, 4)) AS r) u),
+             |isl AS (
+             |  SELECT doc_id, cpos,
+             |    cpos - row_number() OVER (PARTITION BY doc_id ORDER BY cpos) AS k
+             |  FROM cov),
+             |spans AS (
+             |  SELECT doc_id, min(cpos) AS s, max(cpos) AS e
+             |  FROM isl GROUP BY doc_id, k),
+             |ss AS (
+             |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens
+             |  FROM spans GROUP BY doc_id),
+             |toks AS (
+             |  SELECT doc_id, pos, t[pos + 1] AS tok
+             |  FROM (SELECT doc_id, t, unnest(range(0, n)) AS pos FROM t)),
+             |cl AS (
+             |  SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text
+             |  FROM toks tk
+             |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+             |                    WHERE c.doc_id = tk.doc_id AND c.cpos = tk.pos)
+             |  GROUP BY tk.doc_id)
+             |SELECT t.doc_id,
+             |  CAST(coalesce(ss.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(ss.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             |  CAST(t.n AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(ss.dup_tokens, 0) * 1000 // greatest(t.n, 1) AS BIGINT)
+             |    AS dup_permille,
+             |  coalesce(cl.clean_text, '') AS clean_text
+             |FROM t
+             |LEFT JOIN ss ON ss.doc_id = t.doc_id
+             |LEFT JOIN cl ON cl.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
   )
 }

@@ -163,7 +163,14 @@ object Similarity {
     * driver-side data round-trip (past ~10 iterations, checkpoint between
     * rounds the way [[graft.operators.Graph.pageRank]] does). */
   def kmeansLloyd(embs: DataFrame, k: Int, iters: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    kmeansFit(embs, k, iters, vecCol, idCol)._2
+
+  /** [[kmeansLloyd]]'s fit, returning BOTH the final centroid table
+    * (cluster, c) and the final assignment — product quantization
+    * ([[pqTrain]]) needs the centroids for its distance tables. */
+  private def kmeansFit(embs: DataFrame, k: Int, iters: Int,
+      vecCol: String, idCol: String): (DataFrame, DataFrame) = {
     // `base` is consumed by every assign (iters+1×) and every update
     // (iters×); the explicit exchange makes all consumers ReusedExchange
     // readers of ONE scan instead of re-scanning the corpus per round —

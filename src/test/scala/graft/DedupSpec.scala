@@ -216,4 +216,57 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)), got.toString)
   }
+
+  test("dupSpans: planted cross-doc span is masked, islands merge, clean docs untouched") {
+    // docs 1+2 share the 6-token run "w1 w2 w3 w4 w5 w6": its three 4-grams
+    // overlap, so gaps-and-islands must merge them into ONE span of 6.
+    // doc 3 shares nothing (all 4-grams unique) → untouched.
+    val df = Seq(
+      (1L, "a1 a2 w1 w2 w3 w4 w5 w6 a3 a4"),
+      (2L, "b1 w1 w2 w3 w4 w5 w6 b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, n = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) == ((1L, 6L, 10L, 600L, "a1 a2 a3 a4")), got(1L).toString)
+    assert(got(2L) == ((1L, 6L, 10L, 600L, "b1 b2 b3 b4")), got(2L).toString)
+    assert(got(3L) == ((0L, 0L, 8L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8")), got(3L).toString)
+  }
+
+  test("dupSpans: within-doc repetition counts toward the census; full coverage empties the doc") {
+    // doc 1 repeats "r1 r2 r3 r4" internally → census count 2 from ONE doc;
+    // both occurrences are covered (two islands separated by the 'mid' gap).
+    // doc 2 is one 4-gram repeated verbatim in doc 3 → both fully covered.
+    val df = Seq(
+      (1L, "r1 r2 r3 r4 mid r1 r2 r3 r4"),
+      (2L, "x1 x2 x3 x4"),
+      (3L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, n = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) == ((2L, 8L, 9L, 888L, "mid")), got(1L).toString)
+    assert(got(2L) == ((1L, 4L, 4L, 1000L, "")), got(2L).toString)
+    assert(got(3L) == ((1L, 4L, 4L, 1000L, "")), got(3L).toString)
+  }
+
+  test("dupSpans: spans can straddle segmentDedup's grid where grid cells survive") {
+    // A shared 8-token run placed so it straddles a 16-token grid boundary
+    // in a 20-token doc: segment dedup (grid 16) sees DIFFERENT cells in
+    // each doc (offsets differ) and keeps everything; span dedup masks the
+    // run in both docs precisely.
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val pre1 = (1 to 12).map(i => s"p$i").mkString(" ")
+    val pre2 = (1 to 10).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$pre1 $run"),
+      (2L, s"$pre2 $run v1 v2")).toDF("doc_id", "text")
+    val seg = Dedup.segmentDedup(df, segTokens = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // n_kept
+    val spans = Dedup.dupSpans(df, n = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(5)))).toMap
+    assert(seg(1L) == 2L && seg(2L) == 2L,
+      s"grid cells differ across docs, so all survive segment dedup: $seg")
+    assert(spans(1L) == ((8L, pre1)), spans(1L).toString)
+    assert(spans(2L) == ((8L, s"$pre2 v1 v2")), spans(2L).toString)
+  }
 }
