@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet-backed table registry for the harness testdata star schema.
   *
@@ -28,19 +28,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
-    * its µs TimestampType. We read it as a raw nanosecond long
-    * (`nanosAsLong`) and truncate to a µs timestamp — the same floor
-    * DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) applies, keeping oracle
-    * arithmetic bit-identical. */
+  /** events.ts has shipped in two physical shapes across testdata
+    * generations: TIMESTAMP(NANOS), which Spark 4 refuses to map to its µs
+    * TimestampType (read as a raw nanosecond long via `nanosAsLong`, then
+    * floor-truncated to µs — the same floor DuckDB's
+    * CAST(TIMESTAMP_NS AS TIMESTAMP) applies), and timestamp[us] with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ (cast to
+    * TimestampType — an identity on the stored micros because every
+    * session here pins spark.sql.session.timeZone=UTC, matching DuckDB's
+    * naive-TIMESTAMP read of the same file). Both normalizations keep
+    * oracle arithmetic bit-identical. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     // `ts div 1000`: integer division — `/` would go through double and
     // lose microsecond accuracy at 1.7e18-scale nanosecond values.
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -168,7 +168,8 @@ object Similarity {
 
   /** [[kmeansLloyd]]'s fit, returning BOTH the final centroid table
     * (cluster, c) and the final assignment — product quantization
-    * ([[pqTrain]]) needs the centroids for its distance tables. */
+    * (a planned pqTrain operator) needs the centroids for its distance
+    * tables. */
   private def kmeansFit(embs: DataFrame, k: Int, iters: Int,
       vecCol: String, idCol: String): (DataFrame, DataFrame) = {
     // `base` is consumed by every assign (iters+1×) and every update
@@ -205,7 +206,7 @@ object Similarity {
     var cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
     for (_ <- 1 to iters) cents = update(assign(cents))
-    assign(cents) // (vec_id, cluster, v, d2) under the final centroids
+    (cents, assign(cents)) // (vec_id, cluster, v, d2) under the final centroids
   }
 
   /** Johnson–Lindenstrauss random projection: reduce `array<float>`

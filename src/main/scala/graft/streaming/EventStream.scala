@@ -17,12 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** events.parquet schema (file sources need an explicit schema). ts is
-    * TIMESTAMP(NANOS) parquet — declared as a nanosecond long (see
-    * Tables.events) and truncated to a µs timestamp after the scan. */
-  val eventSchema: StructType = StructType(Seq(
+  /** events.parquet schema (file sources need an explicit schema). ts has
+    * shipped as both TIMESTAMP(NANOS) (declared as a nanosecond long — see
+    * Tables.events — then floor-truncated to µs) and timestamp[us] NTZ
+    * (cast to TimestampType: identity on the stored micros under the UTC
+    * sessions used throughout). `tsType` picks the declared shape. */
+  def eventSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -30,8 +32,15 @@ object EventStream {
 
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // one driver-side footer read decides which physical ts shape the
+    // stream declares — the stream itself stays a plain file source
+    val physical = spark.read.parquet(path).schema("ts").dataType
+    val raw = spark.readStream.schema(eventSchema(physical)).parquet(path)
+    physical match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 5-minute counts with a 10-minute watermark (late data beyond
