@@ -170,7 +170,7 @@ object Similarity {
     * (cluster, c) and the final assignment — product quantization
     * (a planned pqTrain operator) needs the centroids for its distance
     * tables. */
-  private def kmeansFit(embs: DataFrame, k: Int, iters: Int,
+  private[operators] def kmeansFit(embs: DataFrame, k: Int, iters: Int,
       vecCol: String, idCol: String): (DataFrame, DataFrame) = {
     // `base` is consumed by every assign (iters+1×) and every update
     // (iters×); the explicit exchange makes all consumers ReusedExchange

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.functions.TextOps
@@ -53,6 +53,52 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
   }
+
+  /** Hashed-bigram linear text classifier — the fastText-shaped
+    * MODEL-BASED quality filter of modern data pipelines (DCLM/FineWeb
+    * style: a trained linear model over hashed n-gram features scores
+    * every document; score > threshold keeps it). The heuristic filters
+    * (q41 quality, q70 Gopher) are rule-based; this is the learned-model
+    * face of the same stage with the weights supplied as literals (in
+    * production they come from any offline trainer; the engine's job is
+    * the SCORING pass, which must scale).
+    *
+    * Features: word bigrams WITH multiplicity, hashed to `weights.length`
+    * buckets by the first 8 md5 hex digits (md5 is the engine-portable
+    * hash — identical text → identical hex on any engine; 8 hex digits →
+    * [0, 2³²), no sign or overflow concerns under ANSI). Logit = bias +
+    * mean bucket weight over the document's bigrams (mean, not sum, so
+    * the score is length-invariant like fastText's). Scale: row-local
+    * Column dag — no shuffle, no UDF, scales with input splits; the
+    * weight table is a plan literal (k/256 rationals: every partial sum
+    * is exact in IEEE, so cross-engine equality needs only the final
+    * division's 1e-6 floor-quantization).
+    */
+  def classifierLogit(text: Column, weights: Array[Double], bias: Double): Column =
+    gramLogit(TextOps.ngrams(text, 2), weights, bias)
+
+  /** [[classifierLogit]] over an already-built bigram array — split out so
+    * callers scoring plus counting can materialize the grams ONCE through a
+    * projection boundary (CollapseProject keeps non-cheap aliases that are
+    * referenced more than once, so the tokenize+ngram pass runs once per
+    * row instead of once per consuming expression). */
+  def gramLogit(bgs: Column, weights: Array[Double], bias: Double): Column = {
+    val wLit = array(weights.map(lit): _*)
+    val bucket = (g: Column) =>
+      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % weights.length).cast("int")
+    val sumW = aggregate(bgs, lit(0.0d), (acc, g) => acc + element_at(wLit, bucket(g) + 1))
+    val n = greatest(size(bgs), lit(1)).cast("double")
+    floor((lit(bias) + sumW / n) * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+
+  /** [[classifierLogit]] applied to a corpus: (doc_id, n_bigrams, logit,
+    * keep) — `keep` is the filter decision at threshold `tau`. */
+  def linearQualityFilter(docs: DataFrame, weights: Array[Double],
+      bias: Double, tau: Double): DataFrame =
+    docs.select(col("doc_id"), TextOps.ngrams(col("text"), 2).as("bgs"))
+      .select(col("doc_id"), size(col("bgs")).as("n_bigrams"),
+        gramLogit(col("bgs"), weights, bias).as("logit"))
+      .withColumn("keep", col("logit") > tau)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -175,5 +221,57 @@ object TextAnalysis {
              |  JOIN uni u2 ON u2.w = string_split(d.g, ' ')[2])
              |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- q109: hashed-bigram linear classifier (model-based filter) --------
+    // The weight table is a seeded literal rendered into BOTH plans (the
+    // LSH-planes scheme), and the bucket hash is md5-hex — so the oracle
+    // replays tokenization, hashing, weight lookup, mean-pool, and the
+    // keep decision exactly.
+    QueryDef(
+      "q109_linear_quality",
+      (s, d) => linearQualityFilter(Tables.documents(s, d),
+        LQ.weights, LQ.Bias, LQ.Tau).orderBy(col("doc_id")),
+      Some(LQ.oracle)),
   )
+
+  /** Shared gate constants + DuckDB oracle for q109 (single source of
+    * truth for buckets, weights, bias, threshold). Weights are k/256
+    * rationals: exact in both binary (dyadic) and decimal (finite)
+    * representation, so the SQL literal list round-trips bit-identically. */
+  private[graft] object LQ {
+    val Buckets = 64
+    val Bias = -0.03125 // -8/256: same dyadic-rational family as weights
+    val Tau = 0.0
+
+    val weights: Array[Double] = {
+      val r = new scala.util.Random(109L)
+      Array.fill(Buckets)((r.nextInt(513) - 256) / 256.0)
+    }
+
+    val oracle: String = {
+      val wList = weights.mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+         |         ELSE [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+         |    END AS bgs
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, len(bgs) AS n_bigrams,
+         |    coalesce(list_sum(list_transform(bgs, g ->
+         |      ($wList)[CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+         |                    % $Buckets AS INT) + 1])), 0.0) AS sw,
+         |    greatest(len(bgs), 1) AS n
+         |  FROM b),
+         |l AS (
+         |  SELECT doc_id, n_bigrams,
+         |    floor(($Bias + sw / n) * 1e6 + 0.5) / 1e6 AS logit
+         |  FROM s)
+         |SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams, logit,
+         |  (logit > $Tau) AS keep
+         |FROM l ORDER BY doc_id""".stripMargin
+    }
+  }
 }

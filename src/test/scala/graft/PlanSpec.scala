@@ -176,6 +176,43 @@ class PlanSpec extends SparkSpec {
       s"shingle expression leaked into the scan filters:\n$scanLine")
   }
 
+  test("q108: ADC sums partial-aggregate map-side; distance tables broadcast; rank limit reaches the map side") {
+    val p = finalizedPlan("q108_pq_adc")
+    // the (qid, nid) sum must combine map-side: the shuffle carries one
+    // partial row per (query, vector) per partition, never m raw lookups
+    assert(p.contains("partial_sum"),
+      s"ADC sum must partially aggregate before the exchange:\n$p")
+    // codebook + per-query distance tables join as broadcasts — the code
+    // table (the only corpus-sized side at query time) never shuffles
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"codebook and distance-table joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+    // top-k per query: the rank filter must prune map-side
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must reach the map side as a WindowGroupLimit:\n$p")
+    // each subspace's Lloyd loop re-reads its one materialized exchange
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"per-subspace corpus exchanges must be reused across rounds:\n$p")
+  }
+
+  test("q109: classifier is one pruned scan, one pass — no shuffle before the gate sort") {
+    val p = physicalPlan("q109_linear_quality")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"expected exactly 1 documents scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("lang"),
+      s"column pruning failed: $readSchema")
+    // row-local scoring: the only exchange is the deterministic-output sort
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning")).toSeq
+    assert(exchanges.isEmpty, s"scoring must not shuffle:\n${exchanges.mkString("\n")}")
+    // the tokenize+ngram pass runs ONCE per row (CollapseProject keeps the
+    // multiply-referenced non-cheap alias behind its projection boundary)
+    assert("transform\\(array\\(split".r.findAllIn(p).length == 1,
+      s"ngram expression must be evaluated once per row:\n$p")
+  }
+
   test("q105: k-means re-reads ONE materialized corpus exchange per round, not the scan") {
     val p = finalizedPlan("q105_kmeans_lloyd")
     // 3 assigns + 2 updates consume `base`; all but the first must be
