@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — the full FAISS-style 100 TB ANN architecture,
+  * composing [[IvfIndex]]'s partition-pruned cell layout with [[Pq]]'s
+  * code compression on the RESIDUALS (vector − its cell centroid; PQ on
+  * residuals is what makes coarse+fine quantization additive: the coarse
+  * step removes the cell mean, the codebooks only model what is left).
+  *
+  *  - `build`: coarse quantizer (distributed MLlib k-means on a sample)
+  *    → cell assignment; residual per vector; per-subspace PQ codebooks
+  *    trained by the declarative Lloyd loop on re-keyed residuals; then
+  *    ONLY the code table (vec_id, sub, code — m small ints per vector)
+  *    is persisted partitioned by cell, plus the tiny model tables
+  *    (centroids, codebook, and a one-row geometry meta so search can
+  *    never slice queries against a mismatched layout). The float corpus is not part of the index:
+  *    a 64-dim float32 corpus stores 256 B/vector; m=4 byte-able codes
+  *    store 4 — the serving I/O shrinks ~64×.
+  *  - `search`: probe the `nProbe` nearest cells per query (centroid
+  *    table broadcast); build per-(query, cell) residual distance tables
+  *    (nQ·nProbe·m·k doubles — broadcast); read ONLY probed cell
+  *    directories (partition pruning, asserted by `IvfPqIndexSpec`) and
+  *    rank by ADC sums that partial-aggregate map-side. No float vector
+  *    is read at query time — queries touch codes + two model tables.
+  *
+  * Like [[IvfIndex]], everything needed to serve is in the files — any
+  * session can search without re-training. Spec-verified (recall against
+  * exact search, probe monotonicity, plan pruning); the oracle-checked
+  * faces of the same machinery are q63 (fixed-quantizer IVF) and q108
+  * (learned PQ + ADC).
+  */
+object IvfPqIndex {
+
+  /** Train coarse + PQ models, persist `<dir>/codes` (partitioned by
+    * cell), `<dir>/centroids`, `<dir>/codebook`. Returns cell count. */
+  def build(spark: SparkSession, embeddings: DataFrame, dir: String,
+      nCells: Int = 16, m: Int = 2, dim: Int = 64, kCodes: Int = 16,
+      iters: Int = 4, trainFraction: Double = 0.25): Int = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.select($"vec_id", $"embedding",
+      array_to_vector($"embedding").as("fv"))
+    val sample = feat.sample(withReplacement = false, trainFraction, seed = 42)
+    val train = if (sample.count() >= nCells.toLong * 4) sample else feat
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cvec")
+    val assigned = model.transform(feat)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"cell")
+      .join(broadcast(centroids), Seq("cell"))
+      .select($"vec_id", $"cell",
+        zip_with($"v", $"cvec", (a, b) => a - b).as("rv"))
+    // PQ codebooks on residuals, trained on the same bounded sample
+    // discipline as the coarse quantizer (codebooks are model parameters;
+    // the corpus never needs to enter the Lloyd loop). kmeansFit seeds
+    // from ids 0..k−1, so the training view re-keys its sample to
+    // contiguous ids — the global window is over the SAMPLE only.
+    val pqSample = assigned.sample(withReplacement = false, trainFraction, seed = 43)
+    val pqView = if (pqSample.count() >= kCodes.toLong * 4) pqSample else assigned
+    val rekeyed = pqView
+      .withColumn("rid", row_number().over(
+        Window.orderBy($"vec_id")).cast("long") - 1)
+      .select($"rid".as("vec_id"), $"rv")
+    val codebook = Pq.pqTrain(rekeyed, m, dim, kCodes, iters, vecCol = "rv")
+    val codes = Pq.pqEncode(
+      assigned.select($"vec_id", $"cell", $"rv"), codebook, m, dim, vecCol = "rv")
+      .join(assigned.select($"vec_id", $"cell"), Seq("vec_id"))
+      .select($"vec_id", $"sub", $"code", $"cell")
+    codes.write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/codes")
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    codebook.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
+    // geometry rides with the index: search must slice queries exactly the
+    // way the codes were built, so (m, dim) are index facts, not caller
+    // arguments (a mismatched caller guess silently NULLs every distance
+    // through zip_with's length padding)
+    Seq((m, dim, nCells)).toDF("m", "dim", "n_cells")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    nCells
+  }
+
+  /** ADC top-k per query over the persisted index. `queries` needs
+    * (qid, qv); returns (qid, nid, rank, ad) where `ad` approximates the
+    * squared L2 distance. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+      topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").select("m", "dim").head()
+    val (m, dim) = (meta.getInt(0), meta.getInt(1))
+    val ds = dim / m
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val cdist = aggregate(
+      zip_with($"qv".cast("array<double>"), $"cvec", (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val probeW = Window.partitionBy($"qid").orderBy($"cd", $"cell")
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select($"qid", $"qv", $"cell", $"cvec", cdist.as("cd"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter($"pr" <= nProbe)
+      .select($"qid", $"cell",
+        zip_with($"qv".cast("array<double>"), $"cvec", (a, b) => a - b).as("rq"))
+    // per-(query, cell) residual distance tables: nQ·nProbe·m·k rows
+    val qsub = probes.select($"qid", $"cell",
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"), slice($"rq", s * ds + 1, ds).as("sv"))): _*)).as("t"))
+      .select($"qid", $"cell", $"t.sub".as("sub"), $"t.sv".as("sv"))
+    val d2 = aggregate(zip_with($"sv", $"c", (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val dtab = qsub.join(codebook, Seq("sub"))
+      .select($"qid", $"cell", $"sub", $"cluster".as("code"),
+        (floor(d2 * lit(1e6) + lit(0.5)) / 1e6).as("qd"))
+    // the probed-cell read: joining the partition column against the tiny
+    // broadcast table prunes cell directories instead of scanning the index
+    val codes = spark.read.parquet(s"$dir/codes")
+    val rankW = Window.partitionBy($"qid").orderBy($"ad", $"nid")
+    codes.select($"vec_id".as("nid"), $"cell", $"sub", $"code")
+      .join(broadcast(dtab), Seq("cell", "sub", "code"))
+      .groupBy($"qid", $"nid")
+      .agg(sum($"qd").as("ad0"))
+      .select($"qid", $"nid", (floor($"ad0" * lit(1e6) + lit(0.5)) / 1e6).as("ad"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter($"rank" <= topK)
+      .select($"qid", $"nid", $"rank", $"ad")
+      .orderBy($"qid", $"rank")
+  }
+}
