@@ -24,7 +24,7 @@ object SparkEntry {
       operators.Multimodal.defs ++ operators.Generators.defs ++
       operators.NestedTypes.defs ++ operators.Temporal.defs ++
       operators.Retrieval.defs ++ operators.Graph.defs ++
-      operators.Sketches.defs ++ operators.Pq.defs
+      operators.Sketches.defs ++ operators.Pq.defs ++ operators.Fuzzy.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -132,7 +132,7 @@ object Dedup {
     * swings 2.4 s → 134 s when the one busy vCPU is contended). At 100 TB
     * the scan has thousands of splits and this is a no-op — the guard
     * keeps the extra exchange a small-input-only cost. */
-  private def fanOut(df: DataFrame, gauge: DataFrame): DataFrame = {
+  private[operators] def fanOut(df: DataFrame, gauge: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // `gauge` is the frame whose partition count decides, and it must be a
     // RAW SCAN (`.rdd` on a scan only lists files) — NOT `df` itself: at

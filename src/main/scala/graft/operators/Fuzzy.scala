@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Edit-distance (Levenshtein) similarity self-join over SHORT string keys
+  * — titles, URLs, product names, author strings: the fuzzy-matching face
+  * of dedup that token-set similarity (q104 Jaccard, q46 MinHash) cannot
+  * see, because a one-character typo preserves almost no token overlap on
+  * a short key but is exactly edit distance 1.
+  *
+  * Candidate scheme: SYMMETRIC DELETION neighborhoods (the SymSpell
+  * index). If lev(a, b) ≤ d, then deleting the ≤ d edited positions from
+  * each string yields a COMMON variant: every qualifying pair shares a
+  * member of their ≤-d-deletion neighborhoods — lossless by theorem, not
+  * probability (the brute-force oracle certifies exactly this on the full
+  * capped input). Candidate generation is therefore one explode + one
+  * equi-join on the variant string:
+  *
+  *  - neighborhood size is C(L,0)+C(L,1)+…+C(L,d) — for the short keys
+  *    this operator contracts (L ≲ 32, d ≤ 2) that is ≤ ~500 variants per
+  *    row, each a substring splice. For LONG text at scale this blows up
+  *    combinatorially and token-level similarity (q104/q46) is the right
+  *    tool — SCALING.md pins the boundary.
+  *  - the variant array is materialized through an explicit exchange
+  *    BEFORE the explode: an inline O(L²)-substring generator input
+  *    re-evaluates per OUTPUT row (the r1 MinHash hazard, measured 14×).
+  *  - the equi-join shuffles (variant → ids) pairs; fan-in per variant is
+  *    bounded by how many keys share it, so boilerplate keys (empty
+  *    titles, "untitled") are the hot-bucket analogue — cap or pre-filter
+  *    them the q46 `capBuckets` way if a corpus has them.
+  *  - verification is Spark's codegen'd `levenshtein` on the ≤ d·|cand|
+  *    surviving pairs (integer DP, engine-portable semantics — unit-cost
+  *    substitution/insert/delete, same as DuckDB's).
+  */
+object Fuzzy {
+
+  /** All strings obtainable from `s` by deleting at most `d` characters
+    * (d ∈ {1, 2}), the string itself included, distinct. Empty-range
+    * `sequence` guards matter: `sequence(1, 0)` counts DOWN, not empty. */
+  def deletionVariants(s: Column, d: Int): Column = {
+    require(d >= 1 && d <= 2, s"supported d in {1,2}, got $d")
+    val len = length(s)
+    val none = array().cast("array<string>")
+    val v1 = transform(sequence(lit(1), len), i =>
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, len)))
+    val v2 =
+      if (d < 2) none
+      else flatten(transform(sequence(lit(1), len - 1), i =>
+        transform(sequence(i + 1, len), j =>
+          concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, j - i - 1),
+            s.substr(j + 1, len)))))
+    array_distinct(concat(array(s),
+      when(len >= 1, v1).otherwise(none),
+      when(len >= 2 && lit(d >= 2), v2).otherwise(none)))
+  }
+
+  /** Self-join: all (a_id, b_id, dist) with lev ≤ `maxDist` over
+    * `docs(idCol, keyCol)`. Short keys only by contract (see object doc). */
+  def editDistancePairs(docs: DataFrame, keyCol: String, idCol: String,
+      maxDist: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.select(col(idCol).as("id"), col(keyCol).as("s"))
+    // materialize the variant arrays through the exchange, THEN explode —
+    // and explode_outer so no generator guard rewrites into the scan
+    val variants = base
+      .withColumn("vs", deletionVariants(col("s"), maxDist))
+      .repartition(par, col("id"))
+      .select(col("id"), col("s"), explode_outer(col("vs")).as("v"))
+      .filter(col("v").isNotNull)
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.s").as("a_s"), col("b.s").as("b_s"))
+      .distinct()
+      .select(col("a_id"), col("b_id"), levenshtein(col("a_s"), col("b_s")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- q110: edit-distance near-dup pairs on title keys ------------------
+    // 24-char title prefix, d = 2. The ORACLE is the uncapped brute force
+    // over the same (doc_id < 2000) input — like q104, it certifies the
+    // deletion-neighborhood candidate generation LOSSLESS on everything it
+    // sees, with no recall assumption. The input cap bounds the oracle's
+    // O(n²) levenshtein, per the input-capped-verification rule; the Spark
+    // side is the scalable candidate shape.
+    QueryDef(
+      "q110_edit_neardup",
+      (s, d) => editDistancePairs(
+        Tables.documents(s, d).filter(col("doc_id") < 2000)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("title")),
+        keyCol = "title", idCol = "doc_id", maxDist = 2)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, substr(text, 1, 24) AS s
+             |  FROM documents WHERE doc_id < 2000)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE levenshtein(a.s, b.s) <= 2
+             |ORDER BY a_id, b_id""".stripMargin)),
+  )
+}

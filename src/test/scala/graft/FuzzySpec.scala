@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Fuzzy
+
+/** SymSpell edit-distance join: deletion-neighborhood algebra, losslessness
+  * against brute force on planted typos, and degenerate keys. */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deletion variants: exact neighborhoods for small strings") {
+    val df = Seq(("abc")).toDF("s")
+    val d1 = df.select(Fuzzy.deletionVariants($"s", 1)).head().getSeq[String](0).toSet
+    assert(d1 == Set("abc", "bc", "ac", "ab"))
+    val d2 = df.select(Fuzzy.deletionVariants($"s", 2)).head().getSeq[String](0).toSet
+    assert(d2 == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+  }
+
+  test("degenerate keys: empty and single-char strings keep well-formed neighborhoods") {
+    val rows = Seq("", "x").toDF("s")
+      .select($"s", Fuzzy.deletionVariants($"s", 2).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(rows("") == Set(""))
+    assert(rows("x") == Set("x", ""))
+  }
+
+  test("planted typos: operator equals brute-force levenshtein on every pair") {
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "helo world"),      // deletion, dist 1
+      (3L, "hxllo world"),     // substitution, dist 1
+      (4L, "hello worlds!"),   // two inserts, dist 2
+      (5L, "goodbye moon"),    // far from everything
+      (6L, "hello world"),     // exact duplicate, dist 0
+      (7L, "ehllo wrold")      // two transpositions = dist 4 in plain lev: excluded
+    ).toDF("doc_id", "title")
+    val got = Fuzzy.editDistancePairs(docs, "title", "doc_id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // independent spelling: brute-force cross join + levenshtein
+    val t = docs.select($"doc_id", $"title")
+    val exp = t.as("a").crossJoin(t.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id", levenshtein($"a.title", $"b.title").as("d"))
+      .filter($"d" <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == exp, s"got $got vs brute $exp")
+    assert(got((1L, 2L)) == 1 && got((1L, 3L)) == 1 && got((1L, 6L)) == 0)
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    assert(!got.keySet.exists { case (a, b) => a == 7L || b == 7L })
+  }
+
+  test("candidate generation is one variant equi-join; verification only on survivors") {
+    val docs = Seq((1L, "alpha"), (2L, "alphb"), (3L, "zzzzz")).toDF("doc_id", "title")
+    val plan = Fuzzy.editDistancePairs(docs, "title", "doc_id", maxDist = 1)
+      .queryExecution.executedPlan.toString
+    // a hash join on the variant key, not a nested-loop over all pairs
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"candidates must come from an equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no all-pairs scan in the candidate path:\n$plan")
+  }
+}
