@@ -230,5 +230,67 @@ object Maintenance {
              |  count(DISTINCT v) AS n_distinct,
              |  min(v) AS v_min, max(v) AS v_max
              |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin)),
+
+    // ---- q113: snapshot diff (what changed between two table versions) -----
+    // The audit face of q82's MERGE: given two snapshots, classify every
+    // key as added / removed / changed / unchanged. ONE full-outer join on
+    // the key (co-partitioned shuffle both sides; at scale both snapshots
+    // bucket on the key and the join is shuffle-free) and null-safe
+    // payload comparison — presence markers, not payload nullability,
+    // decide existence.
+    QueryDef(
+      "q113_snapshot_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_orderkey") < 4000)
+        val oldSnap = o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("payload"))
+        val newSnap = o.filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, lit("U"))
+              .otherwise(col("o_orderstatus")).as("payload"))
+        snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("payload"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_orderstatus AS payload FROM orders
+             |  WHERE o_orderkey < 4000 AND o_orderkey % 3 != 0),
+             |n AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS payload
+             |  FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 5 != 0),
+             |d AS (
+             |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             |    CASE
+             |      WHEN o.o_orderkey IS NULL THEN 'added'
+             |      WHEN n.o_orderkey IS NULL THEN 'removed'
+             |      WHEN o.payload IS DISTINCT FROM n.payload THEN 'changed'
+             |      ELSE 'unchanged' END AS status
+             |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+             |SELECT status, CAST(count(*) AS BIGINT) AS n
+             |FROM d GROUP BY status ORDER BY status""".stripMargin)),
   )
+
+  /** Classify every key across two snapshots: added / removed / changed /
+    * unchanged. Presence markers (not payload nullability) decide
+    * existence, and payload comparison is null-safe per column, so NULL
+    * payloads diff correctly. Returns the key columns + `status`. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String], payload: Seq[String]): DataFrame = {
+    val o = oldSnap.select((keys ++ payload).map(col): _*)
+      .withColumnsRenamed(payload.map(p => p -> s"__o_$p").toMap)
+      .withColumn("__o_present", lit(true))
+    val n = newSnap.select((keys ++ payload).map(col): _*)
+      .withColumnsRenamed(payload.map(p => p -> s"__n_$p").toMap)
+      .withColumn("__n_present", lit(true))
+    val same = payload.map(p => col(s"__o_$p") <=> col(s"__n_$p"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("__o_present").isNull, lit("added"))
+          .when(col("__n_present").isNull, lit("removed"))
+          .when(!same, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select((keys.map(col) :+ col("status")): _*)
+  }
 }

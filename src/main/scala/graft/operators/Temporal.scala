@@ -127,5 +127,86 @@ object Temporal {
              |    AS us_since_click
              |FROM m WHERE event_type = 'purchase'
              |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- q111: retention cohorts (the product-analytics staple) ------------
+    // cohort = each user's first active day; cell (cohort_day, offset) =
+    // distinct users from that cohort active offset days later. Day index
+    // is integer µs div — integer end to end, no timestamp output, per the
+    // time-arithmetic rule. Shape at 100 TB: one distinct (user, day)
+    // shuffle; the cohort assignment is a window min over the SAME
+    // user-partitioned stream (no second groupBy-join subtree — the q104
+    // exchange-reuse lesson), and the cell census partial-aggregates.
+    QueryDef(
+      "q111_retention_cohorts",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, d)
+          .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val withCohort = days.withColumn("cohort_day",
+          min($"day").over(Window.partitionBy($"user_id")))
+        withCohort
+          .groupBy($"cohort_day", ($"day" - $"cohort_day").as("offset_days"))
+          .agg(count(lit(1)).as("n_users")) // (user, day) is distinct already
+          .orderBy($"cohort_day", $"offset_days")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, day,
+             |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+             |  FROM days)
+             |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+             |  CAST(day - cohort_day AS BIGINT) AS offset_days,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM c GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin)),
+
+    // ---- q112: strictly-ordered conversion funnel --------------------------
+    // signup → first click AFTER it → first purchase AFTER that, per user;
+    // output is the stage census. Three conditional-min aggregations over
+    // the SAME user-partitioned exchange (each stage needs the previous
+    // stage's timestamp, so the dependency is inherent); all times are
+    // integer µs. At 100 TB: the event stream shuffles once on user_id and
+    // every stage is a partial-agg groupBy on that partitioning.
+    QueryDef(
+      "q112_funnel",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
+          .filter($"event_type".isin("signup", "click", "purchase"))
+          .repartition($"user_id")
+        val s1 = ev.groupBy($"user_id")
+          .agg(min(when($"event_type" === "signup", $"t")).as("s_t"))
+        val s2 = ev.join(s1, "user_id").groupBy($"user_id", $"s_t")
+          .agg(min(when($"event_type" === "click" && $"t" > $"s_t", $"t")).as("c_t"))
+        val s3 = ev.join(s2, "user_id").groupBy($"user_id", $"s_t", $"c_t")
+          .agg(min(when($"event_type" === "purchase" && $"t" > $"c_t", $"t")).as("p_t"))
+        s3.agg(count($"s_t").as("n_signup"),
+          count($"c_t").as("n_click_after"),
+          count($"p_t").as("n_purchase_after"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+             |s1 AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN t END) AS s_t
+             |  FROM ev GROUP BY user_id),
+             |s2 AS (
+             |  SELECT ev.user_id, s1.s_t,
+             |    min(CASE WHEN event_type = 'click' AND t > s1.s_t THEN t END) AS c_t
+             |  FROM ev JOIN s1 ON s1.user_id = ev.user_id GROUP BY 1, 2),
+             |s3 AS (
+             |  SELECT ev.user_id, s2.s_t, s2.c_t,
+             |    min(CASE WHEN event_type = 'purchase' AND t > s2.c_t THEN t END) AS p_t
+             |  FROM ev JOIN s2 ON s2.user_id = ev.user_id GROUP BY 1, 2, 3)
+             |SELECT CAST(count(s_t) AS BIGINT) AS n_signup,
+             |  CAST(count(c_t) AS BIGINT) AS n_click_after,
+             |  CAST(count(p_t) AS BIGINT) AS n_purchase_after
+             |FROM s3""".stripMargin)),
   )
 }
