@@ -55,6 +55,34 @@ object RelationalExt {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // ---- q114: arbitrary GROUPING SETS (not a rollup/cube special case) ----
+    // ((returnflag, linestatus), (returnflag), (linestatus)) is neither a
+    // rollup (not a prefix chain) nor a cube (no () set): the general
+    // Dataset.groupingSets tier. grouping() flags disambiguate a NULL key
+    // from a rolled-up key; one expand + one partial-agg shuffle at scale,
+    // state ∝ the union of the sets' group counts.
+    QueryDef(
+      "q114_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq($"l_linestatus")),
+            $"l_returnflag", $"l_linestatus")
+          .agg(grouping($"l_returnflag").as("g_rf"), grouping($"l_linestatus").as("g_ls"),
+            count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"g_rf", $"g_ls",
+            $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+             |ORDER BY g_rf, g_ls,
+             |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // ---- q64: typed per-group imperative logic (mapGroups) -----------------
     // The KeyValueGroupedDataset tier: arbitrary Scala per group, shuffled
     // once on the key — the batch twin of the streaming state operator.

@@ -204,6 +204,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == batchTwin)
   }
 
+  test("model-based quality filter scores a stream unchanged (stateless classifier)") {
+    import java.nio.file._
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft_docs_clf")
+    Files.createSymbolicLink(dir.resolve("documents.parquet"),
+      Paths.get(s"$sf0001/documents.parquet"))
+    val w = TextAnalysis.LQ.weights
+    val stream = TextAnalysis.linearQualityFilter(
+      EventStream.readDocuments(spark, dir.toString), w, TextAnalysis.LQ.Bias, tau = 0.0)
+    val got = EventStream.runToMemory(spark, stream, "clf", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toSet
+    val batchTwin = TextAnalysis.linearQualityFilter(
+      graft.core.Tables.documents(spark, sf0001), w, TextAnalysis.LQ.Bias, tau = 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got.nonEmpty && got == batchTwin)
+  }
+
   test("flatMapGroupsWithState running totals equal batch group totals") {
     val stream = EventStream.runningUserTotals(spark, EventStream.readEvents(spark, eventsPath))
     val got = EventStream.runToMemory(spark, stream, "totals", OutputMode.Update())
