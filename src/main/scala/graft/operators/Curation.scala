@@ -410,6 +410,35 @@ object Curation {
              |SELECT source, rk, doc_id, quality FROM r WHERE rk <= 10
              |ORDER BY source, rk""".stripMargin)),
 
+    // ---- q115: per-domain quality calibration (rank normalization) ---------
+    // Raw quality scores are not comparable across domains (a mid-tier
+    // academic page outscores a top-tier forum post), so mixture policies
+    // threshold the WITHIN-DOMAIN percentile, not the raw score — the
+    // rank-normalization step of curation pipelines. percent_rank =
+    // (rank−1)/(n−1) and cume_dist = n_≤/n are divisions of identical
+    // integers on identical quantized quality values → bit-equal doubles
+    // cross-engine, no rounding needed. One hash shuffle on the domain
+    // key; ties (quantized scores collide) resolve identically by SQL
+    // window semantics on both engines.
+    QueryDef(
+      "q115_quality_calibration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("quality"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextOps.qualityScore(col("text")).as("quality"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+             |  $QualityCte)
+             |SELECT doc_id, source, quality,
+             |  percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pr,
+             |  cume_dist() OVER (PARTITION BY source ORDER BY quality) AS cd
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ---- q70: composite quality filter -------------------------------------
     QueryDef(
       "q70_quality_filter",

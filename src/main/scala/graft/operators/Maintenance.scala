@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
@@ -270,6 +270,25 @@ object Maintenance {
              |SELECT status, CAST(count(*) AS BIGINT) AS n
              |FROM d GROUP BY status ORDER BY status""".stripMargin)),
   )
+
+  /** Write `df` as a bucketed (and per-bucket sorted) external table: the
+    * lake-layout half of shuffle elimination. Two tables bucketed on
+    * their join key with the SAME bucket count satisfy the join's
+    * hash-distribution requirement straight off disk, so every subsequent
+    * join/aggregation on that key runs with ZERO exchanges — at 100 TB
+    * the fact tables are written once this way and every downstream
+    * pipeline stops paying the corpus shuffle (`BucketedJoinSpec` pins
+    * the exchange-free plan). `sortBy` additionally pre-sorts buckets so
+    * sort-merge joins skip their sort. Bucket count is a layout contract:
+    * both sides must match (or be a multiple under AQE coalescing) —
+    * pick once per lake, like the reference picks its file partitioning. */
+  def writeBucketed(df: DataFrame, path: String, table: String,
+      keys: Seq[String], nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
 
   /** Classify every key across two snapshots: added / removed / changed /
     * unchanged. Presence markers (not payload nullability) decide
