@@ -150,6 +150,34 @@ class PlanSpec extends SparkSpec {
       s"raw value column leaked into an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: when a shuffle join's build side carries
+    // a selective predicate, the probe side gets might_contain(bloom, key)
+    // BEFORE its exchange — at 100 TB that drops non-matching fact rows
+    // pre-shuffle, the runtime analogue of DPP for non-partition keys. The
+    // size thresholds exist for cluster scale, so the test lowers the
+    // application-side floor to let the optimization engage on test data;
+    // broadcast is disabled because a broadcast join never needs it.
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = graft.core.Tables.lineitem(spark, sf0001)
+      val o = graft.core.Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 400000)
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"selective shuffle join should inject a runtime bloom filter:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   /** Execute and return the FINALIZED adaptive plan string (final section
     * only): under AQE, exchange/stage reuse appears only at runtime, so
     * static plans over-count scans for shared-lineage queries. */

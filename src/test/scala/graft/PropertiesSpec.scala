@@ -197,4 +197,53 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: SymSpell join equals brute-force levenshtein on random short strings") {
+    // the deletion-neighborhood theorem, exercised on arbitrary inputs:
+    // for ANY corpus of short strings, the candidate-filtered operator
+    // must return exactly the ed<=2 pairs brute force finds — losslessness
+    // is the claim, so the property needs no planted structure
+    val strGen: Gen[List[String]] = Gen.listOfN(12,
+      Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    forAll(strGen, minSuccessful = 5) { strs =>
+      val docs = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "s")
+      val got = graft.operators.Fuzzy.editDistancePairs(docs, "s", "doc_id", maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val exp = docs.as("a").crossJoin(docs.as("b"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id", levenshtein($"a.s", $"b.s").as("d"))
+        .filter($"d" <= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == exp, s"strings $strs: got $got vs brute $exp")
+    }
+  }
+
+  test("property: ADC identity — Pq search distance is the sum of its table lookups") {
+    // for ANY vector corpus (ids re-keyed 0..n−1 so Lloyd's init contract
+    // holds), every (query, neighbor) ADC distance must equal the
+    // independent fold over codebook lookups — the defining equation of
+    // asymmetric distance computation, input-agnostic
+    val vecGen: Gen[List[Array[Float]]] = Gen.listOfN(10,
+      Gen.listOfN(4, Gen.choose(-4, 4)).map(_.map(_.toFloat).toArray))
+    forAll(vecGen, minSuccessful = 3) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val cb = graft.operators.Pq.pqTrain(df, m = 2, dim = 4, k = 2, iters = 1)
+      val codes = graft.operators.Pq.pqEncode(df, cb, m = 2, dim = 4)
+      val q = df.limit(2).select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val got = graft.operators.Pq.adcTopK(q, codes, cb, m = 2, dim = 4, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      val cents = cb.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      val codeMap = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val all = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+      for (((qid, nid), ad) <- got) {
+        val expect = (0 until 2).map { s =>
+          val sv = all(qid).slice(s * 2, s * 2 + 2)
+          val c = cents((s, codeMap((nid, s))))
+          val d2 = sv.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }
+          math.floor(d2 * 1e6 + 0.5) / 1e6
+        }.sum
+        assert(math.floor(expect * 1e6 + 0.5) / 1e6 == ad, s"($qid,$nid)")
+      }
+    }
+  }
 }
