@@ -129,4 +129,33 @@ object IvfPqIndex {
       .select($"qid", $"nid", $"rank", $"ad")
       .orderBy($"qid", $"rank")
   }
+
+  /** Two-stage production search: ADC shortlist of `candidates` per query
+    * (compressed domain, code-only I/O), then EXACT re-ranking of just
+    * that shortlist against the float corpus — the standard quality
+    * recovery for PQ's quantization error. The re-rank join touches
+    * `queries × candidates` corpus rows (a semi-join-sized point lookup,
+    * broadcast of bare (qid, nid) pairs — never vectors), so the float
+    * read is ∝ the shortlist, not the corpus: PQ still did its job. */
+  def searchRerank(spark: SparkSession, dir: String, queries: DataFrame,
+      corpus: DataFrame, topK: Int = 10, candidates: Int = 50,
+      nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val shortlist = search(spark, dir, queries, topK = candidates, nProbe)
+      .select($"qid", $"nid")
+    val d2 = aggregate(
+      zip_with($"qv".cast("array<double>"), $"nv".cast("array<double>"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val w = Window.partitionBy($"qid").orderBy($"d", $"nid")
+    broadcast(shortlist)
+      .join(queries.select($"qid", $"qv"), Seq("qid"))
+      .join(corpus.select($"vec_id".as("nid"), $"embedding".as("nv")), Seq("nid"))
+      .select($"qid", $"nid",
+        (floor(d2 * lit(1e6) + lit(0.5)) / 1e6).as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"qid", $"nid", $"rank", $"d")
+      .orderBy($"qid", $"rank")
+  }
 }

@@ -54,6 +54,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
   }
 
+  /** Interpolated trigram LM scoring (Jelinek–Mercer): per-trigram
+    * probability λ₃·p(w₃|w₁w₂) + λ₂·p(w₃|w₂) + λ₁·p(w₃), with the trigram
+    * and bigram models PRUNED to their `topK` most frequent entries and
+    * the unigram census kept whole — [[lmScore]]'s shape one order up.
+    * Interpolation (not backoff) means absent higher-order entries simply
+    * contribute zero and the unigram floor keeps every seen word's
+    * probability positive — no special-casing, one smooth formula.
+    *
+    * Same 100 TB contract as q90: all three model tables are bounded
+    * (topK, topK, vocabulary) and BROADCAST with their probabilities
+    * precomputed as ratios of exact integer counts; the corpus side is
+    * one trigram explode → three broadcast joins → one groupBy(doc_id)
+    * partial agg, and never shuffles its text. Numerics: identical count
+    * ratios → identical doubles; the weighted sum is a fixed-order IEEE
+    * dag; ln() of identical doubles; round(avg, 6) absorbs summation
+    * order (the proven q90 discipline). */
+  def lmScoreTrigram(docs: DataFrame, topK: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val uni = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum("cu").as("n_total"))
+    val big = docs.select(explode(TextOps.ngrams(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val tri = docs.select(explode(TextOps.ngrams(col("text"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    // pruned conditional tables with ratio probabilities baked in:
+    // p3 = c3(w1 w2 w3) / c2(w1 w2); p2 = c2(w2 w3) / cu(w2)
+    val m3 = tri.orderBy(desc("c3"), asc("g")).limit(topK)
+      .withColumn("ctx", concat_ws(" ",
+        element_at(split(col("g"), " "), 1), element_at(split(col("g"), " "), 2)))
+      .join(big.select(col("g").as("ctx"), col("c2").as("cctx")), Seq("ctx"))
+      .select(col("g").as("g3"), (col("c3").cast("double") / col("cctx")).as("p3"))
+    val m2 = big.orderBy(desc("c2"), asc("g")).limit(topK)
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .select(col("g").as("g2"), (col("c2").cast("double") / col("cu1")).as("p2"))
+    docs
+      .select(col("doc_id"), explode(TextOps.ngrams(col("text"), 3)).as("g3"))
+      .withColumn("g2", concat_ws(" ",
+        element_at(split(col("g3"), " "), 2), element_at(split(col("g3"), " "), 3)))
+      .withColumn("w3", element_at(split(col("g3"), " "), 3))
+      .join(broadcast(m3), Seq("g3"), "left")
+      .join(broadcast(m2), Seq("g2"), "left")
+      .join(broadcast(uni.select(col("w").as("w3"), col("cu").as("cu3"))), Seq("w3"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", log(
+        lit(0.6) * coalesce(col("p3"), lit(0.0d)) +
+          lit(0.3) * coalesce(col("p2"), lit(0.0d)) +
+          lit(0.1) * (col("cu3").cast("double") / col("n_total"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), round(avg(col("lp")), 6).as("lm3_score"))
+  }
+
   /** Hashed-bigram linear text classifier — the fastText-shaped
     * MODEL-BASED quality filter of modern data pipelines (DCLM/FineWeb
     * style: a trained linear model over hashed n-gram features scores
@@ -220,6 +273,50 @@ object TextAnalysis {
              |  JOIN uni u1 ON u1.w = string_split(d.g, ' ')[1]
              |  JOIN uni u2 ON u2.w = string_split(d.g, ' ')[2])
              |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- q116: interpolated trigram LM (Jelinek–Mercer) --------------------
+    // One order above q90, same pruned-and-broadcast model discipline; the
+    // oracle re-trains all three tables and replays the interpolation.
+    QueryDef(
+      "q116_lm_trigram",
+      (s, d) => lmScoreTrigram(Tables.documents(s, d), topK = 500)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |w AS (SELECT unnest(t) AS w FROM t),
+             |uni AS (SELECT w, count(*) AS cu FROM w GROUP BY w),
+             |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n_total FROM uni),
+             |bgall AS (
+             |  SELECT doc_id,
+             |    unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS g
+             |  FROM t WHERE len(t) >= 2),
+             |big AS (SELECT g, count(*) AS c2 FROM bgall GROUP BY g),
+             |trall AS (
+             |  SELECT doc_id,
+             |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |            for i in range(1, greatest(len(t) - 1, 1))]) AS g
+             |  FROM t WHERE len(t) >= 3),
+             |tri AS (SELECT g, count(*) AS c3 FROM trall GROUP BY g),
+             |m3 AS (
+             |  SELECT k.g AS g3, CAST(k.c3 AS DOUBLE) / b.c2 AS p3
+             |  FROM (SELECT g, c3 FROM tri ORDER BY c3 DESC, g LIMIT 500) k
+             |  JOIN big b
+             |    ON b.g = string_split(k.g, ' ')[1] || ' ' || string_split(k.g, ' ')[2]),
+             |m2 AS (
+             |  SELECT k.g AS g2, CAST(k.c2 AS DOUBLE) / u.cu AS p2
+             |  FROM (SELECT g, c2 FROM big ORDER BY c2 DESC, g LIMIT 500) k
+             |  JOIN uni u ON u.w = string_split(k.g, ' ')[1]),
+             |j AS (
+             |  SELECT d.doc_id,
+             |    ln(0.6 * coalesce(m3.p3, 0.0) + 0.3 * coalesce(m2.p2, 0.0)
+             |       + 0.1 * (CAST(u3.cu AS DOUBLE) / (SELECT n_total FROM tot))) AS lp
+             |  FROM trall d
+             |  LEFT JOIN m3 ON m3.g3 = d.g
+             |  LEFT JOIN m2
+             |    ON m2.g2 = string_split(d.g, ' ')[2] || ' ' || string_split(d.g, ' ')[3]
+             |  JOIN uni u3 ON u3.w = string_split(d.g, ' ')[3])
+             |SELECT doc_id, count(*) AS n_trigrams, round(avg(lp), 6) AS lm3_score
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- q109: hashed-bigram linear classifier (model-based filter) --------
