@@ -230,6 +230,27 @@ object Curation {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Deterministic train/val/test assignment: the id hashes (md5 — the
+    * engine-portable hash, like the q109 classifier's buckets) into a
+    * per-mille bucket, and fixed bucket ranges make the split. No RNG, no
+    * state: any engine, any executor, any re-run assigns every id to the
+    * SAME split — which is the property a train/test boundary must have,
+    * since leakage via reassignment is silent. Pure map stage; holdout
+    * membership also stays stable as the corpus grows (new ids don't
+    * reshuffle old ones — the reason hash splits beat row-number splits
+    * at 100 TB). */
+  def assignSplit(docs: DataFrame, idCol: String,
+      trainPm: Int, valPm: Int): DataFrame = {
+    require(trainPm > 0 && valPm >= 0 && trainPm + valPm < 1000,
+      s"per-mille bounds invalid: $trainPm/$valPm")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    docs.withColumn("split",
+      when(bucket < trainPm, lit("train"))
+        .when(bucket < trainPm + valPm, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Corpus vocabulary census — the tokenizer-training primitive: token →
     * corpus frequency, top-k by (freq DESC, token). explode is map-local;
     * hash partial aggregation collapses the Zipf head before the one
@@ -438,6 +459,30 @@ object Curation {
              |  percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pr,
              |  cume_dist() OVER (PARTITION BY source ORDER BY quality) AS cd
              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- q117: deterministic train/val/test split --------------------------
+    // 80/10/10 by md5 per-mille bucket of doc_id; the oracle replays the
+    // hash and the range boundaries, so every per-id assignment (not just
+    // the counts) is pinned — the output lists each split's size and id
+    // checksum.
+    QueryDef(
+      "q117_dataset_split",
+      (s, d) => assignSplit(Tables.documents(s, d), "doc_id", 800, 100)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split")),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN b < 800 THEN 'train'
+             |         WHEN b < 900 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT doc_id,
+             |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |            % 1000 AS b
+             |        FROM documents))
+             |SELECT split, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM s GROUP BY split ORDER BY split""".stripMargin)),
 
     // ---- q70: composite quality filter -------------------------------------
     QueryDef(
