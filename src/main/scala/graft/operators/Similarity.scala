@@ -168,8 +168,8 @@ object Similarity {
 
   /** [[kmeansLloyd]]'s fit, returning BOTH the final centroid table
     * (cluster, c) and the final assignment — product quantization
-    * (a planned pqTrain operator) needs the centroids for its distance
-    * tables. */
+    * ([[graft.operators.Pq.pqTrain]]) trains one of these per subspace
+    * and needs the centroids for its distance tables. */
   private[operators] def kmeansFit(embs: DataFrame, k: Int, iters: Int,
       vecCol: String, idCol: String): (DataFrame, DataFrame) = {
     // `base` is consumed by every assign (iters+1×) and every update
