@@ -166,28 +166,38 @@ object Temporal {
 
     // ---- q112: strictly-ordered conversion funnel --------------------------
     // signup → first click AFTER it → first purchase AFTER that, per user;
-    // output is the stage census. Three conditional-min aggregations over
-    // the SAME user-partitioned exchange (each stage needs the previous
-    // stage's timestamp, so the dependency is inherent); all times are
-    // integer µs. At 100 TB: the event stream shuffles once on user_id and
-    // every stage is a partial-agg groupBy on that partitioning.
+    // output is the stage census. Each stage needs the previous stage's
+    // timestamp, so a join formulation consumes the event stream once per
+    // stage (audited: 3 corpus lineages); instead ONE groupBy collects
+    // each user's (t, type) events time-sorted and a row-local fold walks
+    // them — the first qualifying event in ascending t IS the stage's
+    // min. At 100 TB: one scan, one user_id shuffle, per-user state
+    // bounded by that user's activity (the q64/mapGroups contract); all
+    // times integer µs.
     QueryDef(
       "q112_funnel",
       (s, d) => {
         import s.implicits._
-        val ev = Tables.events(s, d)
+        val nil = lit(null).cast("long")
+        val funnel = Tables.events(s, d)
           .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
           .filter($"event_type".isin("signup", "click", "purchase"))
-          .repartition($"user_id")
-        val s1 = ev.groupBy($"user_id")
-          .agg(min(when($"event_type" === "signup", $"t")).as("s_t"))
-        val s2 = ev.join(s1, "user_id").groupBy($"user_id", $"s_t")
-          .agg(min(when($"event_type" === "click" && $"t" > $"s_t", $"t")).as("c_t"))
-        val s3 = ev.join(s2, "user_id").groupBy($"user_id", $"s_t", $"c_t")
-          .agg(min(when($"event_type" === "purchase" && $"t" > $"c_t", $"t")).as("p_t"))
-        s3.agg(count($"s_t").as("n_signup"),
-          count($"c_t").as("n_click_after"),
-          count($"p_t").as("n_purchase_after"))
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"t", $"event_type"))).as("evs"))
+          .select(aggregate($"evs",
+            struct(nil.as("s_t"), nil.as("c_t"), nil.as("p_t")),
+            (acc, e) => struct(
+              when(acc("s_t").isNull && e("event_type") === "signup", e("t"))
+                .otherwise(acc("s_t")).as("s_t"),
+              when(acc("c_t").isNull && acc("s_t").isNotNull &&
+                  e("event_type") === "click" && e("t") > acc("s_t"), e("t"))
+                .otherwise(acc("c_t")).as("c_t"),
+              when(acc("p_t").isNull && acc("c_t").isNotNull &&
+                  e("event_type") === "purchase" && e("t") > acc("c_t"), e("t"))
+                .otherwise(acc("p_t")).as("p_t"))).as("f"))
+        funnel.agg(count($"f.s_t").as("n_signup"),
+          count($"f.c_t").as("n_click_after"),
+          count($"f.p_t").as("n_purchase_after"))
       },
       Some("""WITH ev AS (
              |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t

@@ -218,9 +218,15 @@ class PlanSpec extends SparkSpec {
     // top-k per query: the rank filter must prune map-side
     assert(p.contains("WindowGroupLimit"),
       s"rank<=k must reach the map side as a WindowGroupLimit:\n$p")
-    // each subspace's Lloyd loop re-reads its one materialized exchange
-    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
-      s"per-subspace corpus exchanges must be reused across rounds:\n$p")
+    // the codebook is localCheckpoint-ed in pqTrain, so TRAINING MUST NOT
+    // APPEAR in the serving plan at all: it ran once, eagerly, and both
+    // consumers read the materialized model table (Scan ExistingRDD) —
+    // before the checkpoint, each broadcast re-executed the Lloyd chain
+    // (measured 8.2 s → 3.1 s at sf0.1)
+    assert(p.contains("Scan ExistingRDD"),
+      s"codebook should enter as a materialized checkpoint scan:\n$p")
+    assert(!p.contains("partial_avg"),
+      s"Lloyd training leaked into the serving plan:\n$p")
   }
 
   test("q109: classifier is one pruned scan, one pass — no shuffle before the gate sort") {
