@@ -200,6 +200,47 @@ object EventStream {
 
   final case class EvIn(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
+  final case class FunnelEv(user_id: Long, event_type: String, t: Long)
+  final case class FunnelState(user_id: Long, s_t: Option[Long],
+      c_t: Option[Long], p_t: Option[Long])
+
+  /** Streaming conversion funnel — the incremental twin of the q112 batch
+    * fold: one FunnelState (three optional µs timestamps) per user,
+    * advanced by the same strictly-ordered state machine (first signup;
+    * first click strictly after it; first purchase strictly after that).
+    * Rows are time-sorted WITHIN each micro-batch before folding, so a
+    * batch's internal arrival order never matters; across batches the
+    * machine advances in arrival order, which equals event order whenever
+    * the source delivers batches time-monotonically per user (true for
+    * the file source replaying history; with genuinely late data, pair
+    * with a watermarked reorder stage — a stage that regresses, e.g. an
+    * earlier signup arriving after a click was rejected, is inherently
+    * unresolvable by ANY bounded-state online funnel). State is three
+    * Options per user however long the history — smaller than the batch
+    * fold's per-user event list. */
+  def streamingFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(uid, None, None, None))
+          rows.toSeq.sortBy(e => (e.t, e.event_type)).foreach { e =>
+            if (st.s_t.isEmpty && e.event_type == "signup")
+              st = st.copy(s_t = Some(e.t))
+            else if (st.c_t.isEmpty && st.s_t.exists(e.t > _) && e.event_type == "click")
+              st = st.copy(c_t = Some(e.t))
+            else if (st.p_t.isEmpty && st.c_t.exists(e.t > _) && e.event_type == "purchase")
+              st = st.copy(p_t = Some(e.t))
+          }
+          state.update(st)
+          Iterator.single(st)
+        })
+      .toDF()
+  }
 
   /** Custom keyed state (the reference has none; this is the
     * mapGroupsWithState escape hatch for semantics windows can't express):

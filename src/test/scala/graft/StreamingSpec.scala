@@ -204,6 +204,65 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == batchTwin)
   }
 
+  test("streaming funnel state equals the q112 batch stage census") {
+    val stream = EventStream.streamingFunnel(spark, EventStream.readEvents(spark, eventsPath))
+    val got = EventStream.runToMemory(spark, stream, "funnel", OutputMode.Update())
+    // Update mode: keep the last emission per user (several batches possible)
+    val finalStates = got.withColumn("rn", monotonically_increasing_id())
+      .groupBy($"user_id")
+      .agg(max(struct($"rn", $"s_t", $"c_t", $"p_t")).as("s"))
+      .select($"s.s_t", $"s.c_t", $"s.p_t")
+    val streamCensus = finalStates.agg(
+        count($"s_t").as("n_signup"),
+        count($"c_t").as("n_click_after"),
+        count($"p_t").as("n_purchase_after"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val batchCensus = SparkEntry.queries("q112_funnel")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(streamCensus == batchCensus && streamCensus._1 > 0,
+      s"stream $streamCensus vs batch $batchCensus")
+  }
+
+  test("streaming funnel across restarts: in-order batches advance the state machine") {
+    import java.nio.file._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
+    val out = Files.createTempDirectory("graft_funnel_out").toString
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val ev = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // the memory sink cannot recover from a checkpoint; foreachBatch can
+    // (the cdcSnapshotSink restart shape) — append each batch's emissions
+    // with its batchId so "latest state per user" is well-ordered
+    def run(): Map[Long, (Option[Long], Option[Long], Option[Long])] = {
+      val q = EventStream.streamingFunnel(spark, ev).writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = spark.read.parquet(out).collect()
+      rows.groupBy(_.getLong(0)).map { case (u, g) =>
+        val r = g.maxBy(_.getLong(4))
+        u -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+      }
+    }
+    def ts(ms0: Long) = new java.sql.Timestamp(ms0)
+    // batch 1: signup then click
+    ms.addData((1L, ts(10), 7L, "signup", 0.0, "{}"), (2L, ts(20), 7L, "click", 0.0, "{}"))
+    val s1 = run()
+    assert(s1(7L) == ((Some(10000L), Some(20000L), None)))
+    // batch 2 (restarted query, same checkpoint): the purchase converts
+    ms.addData((3L, ts(30), 7L, "purchase", 0.0, "{}"))
+    val s2 = run()
+    assert(s2(7L) == ((Some(10000L), Some(20000L), Some(30000L))))
+  }
+
   test("model-based quality filter scores a stream unchanged (stateless classifier)") {
     import java.nio.file._
     import graft.operators.TextAnalysis
