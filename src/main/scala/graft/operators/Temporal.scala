@@ -218,5 +218,46 @@ object Temporal {
              |  CAST(count(c_t) AS BIGINT) AS n_click_after,
              |  CAST(count(p_t) AS BIGINT) AS n_purchase_after
              |FROM s3""".stripMargin)),
+
+    // ---- q118: event-type transition matrix (first-order Markov census) ----
+    // P(next | prev) over each user's time-ordered event stream — the
+    // behavioral-model census (and the q54/q112 family's generalization to
+    // ALL type pairs). One user_id shuffle feeds the lag window; the pair
+    // census partial-aggregates; the per-prev normalizer is a window over
+    // the ≤ |types|² census rows, not the corpus. p is a division of
+    // identical integer counts → floor-quantized per the pure-rational
+    // rule.
+    QueryDef(
+      "q118_event_transitions",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val census = Tables.events(s, d)
+          .select($"user_id", $"event_type",
+            unix_micros($"ts").as("t"), $"event_id")
+          .withColumn("prev", lag($"event_type", 1).over(w))
+          .filter($"prev".isNotNull)
+          .groupBy($"prev", $"event_type")
+          .agg(count(lit(1)).as("n"))
+        census
+          .withColumn("p", floor($"n" / sum($"n").over(
+            Window.partitionBy($"prev")) * 1e6 + 0.5) / 1e6)
+          .orderBy($"prev", $"event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+             |  FROM events),
+             |l AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+             |  FROM ev),
+             |c AS (
+             |  SELECT prev, event_type, count(*) AS n
+             |  FROM l WHERE prev IS NOT NULL GROUP BY prev, event_type)
+             |SELECT prev, event_type, CAST(n AS BIGINT) AS n,
+             |  floor(n / sum(n) OVER (PARTITION BY prev) * 1e6 + 0.5) / 1e6 AS p
+             |FROM c ORDER BY prev, event_type""".stripMargin)),
   )
 }
