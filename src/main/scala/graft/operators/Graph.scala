@@ -149,5 +149,110 @@ object Graph {
           .orderBy(col("node"))
       },
       Some(pageRankOracle(5))),
+
+    // ---- q119: k-NN graph diagnostics (triangles, clustering coefficient) --
+    // The neighbor-graph audit of an embedding space: high local
+    // clustering = cohesive semantic regions; a near-zero coefficient on
+    // supposedly-clustered data means the embeddings (or the ANN recall)
+    // are broken. Gate builds the exact top-5 cosine graph on a capped
+    // input (the q48 O(n²)-twin discipline); at scale the SAME graphStats
+    // runs over LSH/IVF candidate edges (q50/q63) — the operator takes
+    // any edge frame. Oracle replays knn, symmetrization, wedges, and
+    // closures.
+    QueryDef(
+      "q119_knn_graph_stats",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))
+        val knn = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+            col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            graft.functions.VectorOps.cosine(col("qv"), col("nv")).as("cos"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select(col("qid"), col("nid"))
+        graphStats(knn, "qid", "nid").orderBy(col("vec_id"))
+      },
+      Some(KnnGraph.oracle)),
   )
+
+  /** Degree, triangle count, and local clustering coefficient per node of
+    * the UNDIRECTED graph induced by `edges` (any direction, duplicates
+    * fine — symmetrized and oriented a < b internally). Triangles close
+    * wedges via two self-joins on the oriented edge set: with edges
+    * hash-partitioned on their join keys the wedge fan-out is bounded by
+    * per-node degree (k-NN graphs: ≤ k per endpoint), never the corpus —
+    * the standard distributed triangle-count shape. cc = 2·tri/(deg·(deg−1)),
+    * floor-quantized (pure-rational). */
+  def graphStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a")) // a < b < c wedges
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      .as("wg")
+      .join(und.as("e3"),
+        col("wg.a") === col("e3.a") && col("wg.c") === col("e3.b"))
+      .select(col("wg.a").as("a"), col("wg.b").as("b"), col("wg.c").as("c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc", when(col("deg") >= 2,
+        floor(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)) * 1e6 + 0.5) / 1e6)
+        .otherwise(lit(0.0)))
+  }
+
+  /** Generated DuckDB oracle for q119 (cosine spelling shared with
+    * q48/q49's proven SQL form). */
+  private[graft] object KnnGraph {
+    val oracle: String =
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |p AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    list_sum(list_transform(list_zip(q.v, n.v), t -> t[1] * t[2]))
+        |      / nullif(sqrt(list_sum(list_transform(q.v, x -> x * x)))
+        |             * sqrt(list_sum(list_transform(n.v, x -> x * x))), 0.0) AS cos
+        |  FROM e q JOIN e n ON q.vec_id != n.vec_id),
+        |r AS (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, nid) AS rk
+        |  FROM p),
+        |knn AS (SELECT qid, nid FROM r WHERE rk <= 5),
+        |und AS (
+        |  SELECT DISTINCT least(qid, nid) AS a, greatest(qid, nid) AS b
+        |  FROM knn WHERE qid != nid),
+        |degn AS (
+        |  SELECT node AS vec_id, count(*) AS deg FROM
+        |    (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |trin AS (
+        |  SELECT node AS vec_id, count(*) AS tri FROM
+        |    (SELECT a AS node FROM tri
+        |     UNION ALL SELECT b FROM tri
+        |     UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT d.vec_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+        |  CASE WHEN d.deg >= 2
+        |       THEN floor(2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1)) * 1e6 + 0.5) / 1e6
+        |       ELSE 0.0 END AS cc
+        |FROM degn d LEFT JOIN trin t USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
+  }
 }

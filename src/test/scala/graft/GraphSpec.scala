@@ -45,4 +45,30 @@ class GraphSpec extends SparkSpec {
     val b = ranksOf(Seq((1, 2, 2.0), (2, 1, 1.0)), iters = 3)
     assert(a == b)
   }
+
+  test("graphStats: planted square-with-diagonal; duplicates and reversals collapse") {
+    import org.apache.spark.sql.functions._
+    // 1-2-3-4 cycle + diagonal (1,3): triangles (1,2,3) and (1,3,4).
+    // Reversed and duplicated edges must not change anything.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (2L, 1L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val got = graft.operators.Graph.graphStats(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, math.floor(2.0 * 2 / (3 * 2) * 1e6 + 0.5) / 1e6)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 2L, math.floor(2.0 * 2 / (3 * 2) * 1e6 + 0.5) / 1e6)),
+      4L -> ((2L, 1L, 1.0))))
+  }
+
+  test("graphStats: self-loops are dropped and a triangle-free star has cc 0") {
+    import org.apache.spark.sql.functions._
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (2L, 2L)).toDF("src", "dst")
+    val got = graft.operators.Graph.graphStats(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0L -> ((3L, 0L, 0.0)), 1L -> ((1L, 0L, 0.0)),
+      2L -> ((1L, 0L, 0.0)), 3L -> ((1L, 0L, 0.0))))
+  }
 }
