@@ -120,7 +120,8 @@ object Graph {
          |FROM r$iterations r JOIN nation n ON n.n_nationkey = r.node
          |ORDER BY r.node""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  // lazy: q120's def is declared after this Seq (object init order)
+  lazy val defs: Seq[QueryDef] = Seq(
 
     // ---- q97: PageRank over the customer→supplier nation trade graph -------
     // The edge census is the scale half: a fact⋈fact join (lineitem ⋈
@@ -176,7 +177,7 @@ object Graph {
         graphStats(knn, "qid", "nid").orderBy(col("vec_id"))
       },
       Some(KnnGraph.oracle)),
-  )
+  ) :+ lpaDef
 
   /** Degree, triangle count, and local clustering coefficient per node of
     * the UNDIRECTED graph induced by `edges` (any direction, duplicates
@@ -211,11 +212,13 @@ object Graph {
         .otherwise(lit(0.0)))
   }
 
-  /** Generated DuckDB oracle for q119 (cosine spelling shared with
-    * q48/q49's proven SQL form). */
+  /** Generated DuckDB oracles for q119/q120 (cosine spelling shared with
+    * q48/q49's proven SQL form; both queries replay the SAME capped knn
+    * graph through `undCte`). */
   private[graft] object KnnGraph {
-    val oracle: String =
-      """WITH e AS (
+    /** WITH-body prefix ending at the oriented undirected edge set `und`. */
+    val undCte: String =
+      """e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE vec_id < 300),
         |p AS (
@@ -231,7 +234,10 @@ object Graph {
         |knn AS (SELECT qid, nid FROM r WHERE rk <= 5),
         |und AS (
         |  SELECT DISTINCT least(qid, nid) AS a, greatest(qid, nid) AS b
-        |  FROM knn WHERE qid != nid),
+        |  FROM knn WHERE qid != nid)""".stripMargin
+
+    val oracle: String =
+      s"""WITH $undCte,
         |degn AS (
         |  SELECT node AS vec_id, count(*) AS deg FROM
         |    (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
@@ -254,5 +260,82 @@ object Graph {
         |       ELSE 0.0 END AS cc
         |FROM degn d LEFT JOIN trin t USING (vec_id)
         |ORDER BY vec_id""".stripMargin
+
+    val LpaIters = 4
+
+    /** q120 oracle: the same knn `und`, then `LpaIters` synchronous label
+      * rounds as chained CTEs — every vote census and every argmax
+      * replayed (the q97/q105 iterative-oracle scheme). */
+    val lpaOracle: String = {
+      def round(i: Int): String =
+        s"""c$i AS (
+           |  SELECT n.node, l.lbl, count(*) AS c
+           |  FROM nbrs n JOIN l${i - 1} l ON l.node = n.nbr GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, lbl FROM (
+           |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+           |    FROM c$i) WHERE rk = 1)"""
+      val rounds = (1 to LpaIters).map(round).mkString(",\n")
+      s"""WITH $undCte,
+         |nbrs AS (
+         |  SELECT a AS node, b AS nbr FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM nbrs),
+         |$rounds
+         |SELECT node AS vec_id, lbl AS community FROM l$LpaIters
+         |ORDER BY vec_id""".stripMargin
+    }
   }
+
+  /** Synchronous label propagation (LPA) community detection: every node
+    * starts as its own community and each round adopts the most frequent
+    * label among its neighbors (ties → smallest label — a total,
+    * engine-replayable order; no RNG, unlike classic async LPA). Per
+    * round: ONE co-partitioned join of the neighbor list against the
+    * |V|-row label table, a partial-agg vote census, and a min-struct
+    * argmax — edges never materialize per-iteration state beyond (node,
+    * label) pairs, and lineage is cut per round (the PageRank/BPE
+    * checkpoint discipline), so iterations stay O(E) shuffles at any
+    * scale. Input may be directed/duplicated — symmetrized internally. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    var labels = nbrs.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      labels = nbrs
+        .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("best"))
+        .select(col("node"), col("best.l").as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  private val lpaDef: QueryDef = QueryDef(
+    "q120_lpa_communities",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))
+      val knn = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+          col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          graft.functions.VectorOps.cosine(col("qv"), col("nv")).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"))
+      labelPropagation(knn, "qid", "nid", iters = KnnGraph.LpaIters)
+        .select(col("node").as("vec_id"), col("lbl").as("community"))
+        .orderBy(col("vec_id"))
+    },
+    Some(KnnGraph.lpaOracle))
 }

@@ -62,6 +62,21 @@ class GraphSpec extends SparkSpec {
       4L -> ((2L, 1L, 1.0))))
   }
 
+  test("labelPropagation: cliques converge to their min label; components stay separate") {
+    import org.apache.spark.sql.functions._
+    // two disconnected triangles — after 2 synchronous rounds each clique
+    // unanimously carries its smallest member id, and no label crosses
+    // the component boundary
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L),
+      (2L, 1L) // duplicate reversed edge must not change the vote
+    ).toDF("src", "dst")
+    val got = graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
   test("graphStats: self-loops are dropped and a triangle-free star has cc 0") {
     import org.apache.spark.sql.functions._
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (2L, 2L)).toDF("src", "dst")
