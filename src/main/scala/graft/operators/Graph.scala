@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 
 /** Distributed graph analytics. [[Dedup.connectedComponents]] covers the
-  * clustering side; this module adds importance scoring — weighted
-  * PageRank, the canonical "quality signal from link structure" operator
-  * of web-corpus curation (domain-level rank feeds the same quality gate
-  * as the Gopher rules in [[Curation.qualityFilter]]).
+  * clustering side; this module adds the link-structure signals of
+  * corpus curation: weighted PageRank (importance), bounded-hop seed
+  * distances (TrustRank-style trust), label-propagation communities, and
+  * k-NN-graph diagnostics (triangles / clustering coefficient — the
+  * embedding-space audit). Domain-level rank feeds the same quality gate
+  * as the Gopher rules in [[Curation.qualityFilter]].
   */
 object Graph {
 
@@ -177,7 +179,7 @@ object Graph {
         graphStats(knn, "qid", "nid").orderBy(col("vec_id"))
       },
       Some(KnnGraph.oracle)),
-  ) :+ lpaDef
+  ) :+ lpaDef :+ seedDistDef
 
   /** Degree, triangle count, and local clustering coefficient per node of
     * the UNDIRECTED graph induced by `edges` (any direction, duplicates
@@ -262,6 +264,33 @@ object Graph {
         |ORDER BY vec_id""".stripMargin
 
     val LpaIters = 4
+    val DistIters = 4
+
+    /** q121 oracle: the same knn `und`, then `DistIters` min-plus
+      * relaxation rounds as chained CTEs (seeds = vec_id < 10). */
+    val distOracle: String = {
+      def round(i: Int): String =
+        s"""d$i AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT n.node, l.dist + 1 AS dist
+           |    FROM nbrs n JOIN d${i - 1} l ON l.node = n.nbr
+           |    WHERE l.dist IS NOT NULL)
+           |  GROUP BY node)"""
+      val rounds = (1 to DistIters).map(round).mkString(",\n")
+      s"""WITH $undCte,
+         |nbrs AS (
+         |  SELECT a AS node, b AS nbr FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |d0 AS (
+         |  SELECT DISTINCT node,
+         |    CASE WHEN node < 10 THEN CAST(0 AS BIGINT) END AS dist
+         |  FROM nbrs),
+         |$rounds
+         |SELECT node AS vec_id, CAST(dist AS BIGINT) AS dist FROM d$DistIters
+         |ORDER BY vec_id""".stripMargin
+    }
 
     /** q120 oracle: the same knn `und`, then `LpaIters` synchronous label
       * rounds as chained CTEs — every vote census and every argmax
@@ -285,6 +314,38 @@ object Graph {
          |SELECT node AS vec_id, lbl AS community FROM l$LpaIters
          |ORDER BY vec_id""".stripMargin
     }
+  }
+
+  /** Bounded-hop distances from a SEED node set over the undirected graph
+    * — the TrustRank-style curation signal (hops from hand-trusted seeds
+    * gate crawl quality the way PageRank gates importance). `iters`
+    * rounds of min-plus relaxation give exact distances up to `iters`
+    * hops (unreached nodes stay NULL — a diameter bound, not an error).
+    * Per round: ONE co-partitioned neighbor⋈frontier join + a partial-agg
+    * min — the Bellman-Ford/BFS hybrid every Pregel system runs, spelled
+    * declaratively; lineage cut per round. */
+  def seedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    var dist = nbrs.select(col("node")).distinct()
+      .join(seedSet.withColumn("zero", lit(0L)), Seq("node"), "left")
+      .select(col("node"), col("zero").as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = nbrs
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("nbr"), col("dist")), Seq("nbr"))
+        .select(col("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
   }
 
   /** Synchronous label propagation (LPA) community detection: every node
@@ -318,6 +379,27 @@ object Graph {
     }
     labels
   }
+
+  private val seedDistDef: QueryDef = QueryDef(
+    "q121_seed_distances",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))
+      val knn = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+          col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          graft.functions.VectorOps.cosine(col("qv"), col("nv")).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"))
+      val seeds = e.filter(col("vec_id") < 10).select(col("vec_id"))
+      seedDistances(knn, "qid", "nid", seeds, iters = KnnGraph.DistIters)
+        .select(col("node").as("vec_id"), col("dist"))
+        .orderBy(col("vec_id"))
+    },
+    Some(KnnGraph.distOracle))
 
   private val lpaDef: QueryDef = QueryDef(
     "q120_lpa_communities",

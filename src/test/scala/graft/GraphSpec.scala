@@ -77,6 +77,19 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("seedDistances: exact hop counts on a path; unreached beyond iters stay null") {
+    import org.apache.spark.sql.functions._
+    // path 0-1-2-3-4-5-6, seed {0}, 4 rounds: dists 0..4; nodes 5,6 null
+    val edges = (0L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val got = graft.operators.Graph.seedDistances(edges, "src", "dst", seeds, iters = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(
+      0L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L), 3L -> Some(3L),
+      4L -> Some(4L), 5L -> None, 6L -> None))
+  }
+
   test("graphStats: self-loops are dropped and a triangle-free star has cc 0") {
     import org.apache.spark.sql.functions._
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (2L, 2L)).toDF("src", "dst")
