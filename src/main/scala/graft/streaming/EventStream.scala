@@ -276,8 +276,8 @@ object EventStream {
     * Scale notes: per-batch cost is one key shuffle of snapshot+batch (the
     * q82 shape) — at very large key counts, partition the snapshot by key
     * range and rewrite only ranges a batch touches. Old versions
-    * accumulate; production vacuums all but the last N (left to the
-    * caller, as the retention window is a policy decision). */
+    * accumulate; [[vacuumSnapshots]] deletes all but the last N (the
+    * retention window N stays a caller policy decision). */
   def cdcSnapshotSink(spark: SparkSession, updates: DataFrame, snapshotDir: String,
       checkpointDir: String, keys: Seq[String], versionCol: String,
       deleteCol: Option[String] = None): StreamingQuery = {
@@ -338,6 +338,43 @@ object EventStream {
         finally in.close()
       Some(spark.read.parquet(s"$snapshotDir/$version"))
     }
+  }
+
+  /** Retention for the versioned CDC snapshot layout: delete all but the
+    * newest `keepLast` committed `v<batch>` directories, NEVER touching
+    * the one `_LATEST` points at (a pointer that lags — e.g. a crashed
+    * commit between write and swap — must not strand readers on a
+    * deleted version). Returns the deleted version names. Safe ordering:
+    * the pointer is read FIRST, so a concurrent commit can only ADD a
+    * newer version — never resurrect a deletion candidate. Run this
+    * between training runs the way table formats run VACUUM; the
+    * retention count is a policy knob, which is why it is an argument
+    * and not a constant. */
+  def vacuumSnapshots(spark: SparkSession, snapshotDir: String,
+      keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val pinned: Option[String] = {
+      val ptr = new Path(dir, "_LATEST")
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    }
+    val versions = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .sortBy(_.drop(1).toLong)
+    val doomed = versions.dropRight(keepLast)
+      .filterNot(pinned.contains)
+    doomed.foreach(v => fs.delete(new Path(dir, v), true))
+    doomed
   }
 
   /** Drive a streaming DataFrame to completion against a static source and

@@ -339,5 +339,29 @@ class StreamingSpec extends SparkSpec {
     assert(!names.exists(_.startsWith("._LATEST.tmp")), s"tmp residue in $names")
     val newest = names.filter(_.matches("v\\d+")).maxBy(_.drop(1).toLong)
     assert(Files.readString(Paths.get(snapDir, "_LATEST")) == newest)
+
+    // retention: vacuum keepLast=1 deletes every version but the newest,
+    // and the snapshot read through the pointer is untouched
+    val deleted = EventStream.vacuumSnapshots(spark, snapDir, keepLast = 1)
+    val after = new java.io.File(snapDir).list().toSeq.filter(_.matches("v\\d+"))
+    assert(after == Seq(newest), s"expected only $newest after vacuum, got $after")
+    assert(deleted.nonEmpty && !deleted.contains(newest))
+    val reread = EventStream.currentSnapshot(spark, snapDir).get
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(reread == s2)
+
+    // pinned-version protection: a lagging _LATEST (crashed commit between
+    // write and swap) must never be vacuumed out from under readers
+    val lagDir = Files.createTempDirectory("graft_cdc_lag").toString
+    for (v <- Seq("v0", "v1", "v2")) {
+      Files.createDirectories(Paths.get(lagDir, v))
+      Files.writeString(Paths.get(lagDir, v, "marker"), v)
+    }
+    Files.writeString(Paths.get(lagDir, "_LATEST"), "v0")
+    val lagDeleted = EventStream.vacuumSnapshots(spark, lagDir, keepLast = 1)
+    val lagAfter = new java.io.File(lagDir).list().toSeq
+      .filter(_.matches("v\\d+")).sorted
+    assert(lagAfter == Seq("v0", "v2"), s"pinned v0 must survive: $lagAfter")
+    assert(lagDeleted == Seq("v1"))
   }
 }
