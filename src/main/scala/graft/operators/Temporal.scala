@@ -259,5 +259,49 @@ object Temporal {
              |SELECT prev, event_type, CAST(n AS BIGINT) AS n,
              |  floor(n / sum(n) OVER (PARTITION BY prev) * 1e6 + 0.5) / 1e6 AS p
              |FROM c ORDER BY prev, event_type""".stripMargin)),
+
+    // ---- q122: time-decayed engagement (freshness-weighted activity) -------
+    // Recency-weighted per-user activity — the freshness signal ranking
+    // and sampling policies use (recent behavior outweighs stale). Decay
+    // is HALVING PER DAY of age, computed as 1 / (1 << age_days): pure
+    // integer shift + exact IEEE division by a power of two — bit-equal
+    // cross-engine with no pow()/exp() in sight (a library exp is not
+    // contractual). Reference time = max event time (a one-row broadcast,
+    // so the query is self-contained and deterministic); ages ≥ 63 clamp
+    // to weight 0 (shift overflow guard — and 2⁻⁶³ is beyond double
+    // noise anyway). One scan, one user_id partial-agg shuffle; the
+    // weighted sum rounds at 6 (noise-dominated cross-row aggregate).
+    QueryDef(
+      "q122_decayed_engagement",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"value", unix_micros($"ts").as("t"))
+        val ref = ev.agg(max($"t").as("t_ref"))
+        // SQL form: the Scala shiftleft() overload takes only a literal
+        // shift amount, the SQL function accepts a column
+        val age = expr("(t_ref - t) div 86400000000")
+        val w = when(age >= 63, lit(0.0))
+          .otherwise(lit(1.0) /
+            expr("shiftleft(1L, cast((t_ref - t) div 86400000000 as int))"))
+        ev.crossJoin(broadcast(ref))
+          .select($"user_id", ($"value" * w).as("dv"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"), round(sum($"dv"), 6).as("score"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |ref AS (SELECT max(t) AS t_ref FROM ev),
+             |wv AS (
+             |  SELECT user_id,
+             |    value * (CASE WHEN (t_ref - t) // 86400000000 >= 63 THEN 0.0
+             |                  ELSE 1.0 / (1::BIGINT << CAST((t_ref - t) // 86400000000 AS INT))
+             |             END) AS dv
+             |  FROM ev, ref)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(dv), 6) AS score
+             |FROM wv GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }
