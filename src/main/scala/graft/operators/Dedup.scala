@@ -25,6 +25,13 @@ import graft.functions.TextOps
 object Dedup {
 
   private val ShingleN = 3
+
+  /** Salt fan of the q104 document-frequency census: a hot shingle's
+    * occurrences spread over this many (tok, salt) partitions instead of
+    * funneling into one window partition. 16 bounds any single key's share
+    * of the census work at 1/16 of its row count per task while keeping
+    * the census fan-out (vocab × salt partial rows) cheap. */
+  private val CensusSalt = 16
   private val MinhashK = 32 // 16 bands × 2 rows
   private val Bands = 16
   private val RowsPerBand = 2
@@ -58,16 +65,29 @@ object Dedup {
     *     candidate pairs, then verify exact Jaccard with the same integer
     *     inter·tDen ≥ uni·tNum test as q45 — no float crosses an engine.
     *
-    * Shape at 100 TB: ONE corpus scan, ONE shingle evaluation.
-    *  - The document-frequency census is a `count(*) OVER (PARTITION BY
-    *    tok)` window on the already-tok-partitioned explode output — NOT a
-    *    census groupBy joined back: the join spelling creates a second
-    *    census subtree that column pruning makes canonically UNEQUAL to
-    *    the first (the census branch drops doc_id below its exchange), so
-    *    neither static ReuseExchange nor AQE stage reuse can dedupe it and
-    *    the corpus is scanned + shingled twice (observed in the executed
-    *    plan). The window reuses the repartition(tok) exchange and adds
-    *    none of its own.
+    * Shape at 100 TB: ONE corpus scan, ONE shingle evaluation, NO window
+    * over the raw shingle stream.
+    *  - The document-frequency census is a SALTED two-level aggregate off
+    *    one shared `repartition(tok, salt)` exchange (salt = hash(doc_id)
+    *    mod [[CensusSalt]]): `groupBy(tok, salt)` partial counts (no new
+    *    exchange — tok×salt partitioning satisfies the grouping), summed
+    *    per tok over a partial-row stream bounded by salt × vocabulary,
+    *    then joined back on `(tok, salt)` with the census fanned ×salt —
+    *    so a globally-hot boilerplate shingle spreads its occurrences over
+    *    [[CensusSalt]] tasks in BOTH the census and the join-back. The
+    *    previous spelling (`count(*) OVER (PARTITION BY tok)`) funneled
+    *    every occurrence of a hot shingle into ONE window partition with
+    *    no partial aggregation — invisible at gate scale, a straggler on a
+    *    crawl with mass boilerplate (the q89 hot-key hazard).
+    *  - Why the join-back does not re-introduce the double scan the window
+    *    was chosen to avoid: the census partial agg counts `count(doc_id)`
+    *    — NOT `count(*)` — so column pruning keeps (doc_id, tok, salt)
+    *    below the exchange on BOTH branches, the two exchange subtrees
+    *    stay canonically EQUAL, and AQE stage reuse resolves the second
+    *    consumer to a ReusedExchange (PlanSpec pins 1 FileScan on the
+    *    finalized plan). With `count(*)` the census branch prunes doc_id
+    *    and the corpus is scanned + shingled twice — the original q104
+    *    hazard, now documented from both directions.
     *  - The shingle projection feeds `explode_outer` + a post-generate
     *    null filter, NOT a plain explode: a non-outer generator carries an
     *    implicit non-empty guard that Catalyst rewrites through the
@@ -92,14 +112,34 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val toks = fanOut(docs.select(col("doc_id"), col("text")), gauge = docs)
+    // the explicit doc_id filter and the NON-NULLABLE salt spelling
+    // (bitwiseAND, not pmod — Pmod declares nullable=true and the candidate
+    // join would then infer an isnotnull(salt-expr) filter on the join-back
+    // branch ONLY, pushing it below the shared exchange and splitting the
+    // canonical subtree — the CLAUDE.md per-branch-filter hazard, observed
+    // here as a second corpus scan before this spelling)
+    val toks = fanOut(docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull), gauge = docs)
       .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
       .select(col("doc_id"), explode_outer(col("sh")).as("tok"))
       .filter(col("tok").isNotNull)
-      .repartition(par, col("tok"))
+      .withColumn("salt",
+        xxhash64(col("doc_id")).bitwiseAND(lit(CensusSalt - 1L)).cast("int"))
+      .repartition(par, col("tok"), col("salt"))
+    // count(doc_id), not count(*): keeps doc_id below the exchange so both
+    // census and join-back branches share ONE canonical subtree (scaladoc)
+    val census = toks.groupBy(col("tok"), col("salt"))
+      .agg(count(col("doc_id")).as("pc"))
+      .groupBy(col("tok")).agg(sum(col("pc")).as("df"))
+    // the fanned census is vocabulary × salt rows — corpus-proportional, so
+    // it must NEVER broadcast (the driver OOMs the moment the vocabulary is
+    // real; observed at 500k docs). The merge hint pins a shuffle join whose
+    // stream side reuses the (tok, salt) exchange it is already sitting on.
+    val censusFan = census.select(col("tok"), col("df"),
+      explode(sequence(lit(0), lit(CensusSalt - 1)).cast("array<int>")).as("salt"))
+      .hint("merge")
     val ordered = toks
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+      .join(censusFan, Seq("tok", "salt"))
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
         t => t.getField("tok")).as("toks"))

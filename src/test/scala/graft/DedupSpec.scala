@@ -217,6 +217,33 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)), got.toString)
   }
 
+  test("prefixJaccardPairs: a planted hot boilerplate shingle neither funnels nor breaks exactness") {
+    // Every one of 500k docs embeds the SAME leading trigram, so one
+    // shingle's document frequency is ~500k — the q89 hot-key regime. The
+    // old window census (count(*) OVER (PARTITION BY tok)) funneled all
+    // those rows into ONE task; the salted census spreads them over
+    // CensusSalt partitions. Correctness is unaffected either way (the df
+    // only orders shingles, and the hot shingle sorts last, outside every
+    // prefix), so this spec pins: (a) the run completes at hot-key scale,
+    // (b) output is EXACTLY the planted near-dup pairs — boilerplate alone
+    // never pairs two docs.
+    val n = 500000L
+    val boiler = spark.range(n).select($"id".as("doc_id"),
+      concat(lit("boiler plate text "),
+        array_join(transform(sequence(lit(0), lit(9)),
+          i => concat(lit("w"), $"id", lit("x"), i)), " ")).as("text"))
+    val planted = Seq(
+      (n,     "dup alpha beta gamma delta epsilon zeta"),
+      (n + 1, "dup alpha beta gamma delta epsilon zeta"),
+      (n + 2, "pair one two three four five six seven eight"),
+      (n + 3, "pair one two three four five six seven nine"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(boiler.union(planted), 4, 5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (n+2, n+3): 7 shingles each, 6 shared → J = 6/8 < 0.8 → OUT
+    assert(got == Set((n, n + 1L)), got.toString)
+  }
+
   test("dupSpans: planted cross-doc span is masked, islands merge, clean docs untouched") {
     // docs 1+2 share the 6-token run "w1 w2 w3 w4 w5 w6": its three 4-grams
     // overlap, so gaps-and-islands must merge them into ONE span of 6.

@@ -202,6 +202,11 @@ class PlanSpec extends SparkSpec {
     val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
     assert(!scanLine.contains("array_distinct"),
       s"shingle expression leaked into the scan filters:\n$scanLine")
+    // the q89 hot-key hazard: the df census must be the salted two-level
+    // aggregate, never a window over the raw tok stream — a window gets no
+    // partial aggregation, so one boilerplate shingle = one straggler task
+    assert(!p.linesIterator.exists(l => l.contains("Window") && !l.contains("WindowGroupLimit")),
+      s"document-frequency census regressed to a window over the tok stream:\n$p")
   }
 
   test("q108: ADC sums partial-aggregate map-side; distance tables broadcast; rank limit reaches the map side") {
