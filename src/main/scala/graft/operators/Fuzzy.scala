@@ -28,8 +28,8 @@ import graft.core.{QueryDef, Tables}
   *    re-evaluates per OUTPUT row (the r1 MinHash hazard, measured 14×).
   *  - the equi-join shuffles (variant → ids) pairs; fan-in per variant is
   *    bounded by how many keys share it, so boilerplate keys (empty
-  *    titles, "untitled") are the hot-bucket analogue — cap or pre-filter
-  *    them the q46 `capBuckets` way if a corpus has them.
+  *    titles, "untitled") are the hot-bucket analogue — capped by
+  *    `maxKeyCount`, the q46 `capBuckets` discipline.
   *  - verification is Spark's codegen'd `levenshtein` on the ≤ d·|cand|
   *    surviving pairs (integer DP, engine-portable semantics — unit-cost
   *    substitution/insert/delete, same as DuckDB's).
@@ -58,18 +58,36 @@ object Fuzzy {
   }
 
   /** Self-join: all (a_id, b_id, dist) with lev ≤ `maxDist` over
-    * `docs(idCol, keyCol)`. Short keys only by contract (see object doc). */
+    * `docs(idCol, keyCol)`. Short keys only by contract (see object doc).
+    *
+    * `maxKeyCount`: skip any deletion variant shared by more than this
+    * many keys — the [[Dedup]] `capBuckets` discipline. A boilerplate key
+    * class of B identical strings ("untitled", "") shares EVERY variant in
+    * its neighborhood, so the equi-join emits B² candidate pairs from each
+    * one; the cap drops those buckets (production runs exact dedup first,
+    * q44, so a boilerplate class collapses to one representative before
+    * this join). The census is a window over the SAME variant key the
+    * candidate join shuffles on — it adds no exchange and no hazard the
+    * join does not already have: both co-locate a hot variant's B rows,
+    * and the cap exists precisely to stop the B² OUTPUT. */
   def editDistancePairs(docs: DataFrame, keyCol: String, idCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxKeyCount: Int = Int.MaxValue): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.select(col(idCol).as("id"), col(keyCol).as("s"))
     // materialize the variant arrays through the exchange, THEN explode —
     // and explode_outer so no generator guard rewrites into the scan
-    val variants = base
+    val raw = base
       .withColumn("vs", deletionVariants(col("s"), maxDist))
       .repartition(par, col("id"))
       .select(col("id"), col("s"), explode_outer(col("vs")).as("v"))
       .filter(col("v").isNotNull)
+    val variants =
+      if (maxKeyCount == Int.MaxValue) raw
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+        raw.withColumn("vsz", count(lit(1)).over(w))
+          .filter(col("vsz") <= maxKeyCount).drop("vsz")
+      }
     variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)

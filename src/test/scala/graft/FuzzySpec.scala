@@ -49,6 +49,24 @@ class FuzzySpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 7L || b == 7L })
   }
 
+  test("maxKeyCount caps a planted boilerplate class while true typo pairs survive") {
+    // 1000 identical "untitled" titles: every variant in that class's
+    // neighborhood is shared by all 1000, so the uncapped join would emit
+    // ~500k pairs from boilerplate alone. With the cap those buckets are
+    // skipped entirely; the planted typo pair (distinct strings, tiny
+    // buckets) must still come through with its exact distance.
+    val boiler = spark.range(1000).select($"id", lit("untitled").as("title"))
+    val planted = Seq(
+      (2000L, "receipt of payment"),
+      (2001L, "reciept of payment"),   // transposition = lev 2
+      (2002L, "quarterly report"))
+      .toDF("id", "title")
+    val got = Fuzzy.editDistancePairs(boiler.union(planted),
+        keyCol = "title", idCol = "id", maxDist = 2, maxKeyCount = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((2000L, 2001L, 2)), got.toString)
+  }
+
   test("candidate generation is one variant equi-join; verification only on survivors") {
     val docs = Seq((1L, "alpha"), (2L, "alphb"), (3L, "zzzzz")).toDF("doc_id", "title")
     val plan = Fuzzy.editDistancePairs(docs, "title", "doc_id", maxDist = 1)
