@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object IvfPqIndex {
 
+  /** Absolute cap on PQ codebook training rows. A fraction-only sample is
+    * corpus-proportional — still 25 TB of a 100 TB corpus — while codebook
+    * quality saturates at tens of thousands of residuals per subspace
+    * (the FAISS default trains 256-entry codebooks on ≲64k samples); past the cap,
+    * more rows buy nothing and the single-slice re-key would pay for them. */
+  private val MaxPqTrainRows = 65536
+
   /** Train coarse + PQ models, persist `<dir>/codes` (partitioned by
     * cell), `<dir>/centroids`, `<dir>/codebook`. Returns cell count. */
   def build(spark: SparkSession, embeddings: DataFrame, dir: String,
@@ -55,21 +62,35 @@ object IvfPqIndex {
       .join(broadcast(centroids), Seq("cell"))
       .select($"vec_id", $"cell",
         zip_with($"v", $"cvec", (a, b) => a - b).as("rv"))
-    // PQ codebooks on residuals, trained on the same bounded sample
-    // discipline as the coarse quantizer (codebooks are model parameters;
-    // the corpus never needs to enter the Lloyd loop). kmeansFit seeds
-    // from ids 0..k−1, so the training view re-keys its sample to
-    // contiguous ids — the global window is over the SAMPLE only.
-    val pqSample = assigned.sample(withReplacement = false, trainFraction, seed = 43)
-    val pqView = if (pqSample.count() >= kCodes.toLong * 4) pqSample else assigned
+    // PQ codebooks on residuals, trained on an ABSOLUTELY bounded sample
+    // (codebooks are model parameters; the corpus never needs to enter the
+    // Lloyd loop). The fraction sample alone is corpus-proportional, so it
+    // is capped at MaxPqTrainRows via orderBy(vec_id).limit — which plans
+    // as a distributed TakeOrderedAndProject (per-partition top-N, no
+    // global sort) and is deterministic. The bounded slice is checkpointed
+    // so the guard count, the re-key, and every Lloyd round read ~64k
+    // materialized rows instead of re-executing the coarse-assignment
+    // lineage; kmeansFit seeds from ids 0..k−1, so the slice re-keys to
+    // contiguous ids — the row_number window is over the capped,
+    // single-partition slice by construction, never a corpus fraction.
+    def boundedSlice(df: DataFrame): DataFrame = df
+      .orderBy($"vec_id").limit(MaxPqTrainRows)
+      .select($"vec_id", $"rv").localCheckpoint()
+    val pqSample = boundedSlice(
+      assigned.sample(withReplacement = false, trainFraction, seed = 43))
+    val pqView = if (pqSample.count() >= kCodes.toLong * 4) pqSample
+      else boundedSlice(assigned)
     val rekeyed = pqView
       .withColumn("rid", row_number().over(
         Window.orderBy($"vec_id")).cast("long") - 1)
       .select($"rid".as("vec_id"), $"rv")
     val codebook = Pq.pqTrain(rekeyed, m, dim, kCodes, iters, vecCol = "rv")
+    // cell rides through the encode as a pass-through group key: the
+    // previous join-back to `assigned` re-executed the coarse-assignment
+    // lineage a second time just to recover the cell column
     val codes = Pq.pqEncode(
-      assigned.select($"vec_id", $"cell", $"rv"), codebook, m, dim, vecCol = "rv")
-      .join(assigned.select($"vec_id", $"cell"), Seq("vec_id"))
+      assigned.select($"vec_id", $"cell", $"rv"), codebook, m, dim,
+      vecCol = "rv", passThrough = Seq("cell"))
       .select($"vec_id", $"sub", $"code", $"cell")
     codes.write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$dir/codes")

@@ -85,17 +85,24 @@ object Pq {
     * skew-robust, no window over the corpus), tie-breaking on cluster id
     * like every ranking here. */
   def pqEncode(embs: DataFrame, codebook: DataFrame, m: Int, dim: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      passThrough: Seq[String] = Nil): DataFrame = {
     val ds = dim / m
-    val exploded = embs.select(col(idCol).as("vec_id"),
-        explode(subVectors(col(vecCol).cast("array<double>"), m, ds)).as("t"))
-      .select(col("vec_id"), col("t.sub").as("sub"), col("t.sv").as("sv"))
+    // `passThrough`: extra per-vector columns (functionally dependent on
+    // the id, e.g. an IVF cell) carried through as additional group keys —
+    // so a caller that needs them does not have to join the result back to
+    // its input and re-execute the input lineage corpus-wide
+    val pt = passThrough.map(col)
+    val exploded = embs.select(col(idCol).as("vec_id") +: pt :+
+        explode(subVectors(col(vecCol).cast("array<double>"), m, ds)).as("t"): _*)
+      .select(col("vec_id") +: pt :+ col("t.sub").as("sub") :+ col("t.sv").as("sv"): _*)
     exploded.join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("cluster"), d2q(col("sv"), col("c")).as("d2"))
-      .groupBy(col("vec_id"), col("sub"))
+      .select(col("vec_id") +: pt :+ col("sub") :+ col("cluster") :+
+        d2q(col("sv"), col("c")).as("d2"): _*)
+      .groupBy(col("vec_id") +: col("sub") +: pt: _*)
       .agg(min(struct(col("d2"), col("cluster"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.cluster").as("code"),
-        col("best.d2").as("d2"))
+      .select(col("vec_id") +: pt :+ col("sub") :+
+        col("best.cluster").as("code") :+ col("best.d2").as("d2"): _*)
   }
 
   /** ADC top-k: `queries` is (qid, qv); `codes` is [[pqEncode]]'s long
