@@ -164,20 +164,8 @@ object Graph {
     // closures.
     QueryDef(
       "q119_knn_graph_stats",
-      (s, d) => {
-        val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-          .select(col("vec_id"), col("embedding"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))
-        val knn = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
-            col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            graft.functions.VectorOps.cosine(col("qv"), col("nv")).as("cos"))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-          .select(col("qid"), col("nid"))
-        graphStats(knn, "qid", "nid").orderBy(col("vec_id"))
-      },
+      (s, d) => graphStats(gateKnnEdges(s, d), "qid", "nid")
+        .orderBy(col("vec_id")),
       Some(KnnGraph.oracle)),
   ) :+ lpaDef :+ seedDistDef
 
@@ -217,6 +205,28 @@ object Graph {
   /** Generated DuckDB oracles for q119/q120 (cosine spelling shared with
     * q48/q49's proven SQL form; both queries replay the SAME capped knn
     * graph through `undCte`). */
+  /** The capped exact top-5 cosine knn edge set shared by the q119/q120/
+    * q121 gates — the Spark-side single source of truth mirroring
+    * [[KnnGraph.undCte]]'s role for the three oracles (previously spelled
+    * three times inline, which let the gates drift independently). Gate
+    * discipline is q48's O(n²)-twin cap (vec_id < 300); the operators
+    * themselves take ANY edge frame, with LSH/IVF candidates as the scale
+    * path. */
+  private def gateKnnEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))
+    e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorOps.cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"))
+  }
+
   private[graft] object KnnGraph {
     /** WITH-body prefix ending at the oriented undirected edge set `und`. */
     val undCte: String =
@@ -383,19 +393,10 @@ object Graph {
   private val seedDistDef: QueryDef = QueryDef(
     "q121_seed_distances",
     (s, d) => {
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-        .select(col("vec_id"), col("embedding"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))
-      val knn = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
-          col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          graft.functions.VectorOps.cosine(col("qv"), col("nv")).as("cos"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("qid"), col("nid"))
-      val seeds = e.filter(col("vec_id") < 10).select(col("vec_id"))
-      seedDistances(knn, "qid", "nid", seeds, iters = KnnGraph.DistIters)
+      val seeds = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10).select(col("vec_id"))
+      seedDistances(gateKnnEdges(s, d), "qid", "nid", seeds,
+          iters = KnnGraph.DistIters)
         .select(col("node").as("vec_id"), col("dist"))
         .orderBy(col("vec_id"))
     },
@@ -404,18 +405,8 @@ object Graph {
   private val lpaDef: QueryDef = QueryDef(
     "q120_lpa_communities",
     (s, d) => {
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-        .select(col("vec_id"), col("embedding"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))
-      val knn = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
-          col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          graft.functions.VectorOps.cosine(col("qv"), col("nv")).as("cos"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("qid"), col("nid"))
-      labelPropagation(knn, "qid", "nid", iters = KnnGraph.LpaIters)
+      labelPropagation(gateKnnEdges(s, d), "qid", "nid",
+          iters = KnnGraph.LpaIters)
         .select(col("node").as("vec_id"), col("lbl").as("community"))
         .orderBy(col("vec_id"))
     },

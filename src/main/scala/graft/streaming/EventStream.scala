@@ -33,8 +33,13 @@ object EventStream {
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one driver-side footer read decides which physical ts shape the
-    // stream declares — the stream itself stays a plain file source
-    val physical = spark.read.parquet(path).schema("ts").dataType
+    // stream declares — the stream itself stays a plain file source. An
+    // initially-EMPTY source directory is a normal streaming start state
+    // (files arrive after the query does), and a batch read of it throws
+    // "unable to infer schema" — fall back to the declared LongType shape
+    // and let the stream pick files up as they land.
+    val physical = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(LongType)
     val raw = spark.readStream.schema(eventSchema(physical)).parquet(path)
     physical match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -20,6 +20,17 @@ class StreamingSpec extends SparkSpec {
   }
   private lazy val batch = graft.core.Tables.events(spark, sf0001)
 
+  test("readEvents starts cleanly on an initially-empty source directory") {
+    // a normal streaming start state: the query opens before any file has
+    // landed; the ts-shape sniff must fall back to the declared schema
+    // instead of throwing "unable to infer schema"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_empty")
+    val stream = EventStream.readEvents(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("windowed counts: streaming equals batch") {
     val stream = EventStream.windowedCounts(EventStream.readEvents(spark, eventsPath))
     val got = EventStream.runToMemory(spark, stream, "win_counts")
