@@ -617,7 +617,10 @@ object Dedup {
       "q104_setsim_prefix_join",
       (s, d) => prefixJaccardPairs(Tables.documents(s, d), tNum = 4, tDen = 5)
         .orderBy(col("a_id"), col("b_id")),
-      Some(s"""WITH s AS (
+      // headline: the uncapped exact-at-scale set-sim join is timed at
+      // bench SF so the r7 salted-census rewrite stays regression-visible.
+      headline = true,
+      oracle = Some(s"""WITH s AS (
              |  SELECT doc_id, t,
              |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
              |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh

@@ -121,5 +121,26 @@ object Fuzzy {
              |FROM t a JOIN t b ON a.doc_id < b.doc_id
              |WHERE levenshtein(a.s, b.s) <= 2
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- q110b: bench twin — the PRODUCTION pipeline, uncapped corpus ------
+    // What a 100 TB run actually executes: exact dedup first (identical
+    // titles collapse to their min-id representative, the documented
+    // mitigation for the all-duplicates regime FuzzyScale measured), then
+    // the deletion-variant join with the hot-key cap engaged. gate = false:
+    // q110's brute-force oracle already certifies the candidate generation
+    // lossless; this entry exists so the full-corpus cost is timed at
+    // bench SF in every BENCH_r* artifact.
+    QueryDef(
+      "q110b_edit_neardup_bench",
+      (s, d) => {
+        val titles = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+          .groupBy(col("title")).agg(min(col("doc_id")).as("doc_id"))
+        editDistancePairs(titles, keyCol = "title", idCol = "doc_id",
+          maxDist = 2, maxKeyCount = 64)
+      },
+      None,
+      headline = true,
+      gate = false),
   )
 }

@@ -151,7 +151,11 @@ object Graph {
           .select(col("node"), col("n_name"), round(col("rank"), 6).as("rank"))
           .orderBy(col("node"))
       },
-      Some(pageRankOracle(5))),
+      Some(pageRankOracle(5)),
+      // headline: the iterative-graph contract (edge census + per-round
+      // co-partitioned join/agg/lineage-cut) is timed at bench SF —
+      // post-r6 heavy operators must be regression-visible in BENCH_r*.
+      headline = true),
 
     // ---- q119: k-NN graph diagnostics (triangles, clustering coefficient) --
     // The neighbor-graph audit of an embedding space: high local
@@ -167,7 +171,37 @@ object Graph {
       (s, d) => graphStats(gateKnnEdges(s, d), "qid", "nid")
         .orderBy(col("vec_id")),
       Some(KnnGraph.oracle)),
-  ) :+ lpaDef :+ seedDistDef
+  ) :+ lpaDef :+ seedDistDef :+ lpaBenchDef
+
+  /** Bench twin of q120: LPA over the SCALE-PATH edge set — LSH-cell
+    * candidate pairs (the [[Similarity.semanticDedup]] shape: cell
+    * equi-join, exact cosine inside cells only, O(Σ cell²) never O(n²))
+    * over the FULL embeddings table, instead of the gate's capped exact
+    * knn graph. gate = false: labelPropagation's semantics are already
+    * oracle-certified by q120 and the edge builder by q91; this entry
+    * exists so the production-shaped community pass is timed at bench SF
+    * (GraphBenchSpec pins its determinism and label closure). */
+  private[operators] def lpaCellEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"),
+      graft.functions.VectorOps.literalSignature(
+        col("embedding"), Similarity.SemDedup.signs).as("cell"))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorOps.cosine(
+        col("a.embedding"), col("b.embedding")) > 0.40)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+  }
+
+  private val lpaBenchDef: QueryDef = QueryDef(
+    "q120b_lpa_cells_bench",
+    (s, d) => labelPropagation(lpaCellEdges(s, d), "a_id", "b_id",
+        iters = KnnGraph.LpaIters)
+      .select(col("node").as("vec_id"), col("lbl").as("community")),
+    None,
+    headline = true,
+    gate = false)
 
   /** Degree, triangle count, and local clustering coefficient per node of
     * the UNDIRECTED graph induced by `edges` (any direction, duplicates

@@ -151,7 +151,12 @@ object Pq {
         adcTopK(q, codes, cb, O.M, O.Dim, O.TopN)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(O.oracle)),
+      Some(O.oracle),
+      // headline: train+encode+ADC over the FULL embeddings table at
+      // bench SF — the learned-compression path must be regression-
+      // visible in BENCH_r* (the codebook constants are model params,
+      // not input caps).
+      headline = true),
   )
 
   /** Shared gate constants + generated DuckDB oracle (single source of

@@ -165,5 +165,22 @@ object RelationalExt {
       None,
       headline = true,
       gate = false),
+
+    // ---- q23c: MERGEABLE histogram-sketch percentiles at bench scale -------
+    // The second 100 TB path for q23 (and the one whose estimate is a plain
+    // deterministic dag rather than an engine-internal sketch): q23's exact
+    // grouping run through Sketches.histogramQuantiles. gate = false — the
+    // mechanism is already oracle-certified by q102; this entry retires
+    // q23's `weak` badge by actually EXERCISING the bounded-state path at
+    // bench SF next to the exact twin. RelationalExtSpec pins every
+    // estimate within the documented bin-width error of q23's exact values.
+    QueryDef(
+      "q23c_percentiles_sketch",
+      (s, d) => Sketches.histogramQuantiles(Tables.lineitem(s, d),
+        "l_extendedprice", "l_returnflag", bins = 4096, qs = Seq(0.5, 0.9))
+        .orderBy(col("l_returnflag"), col("q")),
+      None,
+      headline = true,
+      gate = false),
   )
 }

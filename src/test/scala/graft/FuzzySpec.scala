@@ -67,6 +67,20 @@ class FuzzySpec extends SparkSpec {
     assert(got == Set((2000L, 2001L, 2)), got.toString)
   }
 
+  test("q110b bench twin: dedup-first production pipeline emits only valid pairs") {
+    // gate = false, so its contract is pinned here: representatives are
+    // distinct titles' min ids, every emitted pair is within maxDist, and
+    // the pair orientation is canonical (a_id < b_id).
+    val q = graft.operators.Fuzzy.defs.find(_.name == "q110b_edit_neardup_bench").get
+    val rows = q.build(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    rows.foreach { case (a, b, dist) =>
+      assert(a < b, s"canonical orientation: ($a, $b)")
+      assert(dist >= 1 && dist <= 2, s"post-dedup distance in [1, 2]: $dist")
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+  }
+
   test("candidate generation is one variant equi-join; verification only on survivors") {
     val docs = Seq((1L, "alpha"), (2L, "alphb"), (3L, "zzzzz")).toDF("doc_id", "title")
     val plan = Fuzzy.editDistancePairs(docs, "title", "doc_id", maxDist = 1)

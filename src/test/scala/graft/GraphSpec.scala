@@ -90,6 +90,25 @@ class GraphSpec extends SparkSpec {
       4L -> Some(4L), 5L -> None, 6L -> None))
   }
 
+  test("q120b bench twin: communities are deterministic, closed over the edge set") {
+    // The bench-only def (gate = false) is pinned here instead: labels come
+    // from the node universe of the LSH-cell edge set, every node gets
+    // exactly one community, and a rebuild is bit-identical (no RNG).
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val q = graft.operators.Graph.defs.find(_.name == "q120b_lpa_cells_bench").get
+    val a = q.build(spark, d).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.nonEmpty)
+    assert(a.map(_._1).distinct.length == a.length, "one community per node")
+    val nodes = a.map(_._1).toSet
+    assert(a.map(_._2).toSet.subsetOf(nodes), "labels are member node ids")
+    val vecIds = graft.core.Tables.embeddings(spark, d)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(nodes.subsetOf(vecIds))
+    val b = q.build(spark, d).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.sorted.sameElements(b.sorted), "deterministic rebuild")
+  }
+
   test("graphStats: self-loops are dropped and a triangle-free star has cc 0") {
     import org.apache.spark.sql.functions._
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (2L, 2L)).toDF("src", "dst")

@@ -41,6 +41,41 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("q23c histogram-sketch percentiles: bin-width bound vs the discrete quantile") {
+    import spark.implicits._
+    // The sketch estimates the ⌈q·n⌉-th ORDER STATISTIC (midpoint of its
+    // bin), so the rigorous bound — one bin width — is against the discrete
+    // quantile. q23's interpolated (type-7) value additionally differs by
+    // the local gap between bracketing order stats, which at tiny SF
+    // exceeds a 4096th bin; that side gets a loose relative check so the
+    // bench row stays tied to q23's exact numbers.
+    val Array(lo, hi) = graft.core.Tables.lineitem(spark, sf0001)
+      .agg(min($"l_extendedprice").cast("double"), max($"l_extendedprice").cast("double"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val binWidth = (hi - lo) / 4096
+    val discrete = graft.core.Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(sort_array(collect_list($"l_extendedprice".cast("double"))).as("xs"))
+      .select($"l_returnflag", explode(array(lit(0.5), lit(0.9))).as("q"),
+        element_at($"xs", ceil(lit(0.5) * size($"xs")).cast("int")).as("d50"),
+        element_at($"xs", ceil(lit(0.9) * size($"xs")).cast("int")).as("d90"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.getDouble(1) == 0.5) r.getDouble(2) else r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("q23_percentiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val q23c = graft.operators.RelationalExt.defs.find(_.name == "q23c_percentiles_sketch").get
+    val est = q23c.build(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == discrete.keySet && est.keySet.map(_._1) == exact.keySet)
+    est.foreach { case (k @ (flag, q), e) =>
+      assert(math.abs(e - discrete(k)) <= binWidth,
+        s"$flag q$q: $e vs discrete ${discrete(k)} (bin $binWidth)")
+      val interp = if (q == 0.5) exact(flag)._1 else exact(flag)._2
+      assert(math.abs(e - interp) / interp < 0.005,
+        s"$flag q$q: $e vs interpolated $interp")
+    }
+  }
+
   test("HLL sketches are mergeable: per-source partials union to the global estimate") {
     // The 100 TB distinct-count pattern: build one sketch per shard/day,
     // persist them (bytes), and answer global/rolling questions by UNION —
