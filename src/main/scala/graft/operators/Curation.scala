@@ -179,6 +179,22 @@ object Curation {
     * double on both engines (floats widen exactly; no summation), so the
     * integer outputs are bit-deterministic cross-engine. */
   def quantizeInt8(embs: DataFrame, vecCol: String, idCol: String = "vec_id"): DataFrame = {
+    // Native fused expression (one codegen'd pass per vector) — SCALING.md
+    // measured the HOF lambda path interpreted at ~2× steady-state cost.
+    // CurationSpec pins bit-parity against [[quantizeInt8Hof]].
+    val st = graft.expressions.QuantizeInt8Expr.quantize(col(vecCol).cast("array<double>"))
+    embs
+      .withColumn("qs", st)
+      .select(col(idCol),
+        floor(col("qs.scale") * 1e6 + 0.5).as("scale_q"),
+        col("qs.qvec").as("qvec"))
+  }
+
+  /** The original HOF spelling of [[quantizeInt8]] — kept as the
+    * engine-portable parity twin the spec checks the native expression
+    * against (same dag the q74 oracle replays in DuckDB). */
+  private[graft] def quantizeInt8Hof(embs: DataFrame, vecCol: String,
+      idCol: String = "vec_id"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val mx = array_max(transform(v, x => abs(x)))
     embs

@@ -51,6 +51,12 @@ object CurationScale {
         Curation.quantizeInt8(embs, "embedding")
           .agg(sum(element_at(col("qvec"), 1)), count(lit(1))).head().getLong(1)
       }
+      time(s"q74 quantizeInt8 HOF twin ${r}x") {
+        // the interpreted-lambda spelling, kept timed so the native
+        // expression's advantage stays measured (SCALING.md)
+        Curation.quantizeInt8Hof(embs, "embedding")
+          .agg(sum(element_at(col("qvec"), 1)), count(lit(1))).head().getLong(1)
+      }
       val capped = time(s"q69 capPerDomain ${r}x") {
         Curation.capPerDomain(docs, "source", 10).count()
       }

@@ -105,6 +105,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: native expression is bit-equal to the HOF twin (edges included)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // real corpus: every (scale_q, qvec) pair identical
+    val embs = graft.core.Tables.embeddings(spark, sf0001)
+    def dump(df: org.apache.spark.sql.DataFrame) = df.orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getSeq[Any](2).toList)).toList
+    assert(dump(Curation.quantizeInt8(embs, "embedding")) ==
+      dump(Curation.quantizeInt8Hof(embs, "embedding")))
+    // planted edges: null vector, empty, all-zero, null elements, mixed
+    val schema = StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = true), nullable = true)))
+    val edge = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(0.5, -1.0, 0.25)),
+        Row(2L, Seq.empty[Double]),
+        Row(3L, null),
+        Row(4L, Seq(0.0, -0.0)),
+        Row(5L, Seq[Any](null, 2.0)),
+        Row(6L, Seq[Any](null, null))), schema)
+    assert(dump(Curation.quantizeInt8(edge, "embedding")) ==
+      dump(Curation.quantizeInt8Hof(edge, "embedding")))
+    // interpreted eval path (no codegen) agrees with the HOF dag too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val res = graft.expressions.QuantizeInt8Expr(
+        Literal.create(Seq(0.5, -1.0, 0.25), ArrayType(DoubleType)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(res.getDouble(0) == 127.0)
+    assert(res.getArray(1).toLongArray.toList == List(64L, -127L, 32L))
+  }
+
   test("q75 cluster retention: best member = independent per-cluster quality argmax") {
     val clusters = SparkEntry.queries("q66_dedup_clusters")(spark, sf0001) // (doc_id, rep_id)
     val qual = docsDf.select($"doc_id",
