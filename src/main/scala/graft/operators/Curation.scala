@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.Lineage.CutOps
 import graft.expressions.BloomMightContainExpr
 import graft.functions.TextOps
 
@@ -344,7 +345,7 @@ object Curation {
         // expensive part), turning training quadratic in iterations
         // (measured 6.8 s → 4.7 s for 3 rounds at sf0.1)
         cur = cur.select(col("doc_id"), applyMerge(col("t"), w1, w2).as("t"))
-          .localCheckpoint(true)
+          .cutLineage()
       }
     }
     (merges.toSeq, cur)

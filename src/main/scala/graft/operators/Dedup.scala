@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.Lineage.CutOps
 import graft.functions.TextOps
 
 /** Deduplication operators over `documents` — the four standard tiers of a
@@ -323,8 +324,9 @@ object Dedup {
     * iteration propagates neighbor minima AND label-of-label (pointer
     * doubling), so a chain of length L converges in O(log L) rounds, not
     * O(L); the driver only orchestrates the fixpoint loop.
-    * `localCheckpoint` cuts the growing lineage each round so the plan
-    * does not re-expand previous iterations. Input is the
+    * [[graft.core.Lineage.cut]] cuts the growing lineage each round so
+    * the plan does not re-expand previous iterations (reliable
+    * checkpointing under `spark.graft.checkpointDir`). Input is the
     * candidate-bounded pair set (tiny relative to the corpus), never the
     * corpus itself. THROWS if the fixpoint is not reached within
     * `maxIters` — a silently partial labeling would dedup incorrectly.
@@ -332,10 +334,10 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint(true)
+      .cutLineage()
     var labels = e.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .cutLineage()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -348,7 +350,7 @@ object Dedup {
         .select(col("a.node").as("node"), col("ll").as("label"))
       val next = labels.union(nbr).union(hop)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .cutLineage()
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") =!= col("prev")).count()
       labels = next

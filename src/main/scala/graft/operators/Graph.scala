@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.Lineage.CutOps
 
 /** Distributed graph analytics. [[Dedup.connectedComponents]] covers the
   * clustering side; this module adds the link-structure signals of
@@ -28,11 +29,14 @@ object Graph {
     * the edge payload. The dangling term stays a one-row aggregate crossed
     * back in (broadcast), not a driver value.
     *
-    * `localCheckpoint(eager)` per iteration cuts the growing lineage —
+    * [[graft.core.Lineage.cut]] per iteration cuts the growing lineage —
     * without it iteration i's plan embeds TWO copies of iteration i-1
     * (contribution join + dangling sum), i.e. 2^iterations plan growth.
-    * The only driver round-trip is `nodes.count()` (one scalar, the graph
-    * order — a model parameter like IVF's k).
+    * On a real cluster set `spark.graft.checkpointDir` so the cuts are
+    * RELIABLE checkpoints (executor loss recomputes nothing older than
+    * the last round) instead of executor-local blocks. The only driver
+    * round-trip is `nodes.count()` (one scalar, the graph order — a
+    * model parameter like IVF's k).
     *
     * Numerics: contribution sums are genuinely order-dependent doubles
     * (~1e-16 relative), so gate outputs round(·, 6) per the repo rule for
@@ -46,20 +50,20 @@ object Graph {
       weightCol: String, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("double").as("w")).localCheckpoint(true)
+      col(weightCol).cast("double").as("w")).cutLineage()
     val outW = e.groupBy("src").agg(sum("w").as("w_out"))
     val trans = e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("w_out")).as("p"))
-      .localCheckpoint(true)
+      .cutLineage()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage()
     val n = nodes.count().toDouble
     val danglingNodes = nodes
       .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .localCheckpoint(true)
+      .cutLineage()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
+      .cutLineage()
     for (_ <- 1 to iterations) {
       val dang = ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
@@ -74,7 +78,7 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("csum"), lit(0.0)) + col("dm") / n)).as("rank"))
-        .localCheckpoint(true)
+        .cutLineage()
     }
     ranks
   }
@@ -387,7 +391,7 @@ object Graph {
         .select(col("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .cutLineage()
     }
     dist
   }
@@ -419,7 +423,7 @@ object Graph {
         .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("best"))
         .select(col("node"), col("best.l").as("lbl"))
-        .localCheckpoint()
+        .cutLineage()
     }
     labels
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Lineage.CutOps
 
 /** Persisted IVF-PQ index — the full FAISS-style 100 TB ANN architecture,
   * composing [[IvfIndex]]'s partition-pruned cell layout with [[Pq]]'s
@@ -75,7 +76,7 @@ object IvfPqIndex {
     // single-partition slice by construction, never a corpus fraction.
     def boundedSlice(df: DataFrame): DataFrame = df
       .orderBy($"vec_id").limit(MaxPqTrainRows)
-      .select($"vec_id", $"rv").localCheckpoint()
+      .select($"vec_id", $"rv").cutLineage()
     val pqSample = boundedSlice(
       assigned.sample(withReplacement = false, trainFraction, seed = 43))
     val pqView = if (pqSample.count() >= kCodes.toLong * 4) pqSample

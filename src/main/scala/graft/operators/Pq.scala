@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
+import graft.core.Lineage.CutOps
 
 /** Product quantization — the vector-compression half of large-scale ANN
   * (the FAISS IVF-PQ shape; the reference has no vector path, so this is a
@@ -75,7 +76,7 @@ object Pq {
       // chain — measured 8.2 s → 3.1 s warm on q108 at sf0.1 from cutting
       // the lineage here (the PageRank-checkpoint discipline: materialize
       // small model tables once, eagerly)
-      .localCheckpoint()
+      .cutLineage()
   }
 
   /** Encode each vector as m (sub, code) rows — the long form both the

@@ -90,6 +90,37 @@ class GraphSpec extends SparkSpec {
       4L -> Some(4L), 5L -> None, 6L -> None))
   }
 
+  test("Lineage: reliable-checkpoint mode matches local mode and writes real files") {
+    import org.apache.spark.sql.functions._
+    // a session with spark.graft.checkpointDir set switches every
+    // iterative lineage cut to RELIABLE checkpointing; values must be
+    // identical to the default (localCheckpoint) session
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val s2 = spark.newSession()
+    s2.conf.set(graft.core.Lineage.ConfKey, ckptDir)
+    def edges(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0), (3L, 0L, 2.0), (4L, 3L, 1.0))
+        .toDF("src", "dst", "w")
+    }
+    def ranks(s: org.apache.spark.sql.SparkSession) =
+      graft.operators.Graph.pageRank(edges(s), "src", "dst", "w", iterations = 4)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def communities(s: org.apache.spark.sql.SparkSession) =
+      graft.operators.Graph.labelPropagation(edges(s), "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (rLocal, rReliable) = (ranks(spark), ranks(s2))
+    assert(rReliable == rLocal)
+    assert(communities(s2) == communities(spark))
+    // the reliable run actually landed RDD checkpoint files on disk
+    val installed = spark.sparkContext.getCheckpointDir.get
+      .stripPrefix("file:")
+    val found = java.nio.file.Files.walk(java.nio.file.Paths.get(installed))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(found > 0, s"expected checkpoint files under $installed")
+  }
+
   test("q120b bench twin: communities are deterministic, closed over the edge set") {
     // The bench-only def (gate = false) is pinned here instead: labels come
     // from the node universe of the LSH-cell edge set, every node gets
