@@ -363,13 +363,24 @@ object Curation {
   /** BPE ENCODE: apply an already-learned merge list (from [[bpeTrain]],
     * or any external tokenizer dump) to a corpus, in merge order — the
     * inference half of the tokenizer. Pure map stage: zero shuffle, zero
-    * driver round-trips; the merge list is compiled into the plan as
-    * `merges.length` chained folds, so at 100 TB it scales with input
-    * splits like any projection. (Production vocabularies with 10⁴⁺ merges
-    * would compile the merge list into a broadcast trie probed by one
-    * custom expression instead — the chained-fold form is for the
-    * DSL-sized merge lists the gate exercises.) */
+    * driver round-trips. The merge list rides as ONE plan literal inside
+    * [[graft.expressions.BpeEncodeExpr]] (compiled to a pair→rank table
+    * once per task from the broadcast task binary), so a 10⁴-merge
+    * production vocabulary encodes in a single linked-list sweep per row
+    * instead of 10⁴ chained interpreted HOF passes. Semantics are
+    * EXACTLY the in-order leftmost-greedy fold ([[bpeEncodeFold]] is the
+    * retained reference twin; CurationSpec pins parity, gate q123 pins
+    * the expression against a DuckDB replay of the pass chain). */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.BpeEncodeExpr.encode(TextOps.tokens(col(textCol)), merges).as("t"))
+
+  /** Reference twin of [[bpeEncode]]: `merges.length` chained
+    * leftmost-greedy folds — the executable statement of the encode
+    * semantics, kept for the parity spec (its per-merge plan depth makes
+    * it the wrong shape for production vocabularies). */
+  private[graft] def bpeEncodeFold(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame =
     merges.foldLeft(docs.select(col("doc_id"), TextOps.tokens(col(textCol)).as("t"))) {
       case (df, (w1, w2)) => df.select(col("doc_id"), applyMerge(col("t"), w1, w2).as("t"))
@@ -393,7 +404,25 @@ object Curation {
     |top$k AS (
     |  SELECT
     |    coalesce((SELECT w1 FROM pc$k ORDER BY c DESC, w1, w2 LIMIT 1), chr(1)) AS w1,
-    |    coalesce((SELECT w2 FROM pc$k ORDER BY c DESC, w1, w2 LIMIT 1), chr(1)) AS w2),
+    |    coalesce((SELECT w2 FROM pc$k ORDER BY c DESC, w1, w2 LIMIT 1), chr(1)) AS w2),""".stripMargin +
+    bpeRewriteSql(k)
+
+  /** The ENCODE-side oracle round: same rewrite chain, but the merge pair
+    * is a LITERAL (an already-learned merge being applied) instead of the
+    * round's learned census winner — the DuckDB replay of one
+    * [[bpeEncode]] pass. */
+  private def bpeApplySql(k: Int, w1: String, w2: String): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    s"""
+    |top$k AS (SELECT ${lit(w1)} AS w1, ${lit(w2)} AS w2),""".stripMargin +
+      bpeRewriteSql(k)
+  }
+
+  /** One leftmost-greedy merge pass tok{k} → tok{k+1}, expecting `top$$k`
+    * (the pair to fuse) already defined. Gaps-and-islands spelling of the
+    * fold: merge every candidate whose offset in its run of w1-tokens is
+    * even when w1 = w2, and every candidate otherwise. */
+  private def bpeRewriteSql(k: Int): String = s"""
     |pos$k AS (
     |  SELECT doc_id, s.i AS i, s.tok AS tok, s.cand AS cand, s.isw1 AS isw1,
     |         tp.w1 AS w1, tp.w2 AS w2
@@ -427,6 +456,25 @@ object Curation {
       (0 until iterations).map(bpeIterSql).mkString(",") +
       s"\nSELECT doc_id, len(t) AS n_after, array_to_string(t, chr(1)) AS toks" +
       s" FROM tok$iterations ORDER BY doc_id"
+
+  /** DuckDB replay of [[bpeEncode]] with a fixed merge list: one literal
+    * rewrite pass per merge, chained in list order — certifying the
+    * single-sweep expression against the executable pass-chain semantics. */
+  private[graft] def bpeEncodeOracle(merges: Seq[(String, String)]): String =
+    "WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)," +
+      merges.zipWithIndex.map { case ((w1, w2), k) => bpeApplySql(k, w1, w2) }.mkString(",") +
+      s"\nSELECT doc_id, len(t) AS n_after, array_to_string(t, chr(1)) AS toks" +
+      s" FROM tok${merges.length} ORDER BY doc_id"
+
+  /** Gate q123's fixed merge list: pairs over the synthetic corpus's
+    * closed vocabulary so real fuses happen at any scale factor, plus a
+    * w1 = w2 pair (the even-offset run rule) and three merges whose LEFT
+    * token is itself merge 0's output — only reachable through the
+    * in-order cascade (rank-0 fuses must queue their created adjacencies
+    * into the later ranks). */
+  private[graft] val EncodeMerges: Seq[(String, String)] = Seq(
+    ("table", "hash"), ("a", "a"),
+    ("table hash", "part"), ("table hash", "scan"), ("table hash", "table"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -768,5 +816,20 @@ object Curation {
           .orderBy(col("doc_id"))
       },
       Some(bpeOracle(3))),
+
+    // ---- q123: BPE encode via the single-sweep rank-table expression -------
+    // Applies a FIXED five-merge list (including w1=w2 and three cascade
+    // merges whose left token is merge 0's output) through
+    // BpeEncodeExpr's one-pass linked-list sweep; the oracle replays the
+    // same list as five chained literal gaps-and-islands rewrite passes —
+    // certifying that the sweep is value-equal to in-order leftmost-greedy
+    // pass semantics on the real corpus, not just on planted spec rows.
+    QueryDef(
+      "q123_bpe_encode",
+      (s, d) => bpeEncode(Tables.documents(s, d), EncodeMerges)
+        .select(col("doc_id"), size(col("t")).as("n_after"),
+          array_join(col("t"), "\u0001").as("toks"))
+        .orderBy(col("doc_id")),
+      Some(bpeEncodeOracle(EncodeMerges))),
   )
 }

@@ -291,6 +291,85 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq("c c", "a b", "a", "a b"))
   }
 
+  /** Plain-Scala statement of the encode semantics — merges in list order,
+    * each one leftmost-greedy pass — the independent reference the sweep
+    * expression is checked against (the fold twin states the same thing as
+    * a Spark plan; this states it as ten lines of loop). */
+  private def refBpe(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(toks) { case (ts, (w1, w2)) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) { out += (w1 + " " + w2); i += 2 }
+        else { out += ts(i); i += 1 }
+      }
+      out.toSeq
+    }
+
+  test("bpeEncode sweep: parity with the fold twin on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    // cascades ((a b, c), (a b c, d)), w1=w2 runs, and a DUPLICATE pair at
+    // two ranks ((c, d) again after (a b, c) can recreate c-d adjacency
+    // consumers... the second pass fuses pairs the first could not see)
+    val merges = Seq(("a", "b"), ("c", "d"), ("a b", "c"), ("a b c", "d"),
+      ("e", "e"), ("c", "d"), ("b", "a"))
+    val viaExpr = Curation.bpeEncode(docs, merges)
+      .orderBy($"doc_id").collect().map(_.getSeq[String](1)).toSeq
+    val viaFold = Curation.bpeEncodeFold(docs, merges)
+      .orderBy($"doc_id").collect().map(_.getSeq[String](1)).toSeq
+    assert(viaExpr == viaFold)
+    // and both match the loop statement of the semantics
+    val raw = docs.orderBy($"doc_id").collect().map(_.getString(1).split(" ").toSeq)
+    assert(viaExpr == raw.map(refBpe(_, merges)).toSeq)
+  }
+
+  test("bpeEncode sweep: planted cascade, run, and duplicate-rank edge cases") {
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+      Curation.bpeEncode(Seq((1L, text)).toDF("doc_id", "text"), merges)
+        .collect()(0).getSeq[String](1)
+    // cascades: rank 0 creates the left token rank 1 needs, then rank 2
+    assert(enc("x a b c y", Seq(("a", "b"), ("a b", "c"))) == Seq("x", "a b c", "y"))
+    assert(enc("a b b", Seq(("a", "b"), ("a b", "b"))) == Seq("a b b"))
+    // staleness: once fused, the left token no longer matches later ranks
+    assert(enc("x a b", Seq(("a", "b"), ("x", "a"))) == Seq("x", "a b"))
+    // in-order contract: an adjacency matching an EARLIER rank, created by
+    // a later pass, is never revisited ("p q" only exists after pass 1,
+    // but ("p q","r")'s pass 0 is already over)
+    assert(enc("p q r", Seq(("p q", "r"), ("p", "q"))) == Seq("p q", "r"))
+    // ...unless the pair is listed AGAIN at a later rank (duplicate entry:
+    // the second pass fuses what the first could not see)
+    assert(enc("p q r", Seq(("p q", "r"), ("p", "q"), ("p q", "r"))) == Seq("p q r"))
+    // w1 = w2 runs fuse at even offsets only, per pass
+    assert(enc("a a a a a", Seq(("a", "a"))) == Seq("a a", "a a", "a"))
+    assert(enc("a a a a a", Seq(("a", "a"), ("a a", "a a"))) == Seq("a a a a", "a"))
+    // empty / single-token / no-match inputs pass through
+    assert(enc("solo", Seq(("a", "b"))) == Seq("solo"))
+    assert(enc("x y z", Seq(("a", "b"))) == Seq("x", "y", "z"))
+  }
+
+  test("bpeEncode sweep: a 10k-merge vocabulary encodes in ONE pass") {
+    // all ordered pairs over a 100-token vocab = 10,000 ranked merges —
+    // production scale, hopeless as 10k chained fold projections
+    val vocab = (0 until 100).map(i => s"t$i")
+    val merges = for (a <- vocab; b <- vocab) yield (a, b)
+    assert(merges.size == 10000)
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 10L).map(i =>
+      (i, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val encoded = Curation.bpeEncode(docs, merges)
+    // single projection over the scan — the merge table is ONE plan literal,
+    // not a 10k-deep plan tree
+    assert(encoded.queryExecution.optimizedPlan.collect { case p => p }.size <= 3)
+    val got = encoded.orderBy($"doc_id").collect().map(_.getSeq[String](1)).toSeq
+    val raw = docs.orderBy($"doc_id").collect().map(_.getString(1).split(" ").toSeq)
+    assert(got == raw.map(refBpe(_, merges)).toSeq)
+  }
+
   test("weightedSample: A-ES selection is deterministic, weight-monotone, and exact given u") {
     val df = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble)).toDF("doc_id", "w")
     val s1 = Curation.weightedSample(df, "w", k = 20).collect()
