@@ -2,9 +2,12 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM reader for the ROOT file CONTAINER layer — the r4-verdict
-  * native-decode spike, resolved as: container native, basket decode stays
-  * on the converter.
+/** Pure-JVM reader for ROOT files: the CONTAINER layer (header, key chain,
+  * compression envelopes) plus native basket decode for the FLAT-NTUPLE
+  * subset — the shape the reference actually reads. General streamed
+  * TTrees still go through the documented converter; the decision record
+  * below explains the line and the flat-decode section explains why the
+  * subset needs none of the streamed object graph.
   *
   * What this decodes (all fixed-layout, stable since ROOT 3, published in
   * the TFile format description that ships at the top of ROOT's own
@@ -19,7 +22,10 @@ import java.nio.charset.StandardCharsets
   *     dependency. Multi-envelope payloads (ROOT chunks at ~16 MB) concat.
   *
   * What this deliberately does NOT decode — the DECISION RECORD for why
-  * `RootIngest` keeps the one-time Parquet conversion as the data path:
+  * GENERAL (split/object-valued) TTrees keep the one-time Parquet
+  * conversion as the data path (the flat-ntuple subset is decoded natively
+  * since r7 — see the flat-decode section — precisely because it sidesteps
+  * points 1–2, and point 3 is answered by convert-on-first-read):
   *   1. A TTree's branch/basket metadata is a STREAMED C++ object graph
   *      (TTree → TObjArray[TBranch] → fBasketSeek/fLeaves …) whose byte
   *      layout varies with the class VERSION that wrote the file and is
@@ -39,11 +45,11 @@ import java.nio.charset.StandardCharsets
   *      predicate pushdown; converting once to Parquet hands every later
   *      scan to the pruned/pushed-down reader Catalyst already optimizes.
   *
-  * What the container layer buys today: [[RootIngest.fromRoot]] can open
-  * the actual `.root` input, verify it IS a ROOT file, and report its real
-  * object census (tree present? compression? entries of what classes?) in
-  * the conversion-needed message — an informed failure instead of a blind
-  * one, and a foundation any future basket decoder would sit on anyway.
+  * What the container layer buys: [[RootIngest.fromRoot]] opens the actual
+  * `.root` input, decodes it natively when it is a flat ntuple, and
+  * otherwise reports its real object census (tree present? compression?
+  * entries of what classes?) in the conversion-needed message — an
+  * informed failure instead of a blind one.
   *
   * Reference parity: the reference's inputs are `.root` samples declared at
   * `/root/reference/phaseII-analysis-FS.yml:10-11` (`tree: myana/mytree`).
@@ -192,5 +198,184 @@ object RootBinary {
         (if (k.compressed) f" (stored ${k.dataBytes})" else ""))
     s"ROOT file v${h.version}, compress=${h.compress}, ${keys.size} records:\n" +
       lines.mkString("\n")
+  }
+
+  // --------------------------------------------------------------------------
+  // Flat-ntuple basket decode — the r6-verdict finish of the native path.
+  //
+  // The decision record above still holds for GENERAL TTrees: the streamed
+  // TTree object graph is version-drifting and decoding it wholesale would
+  // be unvalidatable here. The flat-ntuple SUBSET the reference actually
+  // reads (parallel primitive leaves + a size counter,
+  // /root/reference/phaseII-analysis.py:16-18) needs none of that graph,
+  // because two published stable facts bypass it:
+  //
+  //  1. Every filled basket is its OWN TKey record in the sequential chain
+  //     (className "TBasket", fName = branch name, fTitle = tree name), and
+  //     the basket-specific header fields sit at a fixed offset inside the
+  //     key region (after the three TKey strings): fVersion(2)
+  //     fBufferSize(4) fNevBufSize(4) fNevBuf(4) fLast(4) + 1 flag byte —
+  //     the layout uproot reads for every ROOT release. The value bytes are
+  //     the first (fLast − fKeylen) bytes of the decompressed payload,
+  //     big-endian primitives; whatever follows (entry-offset table) is
+  //     redundant with the counter leaf for this subset.
+  //  2. A leaflist branch stores its declaration VERBATIM as the branch and
+  //     leaf title — "nJet/I", "Jet_pt[nJet]/F" — and ROOT strings are
+  //     length-prefixed wherever the streamer puts them. So the schema is
+  //     recoverable by scanning the (decompressed) TTree record for
+  //     title-shaped strings, with zero dependence on the surrounding
+  //     object layout. A leaf whose declaration matches but owns no baskets
+  //     is a false positive of the scan and is dropped.
+  //
+  // Anything outside the subset (split objects, sub-branches, multiple
+  // counters per branch, entry counts that disagree) returns None and the
+  // caller falls back to the documented converter — decode is all-or-
+  // nothing, never a silent partial read.
+  // --------------------------------------------------------------------------
+
+  /** Basket-specific header fields, stored inside the key region. */
+  final case class BasketHeader(version: Int, bufferSize: Int, nevBufSize: Int,
+      nevBuf: Int, last: Int)
+
+  /** One leaflist declaration: `Jet_pt[nJet]/F` → (Jet_pt, 'F', Some(nJet)). */
+  final case class LeafSpec(branch: String, typ: Char, counter: Option[String])
+
+  /** One decoded branch: the leaf declaration + per-entry values (a boxed
+    * primitive per entry for scalar leaves, a Seq of them for jagged). */
+  final case class FlatColumn(spec: LeafSpec, perEntry: IndexedSeq[Any])
+
+  /** Parse the basket fields of a TBasket key (None if the key region is
+    * too short to hold them — not a basket-bearing record). */
+  def readBasketHeader(bytes: Array[Byte], k: KeyRecord): Option[BasketHeader] = {
+    val s = k.seek.toInt
+    val big = k.version > 1000
+    var o = s + 18 + (if (big) 16 else 8)
+    var i = 0
+    while (i < 3) { o += 1 + u1(bytes, o); i += 1 } // class, name, title
+    if (o + 18 > s + k.keyLen) None
+    else Some(BasketHeader(u2(bytes, o), i4(bytes, o + 2), i4(bytes, o + 6),
+      i4(bytes, o + 10), i4(bytes, o + 14)))
+  }
+
+  private val LeafTitle =
+    """([A-Za-z_][A-Za-z0-9_]*)(?:\[([A-Za-z_][A-Za-z0-9_]*)\])?/([FIDLOSB])""".r
+
+  /** Recover the leaflist declarations embedded in a TTree record's
+    * (decompressed) payload: every length-prefixed string shaped like a
+    * leaf title, first declaration per branch wins (branch title and leaf
+    * title are the same string — stored twice — for leaflist branches). */
+  def scanLeafSpecs(payload: Array[Byte]): Seq[LeafSpec] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, LeafSpec]
+    var i = 0
+    while (i < payload.length - 3) {
+      val n = u1(payload, i)
+      if (n >= 3 && i + 1 + n <= payload.length) {
+        var ascii = true
+        var j = i + 1
+        while (ascii && j < i + 1 + n) {
+          val c = payload(j) & 0xff
+          if (c < 0x20 || c > 0x7e) ascii = false
+          j += 1
+        }
+        if (ascii) new String(payload, i + 1, n, StandardCharsets.US_ASCII) match {
+          case LeafTitle(branch, counter, t) =>
+            if (!out.contains(branch))
+              out.update(branch, LeafSpec(branch, t.charAt(0), Option(counter)))
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    out.values.toSeq
+  }
+
+  private def primWidth(t: Char): Int = t match {
+    case 'D' | 'L' => 8
+    case 'F' | 'I' => 4
+    case 'S' => 2
+    case _ => 1 // O, B
+  }
+
+  private def readPrim(t: Char, b: Array[Byte], off: Int): Any = t match {
+    case 'F' => java.lang.Float.intBitsToFloat(i4(b, off))
+    case 'I' => i4(b, off)
+    case 'D' => java.lang.Double.longBitsToDouble(i8(b, off))
+    case 'L' => i8(b, off)
+    case 'S' => ((u1(b, off) << 8) | u1(b, off + 1)).toShort
+    case 'O' => b(off) != 0
+    case 'B' => b(off)
+  }
+
+  /** Decode the flat ntuple `tree` ("dir/name" paths match on the last
+    * segment — basket records carry the bare tree name) into per-branch
+    * per-entry values. None when the file/tree is outside the flat subset;
+    * never a partial result. */
+  def decodeFlatTree(bytes: Array[Byte], tree: String): Option[Seq[FlatColumn]] = {
+    val treeName = tree.split('/').last
+    val keys = listKeys(bytes)
+    val treeKey = keys.find(k => k.className.startsWith("TTree") && k.name == treeName)
+    treeKey.flatMap { tk =>
+      val declared = scanLeafSpecs(payload(bytes, tk))
+      val baskets = keys
+        .filter(k => k.className == "TBasket" && k.title == treeName)
+        .groupBy(_.name)
+      // branch values concatenate across its baskets in file order (the
+      // order they were filled); only declared leaves that own baskets are
+      // real branches of this tree
+      val leaves = declared.filter(l => baskets.contains(l.branch))
+      if (leaves.isEmpty) return None
+      val counters = leaves.flatMap(_.counter).toSet
+      if (!counters.forall(c => leaves.exists(l => l.branch == c && l.counter.isEmpty)))
+        return None // a counter leaf must itself be a declared scalar branch
+      try {
+        val flat: Map[String, (Array[Any], Long)] = leaves.map { l =>
+          val w = primWidth(l.typ)
+          val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var entries = 0L
+          baskets(l.branch).sortBy(_.seek).foreach { bk =>
+            val bh = readBasketHeader(bytes, bk)
+              .getOrElse(throw new IllegalArgumentException("short basket key"))
+            val data = payload(bytes, bk)
+            val border = bh.last - bk.keyLen
+            require(border >= 0 && border <= data.length && border % w == 0,
+              s"basket border $border invalid for ${l.branch}")
+            var o = 0
+            while (o < border) { vals += readPrim(l.typ, data, o); o += w }
+            entries += bh.nevBuf
+          }
+          l.branch -> (vals.toArray, entries)
+        }.toMap
+        val entryCounts = flat.collect {
+          case (b, (_, e)) if leaves.find(_.branch == b).get.counter.isEmpty => e
+        }.toSet
+        require(entryCounts.size == 1, s"branches disagree on entries: $entryCounts")
+        val n = entryCounts.head.toInt
+        flat.foreach { case (b, (vs, e)) =>
+          val l = leaves.find(_.branch == b).get
+          if (l.counter.isEmpty) require(vs.length == n,
+            s"scalar branch $b has ${vs.length} values for $n entries")
+        }
+        Some(leaves.map { l =>
+          val vs = flat(l.branch)._1
+          l.counter match {
+            case None => FlatColumn(l, vs.toIndexedSeq)
+            case Some(c) =>
+              val counts = flat(c)._1.map(_.asInstanceOf[Int])
+              require(counts.length == n && counts.forall(_ >= 0), s"bad counter $c")
+              require(counts.map(_.toLong).sum == vs.length,
+                s"jagged branch ${l.branch}: ${vs.length} values vs counter sum")
+              val out = new Array[Any](n)
+              var at = 0
+              var e = 0
+              while (e < n) {
+                out(e) = vs.slice(at, at + counts(e)).toSeq
+                at += counts(e)
+                e += 1
+              }
+              FlatColumn(l, scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+          }
+        })
+      } catch { case scala.util.control.NonFatal(_) => None } // outside the subset
+    }
   }
 }
