@@ -268,6 +268,45 @@ object Curation {
         .otherwise(lit("test")))
   }
 
+  /** Token-distribution drift between the train and val splits — the QA
+    * gate run before training to catch a skewed split or an upstream
+    * filter that removed a token class from one side only. Emits the topK
+    * tokens by |p_train − p_val|: each token's per-split counts, relative
+    * frequencies, and total-variation contribution (Σ/2 of `abs_diff`
+    * over ALL tokens is the TV distance; KL/JS need a transcendental log
+    * whose last ulp is not cross-engine-contractual — the CLAUDE.md
+    * numerics rule — so TV is the oracle-gated face and CurationSpec pins
+    * the divergence ordering in-engine).
+    *
+    * Numerics: p = cnt/total is ONE IEEE division of exact integers and
+    * abs_diff one subtraction — bit-identical cross-engine, no rounding.
+    * Scale shape: split totals come from per-doc token COUNTS (no explode
+    * — one cheap map-agg over the scan), broadcast as one row; the census
+    * is the standard vocab-sized partial-agg shuffle; top-k lands on
+    * TakeOrderedAndProject. Corpus text never shuffles. */
+  def splitDrift(docs: DataFrame, topK: Int,
+      trainPm: Int = 800, valPm: Int = 100): DataFrame = {
+    val sp = assignSplit(docs, "doc_id", trainPm, valPm)
+      .filter(col("split").isin("train", "val"))
+    val isTrain = (col("split") === "train").cast("long")
+    val totals = sp.agg(
+      sum(TextOps.tokenCount(col("text")) * isTrain).as("t_train"),
+      sum(TextOps.tokenCount(col("text")) * (lit(1L) - isTrain)).as("t_val"))
+    val census = sp
+      .select(isTrain.as("is_train"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("is_train")).as("cnt_train"),
+        sum(lit(1L) - col("is_train")).as("cnt_val"))
+    val pTrain = col("cnt_train").cast("double") / col("t_train").cast("double")
+    val pVal = col("cnt_val").cast("double") / col("t_val").cast("double")
+    census.crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt_train"), col("cnt_val"),
+        pTrain.as("p_train"), pVal.as("p_val"),
+        abs(pTrain - pVal).as("abs_diff"))
+      .orderBy(desc("abs_diff"), col("token"))
+      .limit(topK)
+  }
+
   /** Corpus vocabulary census — the tokenizer-training primitive: token →
     * corpus frequency, top-k by (freq DESC, token). explode is map-local;
     * hash partial aggregation collapses the Zipf head before the one
@@ -548,6 +587,41 @@ object Curation {
              |SELECT split, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ---- q125: train/val token-distribution drift --------------------------
+    // Top tokens by |p_train − p_val| over q117's split assignment — the
+    // oracle replays the md5 per-mille split, both censuses, and the raw
+    // IEEE divisions (exact-integer inputs ⇒ bit-identical doubles, no
+    // rounding — the same contract as q115's percent_rank).
+    QueryDef(
+      "q125_split_drift",
+      (s, dir) => splitDrift(Tables.documents(s, dir), topK = 25),
+      Some("""WITH s AS (
+             |  SELECT text,
+             |    CASE WHEN b < 800 THEN 'train'
+             |         WHEN b < 900 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT text,
+             |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |            % 1000 AS b
+             |        FROM documents)
+             |  WHERE b < 900),
+             |f AS (SELECT split, unnest(string_split(text, ' ')) AS token FROM s),
+             |tot AS (SELECT
+             |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS t_train,
+             |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS t_val
+             |  FROM f),
+             |c AS (SELECT token,
+             |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_train,
+             |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_val
+             |  FROM f GROUP BY 1)
+             |SELECT token, cnt_train, cnt_val,
+             |  CAST(cnt_train AS DOUBLE) / CAST(t_train AS DOUBLE) AS p_train,
+             |  CAST(cnt_val AS DOUBLE) / CAST(t_val AS DOUBLE) AS p_val,
+             |  abs(CAST(cnt_train AS DOUBLE) / CAST(t_train AS DOUBLE)
+             |      - CAST(cnt_val AS DOUBLE) / CAST(t_val AS DOUBLE)) AS abs_diff
+             |FROM c, tot
+             |ORDER BY abs_diff DESC, token LIMIT 25""".stripMargin)),
 
     // ---- q70: composite quality filter -------------------------------------
     QueryDef(

@@ -75,6 +75,64 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** EXACT heavy hitters over unbounded key cardinality — the two-pass
+    * sketch-then-verify composition (the classic production shape when even
+    * the DISTINCT key set is too large to shuffle, e.g. n-grams on a crawl;
+    * for bounded vocabularies the one-pass census `Curation.buildVocab` is
+    * the right tool).
+    *
+    * Pass 1 builds a Count-Min sketch (d×w counters, partial-aggregated —
+    * the only driver-side state is the sketch itself, which IS the bounded
+    * summary; same discipline as the 1-row/round BPE winner). Pass 2
+    * re-scans, keeps only rows whose sketch estimate exceeds n/k — a
+    * row-local probe against the d PLAN-LITERAL count arrays, no join, no
+    * per-row groupBy — and exactly recounts the survivors. CMS error is
+    * ONE-SIDED (est ≥ true count, always), so the candidate set is a
+    * guaranteed SUPERSET of the true heavy hitters and the exact recount
+    * discards every false positive: the output is the EXACT set
+    * {key : freq(key) > n/k}, independent of sketch parameters. That is
+    * why the gate oracle is a plain census HAVING — the sketch bounds
+    * pass-2's shuffle (only candidate-key rows, O(heavy mass + collision
+    * noise) instead of the full vocabulary) but can never change the
+    * answer. w tunes the noise floor (expected overshoot ≤ 2n/w per
+    * cell-probe): w ≳ k·(avg collisions tolerated) keeps the candidate
+    * shuffle near the true heavy mass. SketchesSpec plants a Zipf stream
+    * and pins the pruning (candidate fraction ≪ 1) as well as exactness.
+    *
+    * Keys of any type: xxhash64 → mod P folds them into the CMS integer
+    * domain; hash collisions only ADD counts (superset property intact),
+    * and pass 2 groups by the ORIGINAL key, so the recount is exact. */
+  def heavyHitters(rows: DataFrame, keyCol: String, k: Int,
+      w: Int = 1024, d: Int = 4, seed: Long = 124): DataFrame = {
+    val (candidates, thr) = hhCandidates(rows, keyCol, k, w, d, seed)
+    candidates
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > lit(thr))
+      .orderBy(desc("freq"), col(keyCol))
+  }
+
+  /** Pass-1½ of [[heavyHitters]]: the candidate ROW stream (rows whose
+    * key's sketch estimate exceeds n/k) plus the threshold — exposed so
+    * SketchesSpec can pin the pruning ratio on planted Zipf data, which
+    * the output alone cannot reveal (the recount is exact regardless). */
+  private[graft] def hhCandidates(rows: DataFrame, keyCol: String, k: Int,
+      w: Int, d: Int, seed: Long): (DataFrame, Long) = {
+    require(k >= 2 && w >= 2 && d >= 2, s"invalid heavy-hitter params k=$k w=$w d=$d")
+    val params = cmsParams(d, seed)
+    val keyed = rows.select(col(keyCol), pmod(xxhash64(col(keyCol)), lit(P)).as("hk"))
+    // bounded collect: d·w counters, whatever the corpus size
+    val cells = countMin(keyed, "hk", w, params).collect()
+    val tables = Array.fill(d)(new Array[Long](w))
+    cells.foreach(r => tables(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val n = tables(0).sum // every row lands in exactly one j=0 cell
+    val thr = n / k
+    val est = least(params.zipWithIndex.map { case ((a, b), j) =>
+      element_at(lit(tables(j)), (bucket(col("hk"), a, b, w) + 1).cast("int"))
+    }: _*)
+    (keyed.filter(est > lit(thr)), thr)
+  }
+
   /** Equi-width histogram quantile sketch — the MERGEABLE approximate-
     * percentile path whose output (unlike an internal KLL/GK sketch) is a
     * plain deterministic dag, so the estimate itself is oracle-checkable:
@@ -404,5 +462,31 @@ object Sketches {
              |SELECT grp AS l_returnflag, q,
              |  floor((lo + (qbin + 0.5) * (hi - lo) / 1024) * 1e6 + 0.5) / 1e6 AS est
              |FROM sel ORDER BY l_returnflag, q""".stripMargin)),
+
+    // ---- q124: exact heavy hitters (sketch-then-verify) --------------------
+    // Bigram heavy hitters over the corpus: every bigram occurring more
+    // than n/1000 times, with its EXACT count. The oracle is a plain
+    // census + HAVING — deliberately sketch-free, because the CMS filter
+    // is a superset pre-screen that cannot change the answer (one-sided
+    // error + exact recount); the gate therefore certifies the algebraic
+    // claim the scale path rests on. The synthetic corpus is near-uniform
+    // (~916 bigrams, most above threshold), so pruning selectivity is
+    // pinned separately on planted Zipf data in SketchesSpec.
+    QueryDef(
+      "q124_heavy_hitters",
+      (s, dir) => heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(graft.functions.TextOps.ngrams(col("text"), 2)).as("bigram")),
+        "bigram", k = 1000, w = 1024, d = 4, seed = 124),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |bg AS (
+             |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS bigram
+             |  FROM t WHERE len(t) >= 2),
+             |tot AS (SELECT count(*) AS n FROM bg),
+             |c AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+             |SELECT bigram, CAST(c AS BIGINT) AS freq
+             |FROM c WHERE c > (SELECT n // 1000 FROM tot)
+             |ORDER BY freq DESC, bigram""".stripMargin),
+      headline = true),
   )
 }

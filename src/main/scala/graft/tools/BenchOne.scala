@@ -24,7 +24,9 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
+      // allDefs, not queries: headline-only twins (gate = false) are
+      // exactly the ones this tool most often needs to time in isolation.
+      graft.SparkEntry.allDefs.find(_.name == name).get.build(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       println(f"[benchone] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

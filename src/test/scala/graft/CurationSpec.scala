@@ -407,4 +407,36 @@ class CurationSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"map-only operator must not shuffle:\n$plan")
     }
   }
+
+  test("splitDrift matches a driver-side replay on a synthetic corpus") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Int = {
+      val md = MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 1000).toInt
+    }
+    val words = Vector("alpha", "beta", "gamma", "delta")
+    val docs = (0L until 400L).map { id =>
+      val txt = (0 to (id % 7).toInt).map(j => words(((id + j) % 4).toInt)).mkString(" ")
+      (id, txt)
+    }
+    val out = Curation.splitDrift(docs.toDF("doc_id", "text"), topK = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // independent replay: JVM md5 split, JVM censuses, same IEEE divisions
+    val train = docs.filter(d => bucket(d._1) < 800).flatMap(_._2.split(" ", -1))
+    val valT = docs.filter { d => val b = bucket(d._1); b >= 800 && b < 900 }
+      .flatMap(_._2.split(" ", -1))
+    val (tT, tV) = (train.size.toDouble, valT.size.toDouble)
+    val cT = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cV = valT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = (cT.keySet ++ cV.keySet).toSeq.map { t =>
+      val a = cT.getOrElse(t, 0L); val b = cV.getOrElse(t, 0L)
+      (t, a, b, a / tT, b / tV, math.abs(a / tT - b / tV))
+    }.sortBy { case (t, _, _, _, _, diff) => (-diff, t) }.take(4)
+    assert(out == exp)
+    // ordering invariant on the real corpus: abs_diff non-increasing
+    val real = Curation.splitDrift(docsDf, topK = 25).collect().map(_.getDouble(5))
+    assert(real.nonEmpty && real.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }

@@ -137,4 +137,35 @@ class SketchesSpec extends SparkSpec {
     }.toMap
     assert(merged == regTable(all))
   }
+
+  test("heavyHitters: planted Zipf — exact output, sketch filter prunes the tail") {
+    val hot = Seq.fill(3000)("hot_a") ++ Seq.fill(2000)("hot_b") ++ Seq.fill(1200)("hot_c")
+    val tail = (0 until 2000).map(i => s"tail_$i") // freq 1 each
+    val rows = (hot ++ tail).toDF("key")
+    val n = hot.size + tail.size
+    val k = 10 // thr = 820: only the three hot keys qualify
+    val out = Sketches.heavyHitters(rows, "key", k, w = 1024, d = 4, seed = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("hot_a", 3000L), ("hot_b", 2000L), ("hot_c", 1200L)))
+    // pruning: the candidate ROW stream must cover every heavy row but
+    // shed the uniform tail (a tail key passes only if all d cells
+    // collide with heavy mass — vanishing at w = 1024)
+    val (cand, thr) = Sketches.hhCandidates(rows, "key", k, w = 1024, d = 4, seed = 9)
+    assert(thr == n / k)
+    val c = cand.count()
+    assert(c >= hot.size.toLong, s"candidates $c must include every heavy row")
+    assert(c <= hot.size + 200L, s"tail not pruned: $c candidate rows of $n")
+  }
+
+  test("heavyHitters: output is exact even when the sketch is saturated (w = 8)") {
+    // with 2003 keys in 8 buckets every estimate is inflated — the filter
+    // passes nearly everything, and the exact recount must still discard
+    // every sub-threshold key (one-sided error + verify = sketch-proof)
+    val hot = Seq.fill(3000)("hot_a") ++ Seq.fill(2000)("hot_b") ++ Seq.fill(1200)("hot_c")
+    val tail = (0 until 2000).map(i => s"tail_$i")
+    val rows = (hot ++ tail).toDF("key")
+    val out = Sketches.heavyHitters(rows, "key", k = 10, w = 8, d = 4, seed = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("hot_a", 3000L), ("hot_b", 2000L), ("hot_c", 1200L)))
+  }
 }
