@@ -51,6 +51,39 @@ object IvfIndex {
     model.clusterCenters.length
   }
 
+  /** Incremental index maintenance: add vectors to a persisted index
+    * WITHOUT retraining. Each new vector is assigned to its nearest
+    * EXISTING centroid (the quantizer is frozen — cells, probing, and
+    * partition pruning are unchanged) and appended as new files under its
+    * cell directory; search serves old + new immediately with no
+    * model object and no rebuild. This is the standing contract of IVF
+    * serving at corpus scale: ingest is a pure append, and the quantizer
+    * only goes stale if the DATA DISTRIBUTION drifts — monitor the
+    * assignment-distance profile of appended batches against the build's
+    * (e.g. via `Sketches.histogramQuantiles` on `cdist`) and rebuild when
+    * it degrades, exactly the Curation split-drift discipline applied to
+    * the vector space.
+    *
+    * Scale shape: centroids broadcast (O(nCells) rows); the ×nCells
+    * candidate fan-out collapses MAP-SIDE via min_by partial aggregation
+    * — the one shuffle carries a single row per appended vector, and the
+    * corpus already in the index is never read or rewritten. Ties break
+    * by lowest cell id (struct ordering), matching MLlib's first-minimum
+    * transform. Returns the number of vectors appended. */
+  def append(spark: SparkSession, dir: String, embeddings: DataFrame): Long = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = embeddings.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"cell",
+        VectorOps.l2sq($"embedding", $"cvec").as("cdist"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cell", $"embedding"), struct($"cdist", $"cell")).as("best"))
+      .select($"vec_id", $"best.embedding".as("embedding"), $"best.cell".as("cell"))
+    assigned.write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
+    embeddings.count()
+  }
+
   /** Top-k cosine neighbors for each query vector, reading only probed
     * cells. `queries` needs (qid, qv) columns. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,

@@ -41,4 +41,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
       s"cells scan should carry a partition filter:\n$plan")
   }
+
+  test("append: frozen-centroid assignment replays exactly; new vectors served") {
+    val adir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val base = emb.filter($"vec_id" < 300)
+    val extra = emb.filter($"vec_id" >= 300 && $"vec_id" < 360)
+    IvfIndex.build(spark, base, adir)
+    val n = IvfIndex.append(spark, adir, extra)
+    assert(n == extra.count())
+    val back = spark.read.parquet(s"$adir/cells")
+    assert(back.count() == base.count() + extra.count())
+    // independent replay: driver-side argmin over the persisted centroids,
+    // same summation order as the l2sq fold, same (dist, cell) tie-break
+    val cents = spark.read.parquet(s"$adir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val expected = extra.collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val best = cents.minBy { case (c, cv) =>
+        (cv.zip(v).map { case (a, b) =>
+          val d = b.toDouble - a.toDouble; d * d }.sum, c) }._1
+      r.getLong(0) -> best
+    }.toMap
+    val got = back.filter($"vec_id" >= 300).select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+    // appended vectors are immediately searchable through the same index
+    val q = extra.filter($"vec_id" === 300)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val res = IvfIndex.search(spark, adir, q, k = 3, nProbe = 2).collect()
+    assert(res.nonEmpty && res.forall(_.getInt(2) <= 3))
+  }
 }
