@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
-import graft.expressions.{CosineSimExpr, DeltaRExpr}
+import graft.expressions.{CosineSimExpr, DeltaRExpr, L2SqExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions on any session built with
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2SqExpr].getName, "l2_sq"),
+      (exprs: Seq[Expression]) => L2SqExpr(exprs(0), exprs(1))))
     // the custom-plan tier: native as-of join strategy
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftbridge.AsOfJoinStrategy)
   }

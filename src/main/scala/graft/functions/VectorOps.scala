@@ -38,8 +38,16 @@ object VectorOps {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
-  /** Squared L2 distance. */
+  /** Squared L2 distance — native fused loop
+    * ([[graft.expressions.L2SqExpr]]); bit-identical to [[l2sqHof]],
+    * which the spec pins. */
   def l2sq(a: Column, b: Column): Column =
+    graft.expressions.L2SqExpr.l2sq(a, b)
+
+  /** The HOF composition twin of [[l2sq]] (allocated difference array +
+    * interpreted folds) — kept as the cross-check reference for the
+    * native expression. */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") - y.cast("double")),
       lit(0.0), (acc, x) => acc + x * x)

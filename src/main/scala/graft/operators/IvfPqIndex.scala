@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Lineage.CutOps
+import graft.functions.VectorOps
 
 /** Persisted IVF-PQ index — the full FAISS-style 100 TB ANN architecture,
   * composing [[IvfIndex]]'s partition-pruned cell layout with [[Pq]]'s
@@ -117,9 +118,7 @@ object IvfPqIndex {
     val ds = dim / m
     val centroids = spark.read.parquet(s"$dir/centroids")
     val codebook = spark.read.parquet(s"$dir/codebook")
-    val cdist = aggregate(
-      zip_with($"qv".cast("array<double>"), $"cvec", (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
+    val cdist = VectorOps.l2sq($"qv".cast("array<double>"), $"cvec")
     val probeW = Window.partitionBy($"qid").orderBy($"cd", $"cell")
     val probes = queries.crossJoin(broadcast(centroids))
       .select($"qid", $"qv", $"cell", $"cvec", cdist.as("cd"))
@@ -132,8 +131,7 @@ object IvfPqIndex {
         explode(array((0 until m).map(s =>
           struct(lit(s).as("sub"), slice($"rq", s * ds + 1, ds).as("sv"))): _*)).as("t"))
       .select($"qid", $"cell", $"t.sub".as("sub"), $"t.sv".as("sv"))
-    val d2 = aggregate(zip_with($"sv", $"c", (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
+    val d2 = VectorOps.l2sq($"sv", $"c") // native fused loop, bit-equal to the HOF fold
     val dtab = qsub.join(codebook, Seq("sub"))
       .select($"qid", $"cell", $"sub", $"cluster".as("code"),
         (floor(d2 * lit(1e6) + lit(0.5)) / 1e6).as("qd"))

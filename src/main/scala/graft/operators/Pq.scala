@@ -51,8 +51,7 @@ object Pq {
   /** Quantized squared L2 between a subvector column and a codebook
     * centroid column — the shared distance dag of encode and ADC. */
   private def d2q(sv: Column, c: Column): Column = {
-    val d2 = aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
+    val d2 = graft.functions.VectorOps.l2sq(sv, c) // native fused loop, bit-equal to the HOF fold
     floor(d2 * lit(1e6) + lit(0.5)) / lit(1e6)
   }
 

@@ -125,9 +125,9 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val cents = labelCentroids(embs, labelCol, vecCol)
       .select(col("label"), col("centroid"))
-    val d2 = aggregate(
-      zip_with(col(vecCol).cast("array<double>"), col("centroid"), (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, v) => acc + v)
+    // native fused loop (L2SqExpr) — bit-equal to the HOF fold the
+    // oracle replays, measured codegen'd vs interpreted
+    val d2 = VectorOps.l2sq(col(vecCol).cast("array<double>"), col("centroid"))
     val w = Window.partitionBy(col("label")).orderBy(desc("d2"), col("vec_id"))
     embs.select(col("vec_id"), col(labelCol).as("label"), col(vecCol))
       .join(broadcast(cents), Seq("label"))
@@ -180,9 +180,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism,
         col("vec_id"))
-    val d2 = aggregate(
-      zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
+    val d2 = VectorOps.l2sq(col("v"), col("c")) // native fused loop, bit-equal to the HOF fold
     val d2q = floor(d2 * lit(1e6) + lit(0.5)) / lit(1e6)
     def assign(cents: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster"))

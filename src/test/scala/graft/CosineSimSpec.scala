@@ -59,4 +59,37 @@ class CosineSimSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("native l2sq is bit-identical to the HOF fold on real embeddings") {
+    val e = graft.core.Tables.embeddings(spark, sf0001)
+    val pairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 40)
+      .select(
+        VectorOps.l2sq($"a.embedding", $"b.embedding").as("native"),
+        VectorOps.l2sqHof($"a.embedding", $"b.embedding").as("hof"))
+    assert(pairs.count() > 100)
+    assert(pairs.filter(!($"native" <=> $"hof")).count() == 0)
+    // and on the pre-cast array<double> shape the assignment dags use
+    val dPairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 40)
+      .select(
+        VectorOps.l2sq($"a.embedding".cast("array<double>"),
+          $"b.embedding".cast("array<double>")).as("native"),
+        VectorOps.l2sqHof($"a.embedding".cast("array<double>"),
+          $"b.embedding".cast("array<double>")).as("hof"))
+    assert(dPairs.filter(!($"native" <=> $"hof")).count() == 0)
+  }
+
+  test("l2sq null semantics match zip_with padding: mismatch/null element/null array") {
+    val lm = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(VectorOps.l2sq($"a", $"b").as("c")).head()
+    assert(lm.isNullAt(0))
+    val ne = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f)))).toDF("a", "b")
+      .select(VectorOps.l2sq($"a", $"b").as("c")).head()
+    assert(ne.isNullAt(0))
+    val na = Seq((null.asInstanceOf[Array[Float]], Array(1.0f))).toDF("a", "b")
+      .select(VectorOps.l2sq($"a", $"b").as("c")).head()
+    assert(na.isNullAt(0))
+    val ok = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f))).toDF("a", "b")
+      .select(VectorOps.l2sq($"a", $"b").as("c")).head().getDouble(0)
+    assert(ok == 25.0)
+  }
 }
