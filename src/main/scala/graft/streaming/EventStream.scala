@@ -143,6 +143,57 @@ object EventStream {
       .filter(col("rk") <= k)
       .select(col("win_start"), col("rk"), col("term"), col("n"))
 
+  /** Static-corpus token distribution (term, p_ref) — the reference side
+    * of [[driftPerWindow]]: build it ONCE from the training corpus, then
+    * compare every arriving window against it. One vocab-sized census
+    * shuffle; the total is a one-row broadcast (never a global window). */
+  def tokenDistribution(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val census = docs
+      .select(explode(graft.functions.TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = docs.agg(
+      sum(graft.functions.TextOps.tokenCount(col(textCol))).as("tot"))
+    census.crossJoin(broadcast(total))
+      .select(col("term"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p_ref"))
+  }
+
+  /** Distribution drift per closed window: a [[trendingTerms]] census
+    * against a static reference distribution ([[tokenDistribution]]) —
+    * the streaming face of `Curation.splitDrift`: "is what is arriving
+    * NOW still distributed like what we trained on?". Runs sink-side on
+    * the emitted census (the same rank-on-closed-windows split as
+    * [[topTermsPerWindow]] — one stateful operator per query), so the
+    * monitor adds NO streaming state.
+    *
+    * One row per window: the total-variation distance
+    * TV = ½·Σ |p_win − p_ref| over the UNION of supports — a token absent
+    * from the window contributes its full p_ref, a token the reference
+    * has never seen contributes its full p_win (novel-token mass is drift
+    * too). Every frame here is census-sized (windows × vocab), never
+    * corpus-sized; the reference is broadcast. Transcendental-free like
+    * the batch twin (the CLAUDE.md numerics rule). */
+  def driftPerWindow(counts: DataFrame, reference: DataFrame): DataFrame = {
+    // Σ_win p_win = Σ_ref p_ref = 1 collapses the union-of-supports sum to
+    // the WINDOW support alone: the unmatched reference mass is
+    // 1 − Σ_matched p_ref, so TV = ½(Σ_win |p_win − p_ref·1_match|
+    // + 1 − Σ_matched p_ref) — one broadcast left join, no per-window
+    // reference fan-out, no derived self-join (which the memory-sink view
+    // cannot re-resolve). `reference` must be a distribution: one row per
+    // term, p_ref summing to 1, as [[tokenDistribution]] produces.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("win_start"))
+    val withP = counts
+      .withColumn("tot", sum(col("n")).over(w))
+      .withColumn("p_win", col("n").cast("double") / col("tot").cast("double"))
+    withP.join(broadcast(reference), Seq("term"), "left_outer")
+      .groupBy(col("win_start"))
+      .agg(
+        ((sum(abs(col("p_win") - coalesce(col("p_ref"), lit(0.0))))
+          + lit(1.0) - sum(coalesce(col("p_ref"), lit(0.0)))) / 2).as("tv"),
+        max(col("tot")).as("n_tokens"))
+      .orderBy(col("win_start"))
+  }
+
   /** Streaming similarity search — online near-neighbor alerts: each
     * incoming embedding is LSH-bucketed with the SAME literal Rademacher
     * planes as the static index (plan-literal model — every executor and

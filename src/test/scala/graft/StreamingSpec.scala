@@ -164,6 +164,43 @@ class StreamingSpec extends SparkSpec {
     assert(rankPlan.contains("WindowGroupLimit"), rankPlan)
   }
 
+  test("drift monitor: TV per window is exact on a hand-computed case; zero on identity") {
+    // window census: [a, a, b, c] -> p = {a: .5, b: .25, c: .25}
+    // reference:     {a: .5, b: .5}
+    // TV = (|.5-.5| + |.25-.5| + |.25-0|) / 2 = 0.25   (all binary-exact)
+    val counts = Seq((600L, "a", 2L), (600L, "b", 1L), (600L, "c", 1L))
+      .toDF("win_start", "term", "n")
+    val ref = Seq(("a", 0.5), ("b", 0.5)).toDF("term", "p_ref")
+    val row = EventStream.driftPerWindow(counts, ref).collect()
+    assert(row.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((600L, 0.25, 4L)))
+    // identical distribution -> exactly zero drift
+    val self = Seq(("a", 0.5), ("b", 0.25), ("c", 0.25)).toDF("term", "p_ref")
+    assert(EventStream.driftPerWindow(counts, self).head().getDouble(1) == 0.0)
+  }
+
+  test("drift monitor composes with the streaming census on real documents") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_docs_drift")
+    Files.createSymbolicLink(dir.resolve("documents.parquet"),
+      Paths.get(s"$sf0001/documents.parquet"))
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros($"doc_id" * 60000000L))
+    val census = EventStream.runToMemory(spark,
+      EventStream.trendingTerms(withTs(EventStream.readDocuments(spark, dir.toString))),
+      "drift_census")
+    val ref = EventStream.tokenDistribution(graft.core.Tables.documents(spark, sf0001))
+    val drift = EventStream.driftPerWindow(census, ref).collect()
+    assert(drift.length > 1)
+    // TV is a metric on distributions: in [0, 1], and the reference built
+    // from the SAME corpus keeps every window's drift strictly below 1
+    assert(drift.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0))
+    // window totals must re-add to the corpus token count
+    val totTokens = graft.core.Tables.documents(spark, sf0001)
+      .agg(sum(graft.functions.TextOps.tokenCount($"text"))).head().getLong(0)
+    assert(drift.map(_.getLong(2)).sum == totTokens)
+  }
+
   test("streaming neighbor alerts equal the batch LSH candidate/verify twin") {
     import java.nio.file._
     import org.apache.spark.sql.types._
