@@ -227,6 +227,40 @@ object Similarity {
     embs.select(col("vec_id") +: projCols.toSeq: _*)
   }
 
+  /** Online triplet mining for contrastive training: for each anchor, the
+    * hardest POSITIVE (nearest same-label vector — the one the model most
+    * needs to hold close) and the k hardest NEGATIVES (nearest
+    * different-label vectors — the ones most likely to violate the
+    * margin). This is the batch-mining step of triplet/InfoNCE pipelines;
+    * random negatives are trivial (any hash pick) but HARD negatives are
+    * a similarity-search problem, which is why it lives here.
+    *
+    * Gate shape: anchors capped + broadcast, corpus side a map stage, one
+    * per-(anchor, kind) rank window on ≤ anchors × corpus pairs (the
+    * input-capped-verification rule). The production path at corpus scale
+    * is the IVF shortlist ([[IvfIndex.search]] / `IvfPqIndex.searchRerank`
+    * with probed-cell pruning) followed by the same label split — mining
+    * quality degrades only as ANN recall does. */
+  def hardTriplets(embs: DataFrame, nAnchors: Int, kNeg: Int): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("qlabel"))
+    val w = Window.partitionBy(col("qid"), col("kind"))
+      .orderBy(round(col("cos"), 6).desc, col("nid"))
+    broadcast(q)
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("label").as("nlabel")), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        when(col("qlabel") === col("nlabel"), lit("pos")).otherwise(lit("neg")).as("kind"),
+        VectorOps.cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter((col("kind") === "neg" && col("rank") <= kNeg) ||
+        (col("kind") === "pos" && col("rank") === 1))
+      .select(col("qid"), col("kind"), col("rank"), col("nid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("kind"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q48: embedding cosine near-dup pairs ------------------------------
@@ -292,6 +326,34 @@ object Similarity {
              |SELECT qid, nid, rank, round(cos, 4) AS cos
              |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
       headline = true),
+
+    // ---- q126: hard-triplet mining (contrastive training prep) -------------
+    // q49's engine-independent ranking contract (round-6 cosine + nid
+    // tiebreak) extended with the label split: hardest positive + top-3
+    // hardest negatives per anchor.
+    QueryDef(
+      "q126_hard_triplets",
+      (s, d) => hardTriplets(Tables.embeddings(s, d), nAnchors = 10, kNeg = 3),
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+             |    CASE WHEN q.label = n.label THEN 'pos' ELSE 'neg' END AS kind,
+             |    list_sum(list_transform(list_zip(q.v, n.v), t -> t[1] * t[2]))
+             |      / nullif(sqrt(list_sum(list_transform(q.v, x -> x * x)))
+             |             * sqrt(list_sum(list_transform(n.v, x -> x * x))), 0.0) AS cos
+             |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id != q.vec_id),
+             |r AS (
+             |  SELECT qid, kind, nid, cos,
+             |    row_number() OVER (PARTITION BY qid, kind
+             |                       ORDER BY round(cos, 6) DESC, nid) AS rank
+             |  FROM p)
+             |SELECT qid, kind, rank, nid, round(cos, 4) AS cos
+             |FROM r
+             |WHERE (kind = 'neg' AND rank <= 3) OR (kind = 'pos' AND rank = 1)
+             |ORDER BY qid, kind, rank""".stripMargin)),
 
     // ---- q50: LSH-bucketed near-neighbor retrieval (multiprobe) ------------
     // The planes are SEEDED LITERALS (VectorOps.rademacherSigns), so the

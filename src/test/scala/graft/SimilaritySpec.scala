@@ -177,4 +177,32 @@ class SimilaritySpec extends SparkSpec {
     assert(Set(0L, 2L, 3L, 4L).map(got) == Set(0L), got.toString)
     assert(Set(1L, 5L, 6L).map(got) == Set(1L), got.toString)
   }
+
+  test("hardTriplets: one hardest positive + k hardest negatives per anchor") {
+    val e = graft.core.Tables.embeddings(spark, sf0001)
+    val out = graft.operators.Similarity.hardTriplets(e, nAnchors = 5, kNeg = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.keySet == (0L until 5L).toSet)
+    for ((_, rows) <- byAnchor) {
+      assert(rows.count(_._2 == "pos") == 1 && rows.count(_._2 == "neg") == 3)
+    }
+    // label contract + hardness: replay one anchor by brute force
+    val labels = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val a0 = 0L
+    val negs = out.filter(t => t._1 == a0 && t._2 == "neg").sortBy(_._3).map(_._4)
+    assert(negs.forall(n => labels(n) != labels(a0)))
+    val pos = out.filter(t => t._1 == a0 && t._2 == "pos").map(_._4)
+    assert(pos.forall(p => labels(p) == labels(a0)))
+    val bruteNegs = vecs.keys.filter(n => n != a0 && labels(n) != labels(a0)).toSeq
+      .map(n => (n, math.floor(cos(vecs(a0), vecs(n)) * 1e6) / 1e6))
+      .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+    // same ranking contract (round-6 cosine, id tiebreak) as the query
+    assert(negs.toSeq == bruteNegs)
+  }
 }
