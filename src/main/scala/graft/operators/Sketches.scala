@@ -75,6 +75,30 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Equi-join cardinality estimate from two Count-Min sketches — the
+    * planning primitive for join-strategy decisions (broadcast vs
+    * shuffle, salting, AQE hints) WITHOUT scanning either side:
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated by the sketch inner product
+    * min_j Σ_bucket A_j[b]·B_j[b]. With non-negative counts every cell
+    * product is the true contribution PLUS collision cross-terms, so the
+    * estimate is ONE-SIDED (≥ exact, like the point estimates) with
+    * expected overshoot ≤ ‖f_A‖₁·‖f_B‖₁/w per row — the classic
+    * AMS/CMS bound. Each side collapses to d·w counters map-side; the
+    * inner product is a d·w-cell join — O(1) in both corpus sizes.
+    * Missing cells are zero and contribute nothing, so the inner join
+    * over materialized cells is exact. Pure integer arithmetic end to
+    * end — replayable in an external engine's SQL. */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      w: Int, params: Seq[(Long, Long)]): DataFrame = {
+    val sa = countMin(a, aKey, w, params)
+    val sb = countMin(b, bKey, w, params)
+      .select(col("j"), col("bucket"), col("c").as("cb"))
+    sa.join(sb, Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("c") * col("cb")).as("s"))
+      .agg(min(col("s")).as("est"))
+  }
+
   /** EXACT heavy hitters over unbounded key cardinality — the two-pass
     * sketch-then-verify composition (the classic production shape when even
     * the DISTINCT key set is too large to shuffle, e.g. n-grams on a crawl;
@@ -368,6 +392,42 @@ object Sketches {
     }
   }
 
+  /** Shared constants + oracle for q127 (single source of truth). */
+  private[graft] object JoinCms {
+    val D = 4
+    // w sized by the AMS bound: expected overshoot ~ n_a*n_b/w =
+    // 15000*1500/8192 ~ 2.7k on a 15k true cardinality (~18% one-sided);
+    // at w = 256 the same bound is ~88k and the signal drowns. Sketch
+    // stays 4x8192 cells - bounded whatever the corpus.
+    val W = 8192
+    val params: Seq[(Long, Long)] = cmsParams(D, seed = 127)
+
+    val oracle: String = {
+      val bucketSql = (1 to D).map { j1 =>
+        val (a, b) = params(j1 - 1)
+        s"{'j': ${j1 - 1}, 'bucket': ((k * $a + $b) % $P + $P) % $P % $W}"
+      }.mkString("[", ", ", "]")
+      s"""WITH a AS (SELECT o_custkey AS k FROM orders),
+         |b AS (SELECT c_custkey AS k FROM customer),
+         |ca AS (
+         |  SELECT r.j AS j, r.bucket AS bucket, count(*) AS c
+         |  FROM (SELECT unnest($bucketSql) AS r FROM a)
+         |  GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT r.j AS j, r.bucket AS bucket, count(*) AS c
+         |  FROM (SELECT unnest($bucketSql) AS r FROM b)
+         |  GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT ca.j, sum(ca.c * cb.c) AS s
+         |  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+         |  GROUP BY 1),
+         |est AS (SELECT CAST(min(s) AS BIGINT) AS est FROM ip),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM a JOIN b ON a.k = b.k)
+         |SELECT est, n_exact FROM est, ex""".stripMargin
+    }
+  }
+
   // lazy: Streams.defs initializes BEFORE Sketches in SparkEntry.allDefs and
   // touches Sketches.Hll (q106 shares the q103 hash constants); Hll's init
   // re-enters the still-initializing outer object, and an EAGER defs would
@@ -462,6 +522,23 @@ object Sketches {
              |SELECT grp AS l_returnflag, q,
              |  floor((lo + (qbin + 0.5) * (hi - lo) / 1024) * 1e6 + 0.5) / 1e6 AS est
              |FROM sel ORDER BY l_returnflag, q""".stripMargin)),
+
+    // ---- q127: sketch-based join-cardinality estimate ----------------------
+    // orders ⋈ customer on custkey, estimated from two 4×8192 sketches
+    // beside the exact join count — the gate value-checks the entire
+    // inner-product dag cross-engine AND exposes the one-sided error for
+    // the spec to bound.
+    QueryDef(
+      "q127_join_size_sketch",
+      (s, d) => {
+        val a = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        val b = Tables.customer(s, d).select(col("c_custkey").as("k"))
+        val est = cmsJoinSize(a, "k", b, "k", JoinCms.W, JoinCms.params)
+        val exact = a.join(b.select(col("k").as("k2")), col("k") === col("k2"))
+          .agg(count(lit(1)).as("n_exact"))
+        est.crossJoin(exact)
+      },
+      Some(JoinCms.oracle)),
 
     // ---- q124: exact heavy hitters (sketch-then-verify) --------------------
     // Bigram heavy hitters over the corpus: every bigram occurring more

@@ -138,6 +138,19 @@ class SketchesSpec extends SparkSpec {
     assert(merged == regTable(all))
   }
 
+  test("cmsJoinSize: one-sided estimate within the AMS bound on skewed keys") {
+    val params = Sketches.cmsParams(4, seed = 31)
+    val w = 4096
+    val a = (Seq.fill(2000)(7L) ++ (0L until 3000L)).toDF("k")
+    val b = (Seq.fill(500)(7L) ++ (1500L until 4000L)).toDF("ky")
+    val est = Sketches.cmsJoinSize(a, "k", b, "ky", w, params)
+      .head().getLong(0)
+    val exact = a.join(b, $"k" === $"ky").count()
+    assert(est >= exact, s"inner-product estimate $est must upper-bound exact $exact")
+    val bound = (a.count() * b.count() / w) * 10 // 10x the expected overshoot
+    assert(est - exact <= bound, s"overshoot ${est - exact} implausibly above AMS bound $bound")
+  }
+
   test("heavyHitters: planted Zipf — exact output, sketch filter prunes the tail") {
     val hot = Seq.fill(3000)("hot_a") ++ Seq.fill(2000)("hot_b") ++ Seq.fill(1200)("hot_c")
     val tail = (0 until 2000).map(i => s"tail_$i") // freq 1 each
