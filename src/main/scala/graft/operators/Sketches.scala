@@ -197,6 +197,87 @@ object Sketches {
           * 1e6 + 0.5) / 1e6).as("est"))
   }
 
+  /** EXACT per-group quantiles with BOUNDED state — the classic iterative
+    * histogram bisection (the MapReduce exact-median recipe), the third
+    * leg of the percentile family: q23 buffers every value (exact,
+    * unbounded state), q102 bounds state but approximates; this bounds
+    * state AND is exact. The trade is passes: log_B(range) scans instead
+    * of one (2 passes at B = 4096 over a 10⁷-value grid).
+    *
+    * Works on a FIXED-PRECISION domain: values are mapped to an integer
+    * grid (`iv = floor(v·scale + 0.5)` — a bijection when the data
+    * carries ≤ log₁₀(scale) decimals, as currency does), and the k-th
+    * order statistic (k = ⌈q·n⌉) is found by repeatedly histogramming the
+    * current bracket [lo, hi] into B bins and descending into the bin the
+    * rank falls in. Every pass is one broadcast-join + partial-aggregated
+    * groupBy whose result is ≤ groups·|qs|·B rows — the only driver state
+    * is the bracket table (groups × qs rows) and those bounded
+    * histograms, the same discipline as the BPE winner. Values never
+    * shuffle; the rank arithmetic is pure integers; the one division at
+    * the end (iv/scale) exact-rounds the same rational in any engine.
+    *
+    * Group cardinality must be bounded (brackets broadcast); for
+    * unbounded groups use q102's sketch per group instead. */
+  def bisectQuantiles(df: DataFrame, valCol: String, groupCol: String,
+      qs: Seq[Double], scale: Int = 100, bins: Int = 4096): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad quantiles $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val iv = floor(col(valCol) * scale + lit(0.5)).cast("long")
+    val vals = df.select(col(groupCol).cast("string").as("grp"), iv.as("iv"))
+    // pass 0: per-group count + range
+    val stats = vals.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), min($"iv").as("lo"), max($"iv").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bracket state: (grp, q, lo, hi, k) — answer = k-th smallest in [lo, hi]
+    var state = (for ((g, n, lo, hi) <- stats; q <- qs)
+      yield (g, q, lo, hi, math.ceil(q * n).toLong)).toSeq
+    var done = Map.empty[(String, Double), Long]
+    while (state.nonEmpty) {
+      val (resolved, open) = state.partition { case (_, _, lo, hi, _) => lo == hi }
+      done ++= resolved.map { case (g, q, lo, _, _) => (g, q) -> lo }
+      state = open
+      if (state.nonEmpty) {
+        // one histogram pass over all open brackets: width = ⌈span/B⌉ ≥ 1,
+        // so each round divides every bracket by ≥ B (or finishes it)
+        val brackets = state.map { case (g, q, lo, hi, _) =>
+          (g, q, lo, hi, (hi - lo + bins.toLong) / bins) }
+          .toDF("grp", "q", "b_lo", "b_hi", "w")
+        val hist = vals.join(broadcast(brackets), Seq("grp"))
+          .filter($"iv" >= $"b_lo" && $"iv" <= $"b_hi")
+          // `div`, never `/`: long/long is DOUBLE division in Spark, and a
+          // last-ulp-low quotient would truncate into the wrong bin
+          .groupBy($"grp", $"q", expr("(iv - b_lo) div w").as("bin"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getDouble(1)))
+          .map { case (k, rows) =>
+            k -> rows.map(r => r.getLong(2) -> r.getLong(3)).sortBy(_._1) }
+        state = state.map { case (g, q, lo, hi, k) =>
+          val w = (hi - lo + bins.toLong) / bins
+          var rem = k
+          var (binLo, binHi) = (lo, hi)
+          // descend into the bin the k-th rank falls in
+          val it = hist((g, q)).iterator
+          var found = false
+          while (!found && it.hasNext) {
+            val (bin, c) = it.next()
+            if (rem <= c) {
+              binLo = lo + bin * w
+              binHi = math.min(binLo + w - 1, hi)
+              found = true
+            } else rem -= c
+          }
+          (g, q, binLo, binHi, rem)
+        }
+      }
+    }
+    done.toSeq.map { case ((g, q), ivAns) => (g, q, ivAns) }
+      .toDF("grp", "q", "iv")
+      .select($"grp", $"q", ($"iv" / lit(scale.toDouble)).as("val"))
+      .orderBy($"grp", $"q")
+  }
+
   // ---------------------------------------------------------------------------
   // HyperLogLog distinct sketch (q103)
   // ---------------------------------------------------------------------------
@@ -522,6 +603,36 @@ object Sketches {
              |SELECT grp AS l_returnflag, q,
              |  floor((lo + (qbin + 0.5) * (hi - lo) / 1024) * 1e6 + 0.5) / 1e6 AS est
              |FROM sel ORDER BY l_returnflag, q""".stripMargin)),
+
+    // ---- q128: EXACT bounded-state quantiles (histogram bisection) ---------
+    // q23's grouping run through the bisection: the oracle computes the
+    // k = ⌈q·n⌉ order statistic directly (row_number over the integer
+    // grid), so the gate certifies EXACTNESS of the multi-pass descent,
+    // not an approximation bound. headline: the bench shows what "exact
+    // AND bounded-state" costs next to q23 (exact, unbounded) and
+    // q23c (approximate, bounded).
+    QueryDef(
+      "q128_exact_quantile_bisect",
+      (s, d) => bisectQuantiles(Tables.lineitem(s, d), "l_extendedprice",
+        "l_returnflag", qs = Seq(0.5, 0.9), scale = 100, bins = 4096),
+      Some("""WITH v AS (
+             |  SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+             |    CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS iv
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT grp, iv,
+             |    row_number() OVER (PARTITION BY grp ORDER BY iv) AS rk,
+             |    count(*) OVER (PARTITION BY grp) AS n
+             |  FROM v),
+             |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+             |sel AS (
+             |  SELECT r.grp, qs.q, min(r.iv) AS iv
+             |  FROM r, qs
+             |  WHERE r.rk = CAST(ceil(qs.q * r.n) AS BIGINT)
+             |  GROUP BY 1, 2)
+             |SELECT grp, q, iv / CAST(100 AS DOUBLE) AS val
+             |FROM sel ORDER BY grp, q""".stripMargin),
+      headline = true),
 
     // ---- q127: sketch-based join-cardinality estimate ----------------------
     // orders ⋈ customer on custkey, estimated from two 4×8192 sketches

@@ -138,6 +138,27 @@ class SketchesSpec extends SparkSpec {
     assert(merged == regTable(all))
   }
 
+  test("bisectQuantiles: exact order statistics through multiple descent passes") {
+    // range >> bins forces >= 2 histogram passes; duplicates + a skewed
+    // tail exercise the rank bookkeeping across bin boundaries
+    val vals = (0 until 20000).map(i => ("g1", (i * 7919 % 1000000) / 100.0)) ++
+      Seq.fill(5000)(("g1", 4242.42)) ++
+      (0 until 300).map(i => ("g2", i / 100.0)) ++
+      Seq(("g3", 77.77))
+    val df = vals.toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = Sketches.bisectQuantiles(df, "v", "g", qs, scale = 100, bins = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val exp = vals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.map(t => math.floor(t._2 * 100 + 0.5).toLong).sorted
+      qs.map { q =>
+        val k = math.ceil(q * sorted.length).toInt
+        (g, q, sorted(k - 1) / 100.0)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == exp)
+  }
+
   test("cmsJoinSize: one-sided estimate within the AMS bound on skewed keys") {
     val params = Sketches.cmsParams(4, seed = 31)
     val w = 4096
