@@ -107,6 +107,38 @@ object IvfPqIndex {
     nCells
   }
 
+  /** Incremental index maintenance at full compression — [[IvfIndex.append]]'s
+    * contract for the PQ tier: each new vector is assigned to its nearest
+    * FROZEN centroid (broadcast + min_by partial agg, one shuffled row per
+    * vector), its residual encoded with the FROZEN codebook, and the m
+    * code rows appended under the cell directory. Serving picks up
+    * old + new immediately — still code-only I/O, same partition pruning,
+    * no retraining. Codebook/centroid staleness under distribution drift
+    * is the same monitored-rebuild decision as the coarse tier: watch the
+    * assignment-distance profile of appended batches. Returns the number
+    * of vectors appended. */
+  def append(spark: SparkSession, dir: String, embeddings: DataFrame): Long = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").select("m", "dim").head()
+    val (m, dim) = (meta.getInt(0), meta.getInt(1))
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val assigned = embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"cell", $"cvec",
+        VectorOps.l2sq($"v", $"cvec").as("cdist"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cell", $"v", $"cvec"), struct($"cdist", $"cell")).as("best"))
+      .select($"vec_id", $"best.cell".as("cell"),
+        zip_with($"best.v", $"best.cvec", (a, b) => a - b).as("rv"))
+    Pq.pqEncode(assigned.select($"vec_id", $"cell", $"rv"), codebook, m, dim,
+        vecCol = "rv", passThrough = Seq("cell"))
+      .select($"vec_id", $"sub", $"code", $"cell")
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/codes")
+    embeddings.count()
+  }
+
   /** ADC top-k per query over the persisted index. `queries` needs
     * (qid, qv); returns (qid, nid, rank, ad) where `ad` approximates the
     * squared L2 distance. */
@@ -163,10 +195,7 @@ object IvfPqIndex {
     import spark.implicits._
     val shortlist = search(spark, dir, queries, topK = candidates, nProbe)
       .select($"qid", $"nid")
-    val d2 = aggregate(
-      zip_with($"qv".cast("array<double>"), $"nv".cast("array<double>"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0d), (acc, x) => acc + x)
+    val d2 = VectorOps.l2sq($"qv".cast("array<double>"), $"nv".cast("array<double>"))
     val w = Window.partitionBy($"qid").orderBy($"d", $"nid")
     broadcast(shortlist)
       .join(queries.select($"qid", $"qv"), Seq("qid"))

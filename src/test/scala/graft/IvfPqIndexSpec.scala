@@ -150,4 +150,41 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
       s"codes scan should carry a partition filter:\n$plan")
   }
+
+  test("append: frozen-model encode, assignment replay, appended self findable") {
+    val adir = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    val base = emb.filter($"vec_id" < 300)
+    val extra = emb.filter($"vec_id" >= 300 && $"vec_id" < 340)
+    IvfPqIndex.build(spark, base, adir, nCells = 8, m = 4, dim = 64,
+      kCodes = 16, iters = 3, trainFraction = 1.0)
+    val n = IvfPqIndex.append(spark, adir, extra)
+    assert(n == extra.count())
+    val codes = spark.read.parquet(s"$adir/codes")
+    assert(codes.count() == (base.count() + extra.count()) * 4) // m rows per vector
+    // assignment replay: appended cells equal the driver-side argmin over
+    // the persisted centroids (same fold order, same (dist, cell) tiebreak)
+    val cents = spark.read.parquet(s"$adir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val expected = extra.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val best = cents.minBy { case (c, cv) =>
+        (v.zip(cv).map { case (x, y) => val d = x - y; d * d }.sum, c) }._1
+      r.getLong(0) -> best
+    }.toMap
+    val got = codes.filter($"vec_id" >= 300).select($"vec_id", $"cell").distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+    // appended vectors serve immediately: querying with an appended vector
+    // reaches its own code row at the minimal reachable ADC distance
+    val qs = extra.filter($"vec_id" < 310)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val res = IvfPqIndex.search(spark, adir, qs, topK = 1000, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    for (q <- qs.collect().map(_.getLong(0))) {
+      val ns = res.filter(_._1 == q)
+      val selfAd = ns.find(_._2 == q).map(_._3)
+      assert(selfAd.nonEmpty && selfAd.get == ns.map(_._3).min,
+        s"appended query $q: self ad $selfAd above min ${ns.map(_._3).min}")
+    }
+  }
 }
