@@ -396,6 +396,91 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) from a decoded raster: the luma plane is
+    * box-average-pooled onto an 8×8 grid and each cell thresholded
+    * STRICTLY ABOVE the grid mean (flat images hash to 0, never all-ones).
+    * Deterministic given the raster; the JPEG ±1-LSB caveat on the decode
+    * (scaladoc above) is exactly what a PERCEPTUAL hash tolerates — a
+    * borderline cell flips one bit, which the hamming-threshold join
+    * absorbs, unlike the byte-exact q56 fingerprints. */
+  private[graft] def aHash(img: JdkMediaDecoder.DecodedImage): Long = {
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < img.height) {
+      val cy = y * 8 / img.height
+      var x = 0
+      while (x < img.width) {
+        val p = img.argb(y * img.width + x)
+        val l = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+        val c = cy * 8 + x * 8 / img.width
+        sums(c) += l; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    var mean = 0.0
+    val cell = new Array[Double](64)
+    while (i < 64) {
+      cell(i) = if (counts(i) > 0) sums(i) / counts(i) else 0.0
+      mean += cell(i) / 64.0
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (cell(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Perceptual fingerprints for an image corpus: (media_id, phash) with
+    * NULL for undecodable payloads (never a fake fingerprint — opaque
+    * bytes go through [[extractFeatures]]' fallback tier instead). One
+    * BIGINT per image, computed at the codec boundary; everything
+    * downstream is relational. */
+  def perceptualHash(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map(r => (r.media_id, JdkMediaDecoder.decodeImage(r.content).map(aHash)))
+    }.toDF("media_id", "phash")
+  }
+
+  /** Image-level near-dup pairs from perceptual hashes — the multimodal
+    * face of q47's SimHash tier, at corpus scale on ONE long per image.
+    * Pigeonhole banding: hamming(a, b) ≤ maxBits guarantees at least one
+    * of maxBits+1 DISJOINT bit-fields is equal, so candidates come from a
+    * (band, field) equi-join — cost ∝ bucket sizes, never n² — and exact
+    * `bit_count(xor)` verification keeps the output lossless. Identical
+    * rasters across lossless containers (PNG/BMP) pair at hamming 0;
+    * recompression/noise land within a few bits. */
+  def nearDupImages(hashes: DataFrame, maxBits: Int): DataFrame = {
+    require(maxBits >= 0 && maxBits < 32, s"maxBits $maxBits out of range")
+    val bands = maxBits + 1
+    val bandStructs = (0 until bands).map { b =>
+      val lo = b * 64 / bands
+      val width = (b + 1) * 64 / bands - lo
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), lo)
+          .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1)).as("sig"))
+    }
+    val buckets = hashes.filter(col("phash").isNotNull)
+      .select(col("media_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("media_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+      .distinct()
+    cand
+      .join(hashes.select(col("media_id").as("a_id"), col("phash").as("a_h")), "a_id")
+      .join(hashes.select(col("media_id").as("b_id"), col("phash").as("b_h")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
+      .filter(col("hamming") <= maxBits)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Audio decode + feature-extract: REAL WAV PCM decode via the JDK's
     * `javax.sound.sampled` — rms/peak/zero-crossing-rate/duration as typed
     * columns, NULL row values for payloads that are not decodable audio
