@@ -84,6 +84,29 @@ object IvfIndex {
     embeddings.count()
   }
 
+  /** Continuous index ingest: the streaming face of [[append]] — each
+    * micro-batch of an embeddings stream runs the same frozen-centroid
+    * assignment and cell-directory append, so the served index trails the
+    * stream by one trigger. The centroid read happens INSIDE foreachBatch
+    * (per batch): rebuilding the quantizer between batches is picked up
+    * without restarting the query.
+    *
+    * Delivery contract: foreachBatch is at-least-once under retries —
+    * a replayed batch appends its rows twice. For exactly-once either
+    * dedup upstream (`EventStream.dedupStream` on vec_id) or make the
+    * sink idempotent by compacting duplicate vec_ids at read/maintenance
+    * time (`Maintenance` latest-wins); the checkpoint bounds the replay
+    * window to the last uncommitted trigger either way. */
+  def appendStream(spark: SparkSession, dir: String, stream: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        append(spark, dir, batch.toDF()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Top-k cosine neighbors for each query vector, reading only probed
     * cells. `queries` needs (qid, qv) columns. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,

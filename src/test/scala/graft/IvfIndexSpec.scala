@@ -71,4 +71,27 @@ class IvfIndexSpec extends SparkSpec {
     val res = IvfIndex.search(spark, adir, q, k = 3, nProbe = 2).collect()
     assert(res.nonEmpty && res.forall(_.getInt(2) <= 3))
   }
+
+  test("appendStream: micro-batched ingest lands in the same cells as batch append") {
+    val adir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("ivfstream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfstream_ckpt").toString
+    val base = emb.filter($"vec_id" < 300)
+    val extra = emb.filter($"vec_id" >= 300 && $"vec_id" < 360)
+    IvfIndex.build(spark, base, adir)
+    extra.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(extra.schema).parquet(srcDir)
+    val q = IvfIndex.appendStream(spark, adir, stream, ckpt)
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$adir/cells")
+    assert(back.count() == base.count() + extra.count())
+    // streamed assignments must equal the deterministic batch-append ones
+    val bdir = java.nio.file.Files.createTempDirectory("ivfbatch").toString
+    IvfIndex.build(spark, base, bdir)
+    IvfIndex.append(spark, bdir, extra)
+    def cellsOf(d: String) = spark.read.parquet(s"$d/cells")
+      .filter($"vec_id" >= 300).select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellsOf(adir) == cellsOf(bdir))
+  }
 }
