@@ -153,7 +153,82 @@ object TextAnalysis {
         gramLogit(col("bgs"), weights, bias).as("logit"))
       .withColumn("keep", col("logit") > tau)
 
+  /** Collocation extraction — adjacent token pairs that co-occur far more
+    * than their unigram frequencies predict (the phrase-mining step ahead
+    * of tokenizer/vocab decisions: "new york" should be one token). The
+    * score is pointwise mutual information in RATIO form,
+    * lift = p(a,b) / (p(a)·p(b)) = c_ab·M² / (N·c_a·c_b) — log(lift) IS
+    * PMI and log is monotone, so ranking by lift ranks by PMI while
+    * staying transcendental-free (the CLAUDE.md numerics rule: the gate
+    * replays the ratio bit-identically, which log would not allow).
+    * A minimum pair count keeps 1-occurrence noise (lift ≈ M²/(N·c_a·c_b),
+    * huge for rare unigrams) out of the head.
+    *
+    * Scale shape: two vocab-sized censuses (bigram, unigram) off one
+    * corpus pass each; totals from per-doc counts (no explode) broadcast
+    * as one row; unigram counts joined onto the bigram census (census ⋈
+    * census, never corpus); TakeOrdered top-k. Corpus text never
+    * shuffles. */
+  def collocations(docs: DataFrame, minCount: Int, topK: Int,
+      textCol: String = "text"): DataFrame = {
+    val bigrams = docs
+      .select(explode(TextOps.ngrams(col(textCol), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(element_at(split(col("g"), " "), 1).as("a"),
+        element_at(split(col("g"), " "), 2).as("b"), col("c_ab"))
+    val unigrams = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = docs.agg(
+      sum(TextOps.tokenCount(col(textCol))).as("m_tot"),
+      sum(greatest(TextOps.tokenCount(col(textCol)) - 1, lit(0))).as("n_big"))
+    val lift = (col("c_ab").cast("double") * col("m_tot").cast("double")
+      * col("m_tot").cast("double")) /
+      (col("n_big").cast("double") * col("c_a").cast("double")
+        * col("c_b").cast("double"))
+    bigrams
+      .join(unigrams.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(unigrams.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        (floor(lift * 1e6 + 0.5) / 1e6).as("lift"))
+      .orderBy(desc("lift"), col("a"), col("b"))
+      .limit(topK)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q129: collocations (PMI lift, ratio form) -------------------------
+    // Top-30 adjacent pairs by lift with a count-5 floor; the oracle
+    // replays both censuses, the totals, and the exact double chain.
+    QueryDef(
+      "q129_collocations",
+      (s, d) => collocations(Tables.documents(s, d), minCount = 5, topK = 30),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |tot AS (
+             |  SELECT sum(len(t)) AS m_tot,
+             |    sum(greatest(len(t) - 1, 0)) AS n_big
+             |  FROM t),
+             |bg AS (
+             |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS g
+             |  FROM t WHERE len(t) >= 2),
+             |cb AS (SELECT g, count(*) AS c_ab FROM bg GROUP BY 1 HAVING count(*) >= 5),
+             |uni AS (
+             |  SELECT unnest(t) AS tok FROM t),
+             |cu AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+             |j AS (
+             |  SELECT string_split(cb.g, ' ')[1] AS a, string_split(cb.g, ' ')[2] AS b,
+             |    cb.c_ab, ca.c AS c_a, cbb.c AS c_b
+             |  FROM cb
+             |  JOIN cu ca ON ca.tok = string_split(cb.g, ' ')[1]
+             |  JOIN cu cbb ON cbb.tok = string_split(cb.g, ' ')[2])
+             |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+             |  floor((CAST(c_ab AS DOUBLE) * CAST(m_tot AS DOUBLE) * CAST(m_tot AS DOUBLE))
+             |        / (CAST(n_big AS DOUBLE) * CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))
+             |        * 1e6 + 0.5) / 1e6 AS lift
+             |FROM j, tot
+             |ORDER BY lift DESC, a, b LIMIT 30""".stripMargin)),
 
     // ---- q40: token statistics -------------------------------------------
     QueryDef(

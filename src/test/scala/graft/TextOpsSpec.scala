@@ -63,4 +63,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._2 == 2L), "each doc has two bigrams")
     got.foreach { case (_, _, s) => assert(math.abs(s - expected) < 1e-6, s"$s vs $expected") }
   }
+
+  test("collocations: planted phrase tops the lift ranking; replay matches") {
+    import spark.implicits._
+    // "new york" always adjacent (planted collocation); every other
+    // bigram is unique per doc, so the count-5 floor removes it
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"new york u${i}a u${i}b u${i}c")
+    }
+    val out = graft.operators.TextAnalysis.collocations(
+      docs.toDF("doc_id", "text"), minCount = 5, topK = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 1 && out.head._1 == "new" && out.head._2 == "york",
+      s"only the planted phrase survives the floor: ${out.toSeq}")
+    // replay the head row's lift from first principles
+    val toks = docs.flatMap(_._2.split(" ", -1))
+    val bigs = docs.flatMap(d => d._2.split(" ", -1).sliding(2).map(_.mkString(" ")).toSeq)
+    val m = toks.size.toDouble
+    val n = bigs.size.toDouble
+    val cab = bigs.count(_ == "new york").toDouble
+    val ca = toks.count(_ == "new").toDouble
+    val cb = toks.count(_ == "york").toDouble
+    val lift = math.floor(cab * m * m / (n * ca * cb) * 1e6 + 0.5) / 1e6
+    assert(out.head._4 == lift && out.head._3 == cab.toLong)
+    // lift ordering is non-increasing
+    assert(out.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }
