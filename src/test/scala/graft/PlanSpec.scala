@@ -262,4 +262,30 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
       s"base exchange must be reused across rounds:\n$p")
   }
+
+  test("q124: heavy-hitter recount has NO join — the sketch probe is a literal-array lookup") {
+    val p = physicalPlan("q124_heavy_hitters")
+    assert(!p.contains("Join"),
+      s"candidate filtering must be a row-local probe of plan-literal arrays, not a join:\n$p")
+    assert(p.contains("element_at"), s"literal-array probe missing from plan:\n$p")
+    // the recount is a partial-aggregated census of candidate rows only
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"recount must partial-aggregate map-side:\n$p")
+  }
+
+  test("q125: drift totals come from per-doc counts — exactly one generator in the plan") {
+    val p = physicalPlan("q125_split_drift")
+    val generates = p.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 1,
+      s"expected ONE explode (the census side; totals must not explode), got $generates:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("q129: collocation ranking is TakeOrdered over census-sized joins") {
+    val p = physicalPlan("q129_collocations")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    // totals are a one-row broadcast, never a shuffled join side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must broadcast:\n$p")
+  }
 }
