@@ -7,7 +7,67 @@ import graft.flow.{HistogramPass, Plot, Selection, VariableBinning}
 /** Pivot, datetime-function breadth, and variable-edge histograms. */
 object Temporal {
 
+  /** Windowed event-rate anomaly flags — the ingestion-QA monitor: a
+    * (type, window) census, then each window scored against its trailing
+    * `trail` OBSERVED windows of the same type. The spike test is the
+    * 3σ rule spelled WITHOUT sqrt — (n − mean)² > 9·var — so every
+    * quantity stays a rational of exact integer sums and the gate replays
+    * the flags bit-identically (the CLAUDE.md transcendental rule; a
+    * z-score column would need sqrt). Trailing stats via a ROWS frame
+    * over the census — the frame is over aggregated rows (types ×
+    * windows, bounded by the time horizon), never events, so the window
+    * stage is census-sized at any corpus scale. */
+  def rateAnomalies(events: org.apache.spark.sql.DataFrame,
+      windowDur: String = "10 minutes", trail: Int = 6): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = events
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
+      .rowsBetween(-trail, -1)
+    val mean = col("s").cast("double") / col("np").cast("double")
+    val varr = col("ss").cast("double") / col("np").cast("double") - mean * mean
+    val dev = col("n").cast("double") - mean
+    census
+      .withColumn("np", count(col("n")).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .filter(col("np") >= 3)
+      .select(col("win_start"), col("event_type"), col("n"),
+        mean.as("mean"),
+        (col("n").cast("double") > mean && dev * dev > lit(9.0) * varr).as("spike"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q130: windowed rate-anomaly flags ---------------------------------
+    // 10-minute type censuses scored against the previous 6 observed
+    // windows; the oracle replays census, ROWS frame, and the sqrt-free
+    // 3σ test with the identical double spelling.
+    QueryDef(
+      "q130_rate_anomalies",
+      (s, d) => rateAnomalies(Tables.events(s, d)),
+      Some("""WITH c AS (
+             |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT) AS win_start,
+             |    event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT win_start, event_type, n,
+             |    count(n) OVER w AS np, sum(n) OVER w AS s, sum(n * n) OVER w AS ss
+             |  FROM c
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY win_start
+             |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+             |SELECT win_start, event_type, CAST(n AS BIGINT) AS n,
+             |  CAST(s AS DOUBLE) / CAST(np AS DOUBLE) AS mean,
+             |  (CAST(n AS DOUBLE) > CAST(s AS DOUBLE) / CAST(np AS DOUBLE)
+             |   AND (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(np AS DOUBLE))
+             |     * (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(np AS DOUBLE))
+             |     > 9 * (CAST(ss AS DOUBLE) / CAST(np AS DOUBLE)
+             |            - (CAST(s AS DOUBLE) / CAST(np AS DOUBLE))
+             |              * (CAST(s AS DOUBLE) / CAST(np AS DOUBLE)))) AS spike
+             |FROM t WHERE np >= 3 ORDER BY win_start, event_type""".stripMargin)),
 
     // ---- q60: pivot (explicit value list — deterministic columns) ----------
     QueryDef(

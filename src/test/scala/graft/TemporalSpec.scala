@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rateAnomalies: a planted burst is flagged, the steady baseline is not") {
+    // one event type, 10 events per 10-minute window for 12 windows,
+    // except a 100-event burst in window 9 (enough trailing history)
+    val rows = (0 until 12).flatMap { wIdx =>
+      val k = if (wIdx == 9) 100 else 10
+      (0 until k).map(i => (wIdx.toLong * 600L * 1000000L + i * 1000L, "click"))
+    }
+    val ev = rows.toDF("us", "event_type")
+      .select(timestamp_micros($"us").as("ts"), $"event_type")
+    val out = Temporal.rateAnomalies(ev, "10 minutes", trail = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    // first 3 windows lack the np >= 3 history and are absent
+    assert(out.length == 12 - 3)
+    val spikes = out.filter(_._3)
+    assert(spikes.map(_._1).toSeq == Seq(9L * 600),
+      s"exactly the burst window must flag: ${out.toSeq}")
+    assert(spikes.head._2 == 100L)
+    // the window AFTER the burst (count 10, mean pulled up by the burst)
+    // is a dip, not a spike — the one-sided n > mean guard holds
+    assert(!out.exists(t => t._1 == 10L * 600 && t._3))
+  }
+
+  test("rateAnomalies: zero-variance history never divides by zero or flags noise") {
+    val rows = (0 until 8).flatMap(w =>
+      (0 until 5).map(i => (w.toLong * 600L * 1000000L + i, "buy")))
+    val ev = rows.toDF("us", "event_type")
+      .select(timestamp_micros($"us").as("ts"), $"event_type")
+    val out = Temporal.rateAnomalies(ev, "10 minutes", trail = 6).collect()
+    // identical counts: var = 0, dev = 0 -> 0 > 0 false, no flags
+    assert(out.nonEmpty && out.forall(!_.getBoolean(4)))
+  }
+}
