@@ -18,12 +18,22 @@ object Temporal {
     * windows, bounded by the time horizon), never events, so the window
     * stage is census-sized at any corpus scale. */
   def rateAnomalies(events: org.apache.spark.sql.DataFrame,
-      windowDur: String = "10 minutes", trail: Int = 6): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val census = events
+      windowDur: String = "10 minutes", trail: Int = 6): org.apache.spark.sql.DataFrame =
+    scoreRates(events
       .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n")),
+      trail)
+
+  /** Scoring half of [[rateAnomalies]], factored out so a STREAMING census
+    * (`EventStream.windowedCounts`' (win_start, event_type, n) rows) can
+    * be scored sink-side — the same rank-on-closed-windows split as the
+    * drift monitor: the streaming query keeps only the one census
+    * aggregation, and anomaly flags are a batch pass over its emitted,
+    * already-bounded output. */
+  def scoreRates(census: org.apache.spark.sql.DataFrame,
+      trail: Int = 6): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
       .rowsBetween(-trail, -1)
     val mean = col("s").cast("double") / col("np").cast("double")

@@ -37,4 +37,26 @@ class TemporalSpec extends SparkSpec {
     // identical counts: var = 0, dev = 0 -> 0 > 0 false, no flags
     assert(out.nonEmpty && out.forall(!_.getBoolean(4)))
   }
+
+  test("scoreRates composes with the streaming census (batch/stream parity)") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_anom_stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      Paths.get(s"$sf0001/events.parquet"))
+    val ev = graft.core.Tables.events(spark, sf0001)
+    val stream = graft.streaming.EventStream.readEvents(spark, dir.toString)
+    val census = graft.streaming.EventStream.runToMemory(spark,
+      graft.streaming.EventStream.windowedCounts(stream), "anom_census")
+      .select($"win_start", $"event_type", $"n")
+    val streamed = Temporal.scoreRates(census).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(4))).toSet
+    // batch twin over the SAME 5-minute windows
+    val batchCensus = ev
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"w.start").as("win_start"), $"event_type", $"n")
+    val batch = Temporal.scoreRates(batchCensus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(4))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
