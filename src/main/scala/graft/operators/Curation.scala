@@ -47,6 +47,26 @@ object Curation {
        |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
        |        FROM documents)""".stripMargin
 
+  /** Dataset card — the per-slice statistics table shipped alongside a
+    * training corpus (the "datasheet" step of a release): for every
+    * (source, lang) slice plus the rollup margins, document and token
+    * counts, the exact-duplicate count (canonical fingerprints), and mean
+    * quality. ONE corpus scan + one rollup aggregate; countDistinct adds
+    * the standard two-phase distinct expand — still census-bounded.
+    * Per-slice drift/dedup depth live in their own operators (q125, q44);
+    * this is the cheap always-on summary. */
+  def datasetCard(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).as("ntok"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        quality.as("q"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        round(avg(col("q")), 4).as("mean_quality"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
   /** Keep at most `k` documents per domain, best quality first (doc_id
     * tiebreak). ONE hash shuffle on the domain key; Spark's rank-limit
     * pushdown plants a map-side WindowGroupLimit below the exchange
@@ -587,6 +607,26 @@ object Curation {
              |SELECT split, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ---- q132: dataset card (per-slice release statistics) -----------------
+    QueryDef(
+      "q132_dataset_card",
+      (s, dir) => datasetCard(Tables.documents(s, dir)),
+      Some(s"""WITH t AS (
+             |  SELECT source, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+             |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+             |    $QualitySql AS q
+             |  FROM (SELECT *,
+             |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
+             |        FROM documents))
+             |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+             |  round(avg(q), 4) AS mean_quality
+             |FROM t GROUP BY ROLLUP(source, lang)
+             |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin)),
 
     // ---- q125: train/val token-distribution drift --------------------------
     // Top tokens by |p_train − p_val| over q117's split assignment — the

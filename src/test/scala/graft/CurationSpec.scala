@@ -439,4 +439,28 @@ class CurationSpec extends SparkSpec {
     val real = Curation.splitDrift(docsDf, topK = 25).collect().map(_.getDouble(5))
     assert(real.nonEmpty && real.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("datasetCard: rollup margins re-add; planted duplicates are counted") {
+    val docs = Seq(
+      (1L, "webA", "en", "alpha beta gamma"),
+      (2L, "webA", "en", "alpha beta gamma"),          // exact dup of 1
+      (3L, "webA", "de", "ALPHA, beta gamma!"),        // canonical dup of 1
+      (4L, "webB", "en", "delta epsilon"),
+      (5L, "webB", "fr", "zeta eta theta iota")
+    ).toDF("doc_id", "source", "lang", "text")
+    val card = Curation.datasetCard(docs).collect().map(r =>
+      (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val all = card.find(t => t._1.isEmpty && t._2.isEmpty).get
+    assert(all._3 == 5 && all._4 == 15)
+    // 3 docs share one canonical fingerprint -> 2 surplus copies corpus-wide
+    assert(all._5 == 2, s"canonical dup count: $card")
+    // source margin re-adds its lang slices
+    val webA = card.find(t => t._1.contains("webA") && t._2.isEmpty).get
+    val webASlices = card.filter(t => t._1.contains("webA") && t._2.nonEmpty)
+    assert(webA._3 == webASlices.map(_._3).sum && webA._4 == webASlices.map(_._4).sum)
+    // within-slice dup only visible at the margin: the (webA, en) slice has
+    // 1 dup pair, the (webA, de) slice none on its own
+    assert(card.find(t => t._1.contains("webA") && t._2.contains("en")).get._5 == 1)
+    assert(card.find(t => t._1.contains("webA") && t._2.contains("de")).get._5 == 0)
+  }
 }
