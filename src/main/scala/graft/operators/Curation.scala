@@ -267,6 +267,34 @@ object Curation {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Uniform negative sampling without RNG — the cheap complement of
+    * `Similarity.hardTriplets` (contrastive pipelines mix a few HARD
+    * negatives with many UNIFORM ones): each anchor takes the next k
+    * documents on its [[globalShuffle]] hash-ring shard, wrapping at the
+    * shard boundary. The hash ordering is unrelated to any content
+    * signal, so within-shard adjacency is a uniform draw; determinism is
+    * the training-data requirement (re-runs, retries, and both engines
+    * pick identical negatives). Ring-sized joins only: the one window is
+    * q80's per-shard position, anchors fan out ×k as plain integers, and
+    * the target join is (shard, pos) equi — no RNG, no corpus text. */
+  def ringNegatives(docs: DataFrame, k: Int, shards: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val ring = globalShuffle(docs.select(col(idCol)), shards, idCol)
+      .select(col(idCol), col("shard"), col("pos"))
+    val sizes = ring.groupBy(col("shard")).agg(count(lit(1)).as("sn"))
+    val anchors = ring.join(broadcast(sizes), "shard")
+      .select(col(idCol).as("a_id"), col("shard"), col("pos"), col("sn"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("tpos", expr("(pos + j - 1) % sn + 1"))
+    anchors
+      .join(ring.select(col("shard"), col("pos").as("tpos"), col(idCol).as("b_id")),
+        Seq("shard", "tpos"))
+      .filter(col("a_id") =!= col("b_id")) // degenerate 1-doc shard wraps to self
+      .select(col("a_id"), col("j").as("rank"), col("b_id"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
   /** Deterministic train/val/test assignment: the id hashes (md5 — the
     * engine-portable hash, like the q109 classifier's buckets) into a
     * per-mille bucket, and fixed bucket ranges make the split. No RNG, no
@@ -878,6 +906,33 @@ object Curation {
              |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
              |  doc_id
              |FROM s ORDER BY shard, pos""".stripMargin)),
+
+    // ---- q131: uniform hash-ring negative sampling -------------------------
+    // 3 negatives per anchor off the q80 ring; the oracle replays the
+    // hash, the per-shard positions, and the modular wrap.
+    QueryDef(
+      "q131_ring_negatives",
+      (s, d) => ringNegatives(Tables.documents(s, d), k = 3, shards = 8),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+             |     * 2654435761) % 4294967296 AS h
+             |  FROM documents),
+             |ring AS (
+             |  SELECT doc_id, h % 8 AS shard,
+             |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+             |  FROM h),
+             |sz AS (SELECT shard, count(*) AS sn FROM ring GROUP BY 1),
+             |a AS (
+             |  SELECT ring.doc_id AS a_id, ring.shard, ring.pos, sz.sn,
+             |    unnest([1, 2, 3]) AS j
+             |  FROM ring JOIN sz ON sz.shard = ring.shard),
+             |t AS (
+             |  SELECT a_id, shard, j, (pos + j - 1) % sn + 1 AS tpos FROM a)
+             |SELECT t.a_id, t.j AS rank, r2.doc_id AS b_id
+             |FROM t JOIN ring r2 ON r2.shard = t.shard AND r2.pos = t.tpos
+             |WHERE t.a_id != r2.doc_id
+             |ORDER BY a_id, rank""".stripMargin)),
 
     // ---- q81: vocabulary census (tokenizer training) -----------------------
     QueryDef(

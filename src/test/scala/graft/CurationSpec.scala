@@ -463,4 +463,23 @@ class CurationSpec extends SparkSpec {
     assert(card.find(t => t._1.contains("webA") && t._2.contains("en")).get._5 == 1)
     assert(card.find(t => t._1.contains("webA") && t._2.contains("de")).get._5 == 0)
   }
+
+  test("ringNegatives: k distinct non-self negatives per anchor, deterministic") {
+    val docs = docsDf
+    val out = Curation.ringNegatives(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = docs.count()
+    assert(out.length == n * 3, "every anchor gets k negatives on a big-enough shard")
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.forall { case (a, negs) =>
+      negs.length == 3 && !negs.exists(_._3 == a) && negs.map(_._3).distinct.length == 3
+    })
+    // deterministic across re-runs (no RNG anywhere)
+    val again = Curation.ringNegatives(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+    // degenerate single-doc shard: self wrap is filtered, never emitted
+    val one = Curation.ringNegatives(Seq(42L).toDF("doc_id"), k = 2).collect()
+    assert(one.isEmpty)
+  }
 }
