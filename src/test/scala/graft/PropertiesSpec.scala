@@ -246,4 +246,43 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: bisectQuantiles equals the sorted order statistic for ANY data") {
+    val gen: Gen[List[(Int, Double)]] = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 2)
+      // values on the representable 2-decimal grid, wide range, heavy ties
+      v <- Gen.choose(-100000, 100000).map(_ / 100.0)
+    } yield (g, v))
+    forAll(gen, minSuccessful = 6) { rows =>
+      val df = rows.toDF("g", "v")
+      val qs = Seq(0.1, 0.5, 0.75, 1.0)
+      val got = graft.operators.Sketches
+        .bisectQuantiles(df, "v", "g", qs, scale = 100, bins = 16)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, grp) =>
+        val sorted = grp.map(t => math.floor(t._2 * 100 + 0.5).toLong).sorted
+        qs.map { q =>
+          val k = math.ceil(q * sorted.length).toInt
+          (g.toString, q, sorted(k - 1) / 100.0)
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == exp)
+    }
+  }
+
+  test("property: heavyHitters equals the census HAVING filter for ANY multiset") {
+    val gen: Gen[List[String]] = Gen.nonEmptyListOf(for {
+      z <- Gen.frequency(6 -> Gen.choose(0, 3), 4 -> Gen.choose(0, 200))
+    } yield s"k$z")
+    forAll(gen, minSuccessful = 6) { keys =>
+      val df = keys.toDF("key")
+      val k = 5
+      val got = graft.operators.Sketches.heavyHitters(df, "key", k, w = 32, d = 4, seed = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val thr = keys.size.toLong / k
+      val exp = keys.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .filter(_._2 > thr).sortBy { case (key, c) => (-c, key) }
+      assert(got == exp, s"keys=${keys.size} thr=$thr")
+    }
+  }
 }
