@@ -35,6 +35,17 @@ object TextOps {
   /** Distinct word n-gram shingles — the dedup unit for MinHash/Jaccard. */
   def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
 
+  /** Compression-ratio repetition signal: DEFLATE size / byte length, in
+    * (0, ~1.1]. Boilerplate and template text compress far below natural
+    * prose — the long-range complement of the token-level ratios in
+    * [[qualityScore]] (a page repeating a 50-token block has healthy
+    * local stats and a collapsed compression ratio). Null-safe; empty
+    * text → null (0/0). Spec-verified signal (not oracle-replayable:
+    * the value depends on the JDK's zlib — see `DeflateSizeExpr`). */
+  def compressionRatio(text: Column): Column =
+    graft.expressions.DeflateSizeExpr.deflateSize(text).cast("double") /
+      nullif(octet_length(text).cast("double"), lit(0.0))
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
     * alphanumeric-only text — exact-dup detection robust to formatting. */
   def fingerprint(text: Column): Column =

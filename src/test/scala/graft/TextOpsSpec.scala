@@ -89,4 +89,22 @@ class TextOpsSpec extends SparkSpec {
     // lift ordering is non-increasing
     assert(out.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("compressionRatio: repetitive text collapses, natural prose does not") {
+    import spark.implicits._
+    val diverse = (0 until 60).map(i => s"w${i * 7919 % 9973}x${i}").mkString(" ")
+    val repetitive = Seq.fill(60)("the same block of boilerplate text").mkString(" ")
+    val rows = Seq((1L, diverse), (2L, repetitive), (3L, ""), (4L, null))
+      .toDF("id", "text")
+      .select($"id", graft.functions.TextOps.compressionRatio($"text").as("cr"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1).exists(_ > 0.4), s"diverse text must not collapse: ${rows(1)}")
+    assert(rows(2).exists(_ < 0.2), s"repetition must collapse: ${rows(2)}")
+    assert(rows(1).get > rows(2).get * 2)
+    assert(rows(3).isEmpty && rows(4).isEmpty, "empty/null -> null, never NaN")
+    // deterministic across evaluations (fresh Deflater per value, no state)
+    val again = Seq((2L, repetitive)).toDF("id", "text")
+      .select(graft.functions.TextOps.compressionRatio($"text")).head().getDouble(0)
+    assert(rows(2).contains(again))
+  }
 }
