@@ -452,6 +452,43 @@ object Dedup {
     * `xxhash64` instead of raw text (64-bit keys on the wire; exact-text
     * verify on the candidate join) — the gate keeps raw grams because the
     * oracle must replay them. */
+  /** Content-defined chunk dedup — the third sub-document granularity
+    * beside [[segmentDedup]] (fixed line blocks) and [[dupSpans]] (fixed
+    * n-grams): chunk boundaries are decided by the CONTENT (a token is a
+    * boundary when its portable md5 hash ≡ 0 mod `modulus`), so an
+    * insertion early in a document shifts positions but not the boundary
+    * TOKENS — downstream chunks re-align and still match, the property
+    * fixed windows fundamentally lack (every window after an insertion
+    * changes). Expected chunk length = `modulus` tokens. Emits the
+    * cross-document duplicated chunks (shared by ≥ `minDocs` docs) with
+    * occurrence counts — the removal step is then [[segmentDedup]]'s
+    * first-wins join shape on chunk fingerprints.
+    *
+    * Scale shape: one explode, ONE per-doc window (running boundary sum —
+    * partitioned by doc_id, bounded by document length, never by chunk
+    * popularity), chunk rebuild collapses in the same (doc_id, cid)
+    * partial agg, and the census aggregates map-side (the q89 agg-not-
+    * window rule for the hot-chunk key). At 100 TB, census on
+    * xxhash64(chunk) like [[dupSpans]]; the gate keeps raw chunk text
+    * because the oracle must replay it. */
+  def cdcChunkDups(docs: DataFrame, modulus: Int, minDocs: Int): DataFrame = {
+    require(modulus >= 2 && minDocs >= 2, s"bad cdc params $modulus/$minDocs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bnd = (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+      % modulus === 0).cast("int")
+    docs.select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("cid", sum(bnd).over(w))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        t => t.getField("tok"))).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(desc("n_occ"), col("chunk"))
+  }
+
   def dupSpans(docs: DataFrame, n: Int, minCount: Int): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1 (got $n)")
     require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
@@ -784,6 +821,36 @@ object Dedup {
              |SELECT doc_id FROM documents
              |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT a_id FROM dup)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q133: content-defined chunk dedup ---------------------------------
+    // Boundary tokens by portable md5-mod-8, duplicated chunks shared by
+    // ≥2 docs; the oracle replays tokenization, boundary flags, the
+    // running chunk ids, the ordered reassembly, and the census.
+    QueryDef(
+      "q133_cdc_chunk_dedup",
+      (s, d) => cdcChunkDups(Tables.documents(s, d), modulus = 8, minDocs = 2),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             |tk AS (
+             |  SELECT doc_id, i AS pos, a[i] AS tok
+             |  FROM t, unnest(range(1, len(a) + 1)) AS r(i)),
+             |f AS (
+             |  SELECT doc_id, pos, tok,
+             |    CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 8 = 0
+             |         THEN 1 ELSE 0 END AS b
+             |  FROM tk),
+             |c AS (
+             |  SELECT doc_id, pos, tok,
+             |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+             |  FROM f),
+             |ch AS (
+             |  SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS chunk
+             |  FROM c GROUP BY 1, 2),
+             |cen AS (
+             |  SELECT chunk, CAST(count(*) AS BIGINT) AS n_occ,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |  FROM ch GROUP BY 1)
+             |SELECT chunk, n_occ, n_docs FROM cen
+             |WHERE n_docs >= 2 ORDER BY n_occ DESC, chunk""".stripMargin)),
 
     // ---- q89: segment-level (sub-document) dedup ----------------------------
     // 16-token non-overlapping grid, keep-first semantics: a repeated

@@ -296,4 +296,28 @@ class DedupSpec extends SparkSpec {
     assert(spans(1L) == ((8L, pre1)), spans(1L).toString)
     assert(spans(2L) == ((8L, s"$pre2 v1 v2")), spans(2L).toString)
   }
+
+  test("cdcChunkDups: chunks re-align after an insertion (the CDC property)") {
+    import graft.operators.Dedup
+    // a long shared tail; doc 2 inserts one token near the front
+    val tail = (0 until 200).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $tail"),
+      (2L, s"alpha INSERTED beta $tail")).toDF("doc_id", "text")
+    val dups = Dedup.cdcChunkDups(docs, modulus = 8, minDocs = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // nearly every tail chunk must re-align and be reported shared —
+    // a FIXED-window chunker would share none of them after the shift
+    val chunksPerDoc = docs.limit(1)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 8 === 0)
+      .count() + 1 // boundary count + leading chunk ~ chunks in doc 1
+    assert(dups.length >= (chunksPerDoc * 0.7).toInt,
+      s"only ${dups.length} of ~$chunksPerDoc chunks re-aligned")
+    assert(dups.forall(_._3 == 2))
+    // determinism: identical output on re-run
+    val again = Dedup.cdcChunkDups(docs, modulus = 8, minDocs = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dups.toSeq == again.toSeq)
+  }
 }
