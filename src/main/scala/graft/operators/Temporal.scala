@@ -50,7 +50,71 @@ object Temporal {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Frequent session paths — the sequence-mining step past q118's global
+    * first-order transitions: length-3 event-type sequences WITHIN a
+    * session (q54's 30-minute-gap sessionization, same integer-µs gap
+    * spelling and (t, event_id) tie order), ranked by frequency. Paths
+    * never cross a session boundary, which is exactly what the global
+    * transition matrix cannot see. One user_id shuffle feeds the gap
+    * window, the session window, and the leads; the census
+    * partial-aggregates and top-k lands on TakeOrdered. */
+  def sessionPaths(events: org.apache.spark.sql.DataFrame, pathLen: Int = 3,
+      topK: Int = 20, gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pathLen >= 2 && topK >= 1)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val runFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSess = events
+      .withColumn("t", unix_micros(col("ts")))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(byUser))
+      .withColumn("new_s", when(col("gap").isNull || col("gap") >= gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(runFrame))
+    val inSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("t"), col("event_id"))
+    val steps = (0 until pathLen).map {
+      case 0 => col("event_type")
+      case i => lead(col("event_type"), i).over(inSess)
+    }
+    withSess
+      .withColumn("path", concat_ws(">", steps: _*))
+      .withColumn("last_step", steps.last)
+      .filter(col("last_step").isNotNull) // sessions shorter than pathLen drop out
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(topK)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q134: frequent session paths --------------------------------------
+    // Top-20 length-3 in-session event-type sequences; the oracle replays
+    // sessionization (q54's spelling), both leads, and the census.
+    QueryDef(
+      "q134_session_paths",
+      (s, d) => sessionPaths(Tables.events(s, d)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, event_id, event_type, t,
+             |    CASE WHEN t - lag(t, 1) OVER w IS NULL
+             |           OR t - lag(t, 1) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |sid AS (
+             |  SELECT user_id, event_id, event_type, t,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g),
+             |p AS (
+             |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+             |           || '>' || lead(event_type, 2) OVER w AS path,
+             |    lead(event_type, 2) OVER w AS l2
+             |  FROM sid
+             |  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY t, event_id))
+             |SELECT path, CAST(count(*) AS BIGINT) AS n
+             |FROM p WHERE l2 IS NOT NULL
+             |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin)),
 
     // ---- q130: windowed rate-anomaly flags ---------------------------------
     // 10-minute type censuses scored against the previous 6 observed

@@ -59,4 +59,19 @@ class TemporalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(4))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("sessionPaths: paths never cross a session boundary") {
+    // one user: [a b c] ... 40-minute gap ... [c a b]; length-3 paths
+    // within sessions are exactly a>b>c and c>a>b — never b>c>c etc.
+    val rows = Seq(
+      (1L, 0L, "a"), (2L, 60L, "b"), (3L, 120L, "c"),
+      (4L, 120L + 2400L, "c"), (5L, 120L + 2460L, "a"), (6L, 120L + 2520L, "b"))
+      .map { case (id, sec, t) => (id, 7L, sec * 1000000L, t) }
+    val ev = rows.toDF("event_id", "user_id", "us", "event_type")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"), $"event_type")
+    val out = Temporal.sessionPaths(ev, pathLen = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out.toSet == Set(("a>b>c", 1L), ("c>a>b", 1L)),
+      s"cross-boundary paths leaked: $out")
+  }
 }
