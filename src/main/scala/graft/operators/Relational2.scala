@@ -7,7 +7,57 @@ import graft.core.{QueryDef, Tables}
 /** Outer-join and string/null-function coverage. */
 object Relational2 {
 
+  /** KEY-FREE interval join — points-in-intervals with NO shared equi key,
+    * the shape Catalyst can only plan as a broadcast nested loop (or a
+    * cartesian product once both sides are big). Range banding restores a
+    * hash join: every interval explodes to the buckets it overlaps
+    * (⌈len/width⌉+1 — cheap-inline generator input, the fast explode
+    * shape), every point lands in EXACTLY one bucket, the join is a plain
+    * bucket equi-join, and the exact range predicate trims the band
+    * edges. A qualifying pair meets in exactly one bucket (the point's),
+    * so the output needs no dedup; IEEE division is monotone, so a point
+    * inside [lo, hi] can never band outside [⌊lo/w⌋, ⌊hi/w⌋] — the
+    * banding is lossless by monotonicity, not by tolerance. Cost:
+    * shuffle ∝ intervals·(len/width) + points; pick width ≈ the typical
+    * interval length (the standard binned-range-join trade; q68 covers
+    * the easier case where an equi key already bounds the pairing).
+    * `intervals` needs (lo, hi) columns, `points` a (v) column; all other
+    * columns pass through. */
+  def bandedRangeJoin(intervals: org.apache.spark.sql.DataFrame,
+      points: org.apache.spark.sql.DataFrame, width: Double): org.apache.spark.sql.DataFrame = {
+    require(width > 0, s"band width must be positive: $width")
+    val ib = intervals.withColumn("bucket",
+      explode(sequence(floor(col("lo") / width).cast("long"),
+        floor(col("hi") / width).cast("long"))))
+    val pb = points.withColumn("bucket", floor(col("v") / width).cast("long"))
+    ib.join(pb, Seq("bucket"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .drop("bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q135: key-free banded range join ----------------------------------
+    // Customers within ±50 of each supplier's account balance — no equi
+    // key anywhere; the oracle is the plain theta join (small at gate SF),
+    // while the Spark plan is the banded hash join (PlanSpec pins the
+    // absence of nested-loop/cartesian operators).
+    QueryDef(
+      "q135_banded_range_join",
+      (s, d) => {
+        import s.implicits._
+        val sup = Tables.supplier(s, d).select($"s_suppkey",
+          ($"s_acctbal" - 50).as("lo"), ($"s_acctbal" + 50).as("hi"))
+        val cust = Tables.customer(s, d).select($"c_custkey", $"c_acctbal".as("v"))
+        bandedRangeJoin(sup, cust, width = 100.0)
+          .select($"s_suppkey", $"c_custkey", $"v".as("c_acctbal"))
+          .orderBy($"s_suppkey", $"c_custkey")
+      },
+      Some("""SELECT s.s_suppkey, c.c_custkey, c.c_acctbal
+             |FROM supplier s JOIN customer c
+             |  ON c.c_acctbal >= s.s_acctbal - 50
+             | AND c.c_acctbal <= s.s_acctbal + 50
+             |ORDER BY s_suppkey, c_custkey""".stripMargin)),
 
     // ---- q28: outer joins with null-aware aggregation ----------------------
     // Left join keeps order-less customers; coalesce folds the null side.

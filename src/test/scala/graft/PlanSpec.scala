@@ -288,4 +288,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"totals must broadcast:\n$p")
   }
+
+  test("q135: the key-free range join bands into a HASH join, never a nested loop") {
+    val p = physicalPlan("q135_banded_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range banding must produce an equi join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a hash/merge join on the band bucket:\n$p")
+  }
 }
