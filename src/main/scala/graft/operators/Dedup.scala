@@ -472,7 +472,19 @@ object Dedup {
     * xxhash64(chunk) like [[dupSpans]]; the gate keeps raw chunk text
     * because the oracle must replay it. */
   def cdcChunkDups(docs: DataFrame, modulus: Int, minDocs: Int): DataFrame = {
-    require(modulus >= 2 && minDocs >= 2, s"bad cdc params $modulus/$minDocs")
+    require(minDocs >= 2, s"bad cdc minDocs $minDocs")
+    cdcChunks(docs, modulus)
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(desc("n_occ"), col("chunk"))
+  }
+
+  /** The chunking half of [[cdcChunkDups]]: (doc_id, cid, chunk) rows,
+    * chunk = the ordered tokens between content-defined boundaries —
+    * shared with [[containmentPairs]]' candidate generation. */
+  private[graft] def cdcChunks(docs: DataFrame, modulus: Int): DataFrame = {
+    require(modulus >= 2, s"bad cdc modulus $modulus")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val bnd = (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
@@ -483,10 +495,59 @@ object Dedup {
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         t => t.getField("tok"))).as("chunk"))
-      .groupBy(col("chunk"))
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .orderBy(desc("n_occ"), col("chunk"))
+  }
+
+  /** Containment near-dup — the asymmetric case Jaccard structurally
+    * misses: a document EMBEDDED in a longer one (quoted article, template
+    * + payload) has high containment |A∩B|/|A| but low Jaccard (the union
+    * is dominated by B). Candidates come from shared content-defined
+    * chunks ([[cdcChunks]]) — two docs sharing long runs of text share
+    * CDC chunks regardless of where the run sits (the insertion-robust
+    * property q133 pins) — filtered to pairs sharing ≥ half the smaller
+    * doc's distinct chunks; verification is the exact integer containment
+    * test on distinct shingle sets, restricted to candidates. Output is
+    * DIRECTED: contained = the smaller shingle set (lower id on ties).
+    *
+    * Approximate-candidate tier like q46 (chunk overlap has no
+    * containment theorem — a paraphrase inside every chunk defeats it),
+    * so the gate replays the WHOLE pipeline (chunking, overlap rule,
+    * exact verify) rather than assuming recall; DedupSpec plants a true
+    * embedding. Scale shape: chunk equi-join bounded by duplicate-run
+    * mass (hot boilerplate chunks are the q46 hot-bucket analogue — cap
+    * the census the capBuckets way); shingle arrays touch only candidate
+    * pairs. */
+  def containmentPairs(docs: DataFrame, modulus: Int = 8,
+      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < t <= 1, got $tNum/$tDen")
+    val chunks = cdcChunks(docs, modulus).select(col("doc_id"), col("chunk")).distinct()
+    val counts = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    val shared = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val cand = shared
+      .join(counts.select(col("doc_id").as("a_id"), col("nc").as("nca")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("nc").as("ncb")), "b_id")
+      .filter(col("shared") * 2 >= least(col("nca"), col("ncb")))
+      .select(col("a_id"), col("b_id"))
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("s"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .filter(col("inter") * tDen >= least(col("na"), col("nb")) * tNum)
+      .select(
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("a_id") < col("b_id")), col("a_id"))
+          .otherwise(col("b_id")).as("contained_id"),
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("a_id") < col("b_id")), col("b_id"))
+          .otherwise(col("a_id")).as("container_id"),
+        col("inter"), least(col("na"), col("nb")).as("n_contained"),
+        greatest(col("na"), col("nb")).as("n_container"))
+      .orderBy(col("contained_id"), col("container_id"))
   }
 
   def dupSpans(docs: DataFrame, n: Int, minCount: Int): DataFrame = {
@@ -851,6 +912,63 @@ object Dedup {
              |  FROM ch GROUP BY 1)
              |SELECT chunk, n_occ, n_docs FROM cen
              |WHERE n_docs >= 2 ORDER BY n_occ DESC, chunk""".stripMargin)),
+
+    // ---- q136: containment near-dup (asymmetric) ---------------------------
+    // CDC-chunk candidates (≥ half the smaller doc's distinct chunks
+    // shared) + exact shingle-containment verify at t = 1/2, directed
+    // smaller → larger. The oracle replays the ENTIRE pipeline — this is
+    // an approximate-candidate tier (q46-style), so its oracle mirrors
+    // the algorithm, not an idealized all-pairs truth.
+    QueryDef(
+      "q136_containment_dedup",
+      (s, d) => containmentPairs(Tables.documents(s, d), modulus = 8,
+        tNum = 1, tDen = 2),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             |tk AS (
+             |  SELECT doc_id, i AS pos, a[i] AS tok
+             |  FROM t, unnest(range(1, len(a) + 1)) AS r(i)),
+             |f AS (
+             |  SELECT doc_id, pos, tok,
+             |    CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 8 = 0
+             |         THEN 1 ELSE 0 END AS b
+             |  FROM tk),
+             |c AS (
+             |  SELECT doc_id, pos, tok,
+             |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+             |  FROM f),
+             |ch AS (
+             |  SELECT DISTINCT doc_id, chunk FROM (
+             |    SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS chunk
+             |    FROM c GROUP BY 1, 2)),
+             |nc AS (SELECT doc_id, count(*) AS nc FROM ch GROUP BY 1),
+             |shared AS (
+             |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS shared
+             |  FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT s.a_id, s.b_id
+             |  FROM shared s
+             |  JOIN nc na ON na.doc_id = s.a_id
+             |  JOIN nc nb ON nb.doc_id = s.b_id
+             |  WHERE s.shared * 2 >= least(na.nc, nb.nc)),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+             |                   for i in range(1, greatest(len(a) - 1, 1))]) AS s
+             |  FROM t WHERE len(a) >= 3),
+             |v AS (
+             |  SELECT c.a_id, c.b_id,
+             |    len(list_intersect(x.s, y.s)) AS inter,
+             |    len(x.s) AS na, len(y.s) AS nb
+             |  FROM cand c
+             |  JOIN sh x ON x.doc_id = c.a_id
+             |  JOIN sh y ON y.doc_id = c.b_id)
+             |SELECT
+             |  CASE WHEN na < nb OR (na = nb AND a_id < b_id) THEN a_id ELSE b_id END AS contained_id,
+             |  CASE WHEN na < nb OR (na = nb AND a_id < b_id) THEN b_id ELSE a_id END AS container_id,
+             |  inter, least(na, nb) AS n_contained, greatest(na, nb) AS n_container
+             |FROM v WHERE inter * 2 >= least(na, nb) * 1
+             |ORDER BY contained_id, container_id""".stripMargin)),
 
     // ---- q89: segment-level (sub-document) dedup ----------------------------
     // 16-token non-overlapping grid, keep-first semantics: a repeated

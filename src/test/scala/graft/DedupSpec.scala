@@ -320,4 +320,25 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(dups.toSeq == again.toSeq)
   }
+
+  test("containmentPairs: finds a doc embedded in a longer one that Jaccard misses") {
+    import graft.operators.Dedup
+    val inner = (0 until 60).map(i => s"c$i").mkString(" ")
+    val padding = (0 until 240).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (10L, inner),                       // the contained article
+      (20L, s"$padding $inner"),          // embedded in 5x the text
+      (30L, (0 until 80).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out.length == 1, s"exactly the planted embedding: ${out.toSeq}")
+    val (contained, container, inter, nSmall, nBig) = out.head
+    assert(contained == 10L && container == 20L, "direction: smaller into larger")
+    // the inner doc's shingles are (nearly) fully contained...
+    assert(inter >= nSmall - 2 && nBig > nSmall * 3)
+    // ...while Jaccard over the union is far below any near-dup threshold
+    assert(inter.toDouble / (nSmall + nBig - inter) < 0.25,
+      "the planted pair must be invisible to a Jaccard >= 0.5 dedup")
+  }
 }
