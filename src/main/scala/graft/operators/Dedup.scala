@@ -517,11 +517,25 @@ object Dedup {
     * the census the capBuckets way); shingle arrays touch only candidate
     * pairs. */
   def containmentPairs(docs: DataFrame, modulus: Int = 8,
-      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+      tNum: Int = 1, tDen: Int = 2,
+      maxChunkDocs: Int = Int.MaxValue): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < t <= 1, got $tNum/$tDen")
+    require(maxChunkDocs >= 2, s"maxChunkDocs must be >= 2: $maxChunkDocs")
     val chunks = cdcChunks(docs, modulus).select(col("doc_id"), col("chunk")).distinct()
     val counts = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
-    val shared = chunks.as("x").join(chunks.as("y"),
+    // Hot-chunk cap — q46's maxBucket contract on the chunk key: a chunk
+    // shared by > maxChunkDocs docs is corpus boilerplate whose B² join
+    // blow-up buys no signal (pairs overlapping ONLY on it are boilerplate
+    // matches by definition; pairs with genuine shared runs still meet on
+    // their other chunks). The census is a map-side partial agg on the
+    // SAME chunk key the join uses — never a window (the q89 rule).
+    val joinable =
+      if (maxChunkDocs == Int.MaxValue) chunks
+      else chunks.join(
+        chunks.groupBy(col("chunk")).agg(count(lit(1)).as("cdf"))
+          .filter(col("cdf") <= maxChunkDocs).select(col("chunk")),
+        Seq("chunk"))
+    val shared = joinable.as("x").join(joinable.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))

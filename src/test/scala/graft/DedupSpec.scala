@@ -341,4 +341,20 @@ class DedupSpec extends SparkSpec {
     assert(inter.toDouble / (nSmall + nBig - inter) < 0.25,
       "the planted pair must be invisible to a Jaccard >= 0.5 dedup")
   }
+
+  test("containmentPairs: hot-chunk cap sheds boilerplate without losing real embeddings") {
+    import graft.operators.Dedup
+    val boiler = "same cookie banner on every page"
+    val inner = (0 until 60).map(i => s"c$i").mkString(" ")
+    val padding = (0 until 240).map(i => s"p$i").mkString(" ")
+    // 200 unrelated docs all sharing one boilerplate chunk + a true embedding
+    val docs = ((0 until 200).map(i =>
+        (100L + i, s"$boiler ${(0 until 40).map(j => s"u${i}_$j").mkString(" ")}")) ++
+      Seq((10L, inner), (20L, s"$padding $inner")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, maxChunkDocs = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((10L, 20L)),
+      s"the embedding survives the cap, boilerplate-only pairs do not: ${capped.toSeq}")
+  }
 }
