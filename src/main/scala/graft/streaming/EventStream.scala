@@ -143,6 +143,67 @@ object EventStream {
       .filter(col("rk") <= k)
       .select(col("win_start"), col("rk"), col("term"), col("n"))
 
+  /** Bounded-state streaming frequency sketch — the CMS face of the
+    * windowed censuses: [[trendingTerms]]' state is (window × VOCABULARY)
+    * rows, which is the right exact tool for bounded vocabularies but
+    * unbounded state on an open key domain (URLs, n-grams). This keeps
+    * d×w COUNTERS per window whatever the key cardinality: terms hash
+    * into the `Sketches.cmsParams` integer domain row-locally, and the
+    * one stateful aggregation is `groupBy(window, j, bucket)` — partial
+    * counts merge by addition exactly like the batch sketch, so per-window
+    * cells equal `Sketches.countMin` over that window's tokens
+    * (StreamingSpec pins the parity). Point queries run sink-side
+    * ([[probeWindowedSketch]]) — the same census/probe split as the other
+    * monitors. */
+  def windowedSketchCounts(docs: DataFrame, w: Int,
+      params: Seq[(Long, Long)]): DataFrame = {
+    val hk = pmod(xxhash64(col("term")), lit(graft.operators.Sketches.P))
+    val probes = params.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"),
+        (pmod(hk * lit(a) + lit(b), lit(graft.operators.Sketches.P)) % w).as("bucket"))
+    }
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(graft.functions.TextOps.tokens(col("text"))).as("term"))
+      .select(col("ts"), explode(array(probes: _*)).as("r"))
+      .groupBy(window(col("ts"), "10 minutes").as("wn"),
+        col("r.j").as("j"), col("r.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_timestamp(col("wn.start")).as("win_start"),
+        col("j"), col("bucket"), col("c"))
+  }
+
+  /** Sink-side point estimates against a [[windowedSketchCounts]] cell
+    * table: per (window, watched term), the min over the d cells the term
+    * hashes to — one-sided (≥ the exact windowed count) like every CMS
+    * read. The watchlist is a plan literal; the cell table is the only
+    * data input. */
+  def probeWindowedSketch(cells: DataFrame, watch: Seq[String], w: Int,
+      params: Seq[(Long, Long)]): DataFrame = {
+    val watchDf = cells.sparkSession.createDataFrame(
+      watch.map(Tuple1(_))).toDF("term")
+    val hk = pmod(xxhash64(col("term")), lit(graft.operators.Sketches.P))
+    val probes = params.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"),
+        (pmod(hk * lit(a) + lit(b), lit(graft.operators.Sketches.P)) % w).as("bucket"))
+    }
+    // windows × watchlist as a LITERAL frame: joining `cells` against a
+    // frame derived from `cells` hits the derived-self-join resolution
+    // failure on memory-sink views (the recorded driftPerWindow lesson);
+    // the window list is bounded by the monitoring horizon, so a driver
+    // materialization is the q128-bracket kind of bounded state, not a
+    // corpus collect.
+    val wins = cells.select(col("win_start")).distinct().collect().map(_.getLong(0))
+    cells.sparkSession.createDataFrame(wins.map(Tuple1(_)).toSeq).toDF("win_start")
+      .crossJoin(broadcast(watchDf))
+      .select(col("win_start"), col("term"), explode(array(probes: _*)).as("r"))
+      .select(col("win_start"), col("term"), col("r.j").as("j"), col("r.bucket").as("bucket"))
+      .join(cells, Seq("win_start", "j", "bucket"), "left")
+      .groupBy(col("win_start"), col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .orderBy(col("win_start"), col("term"))
+  }
+
   /** Static-corpus token distribution (term, p_ref) — the reference side
     * of [[driftPerWindow]]: build it ONCE from the training corpus, then
     * compare every arriving window against it. One vocab-sized census

@@ -412,4 +412,49 @@ class StreamingSpec extends SparkSpec {
     assert(lagAfter == Seq("v0", "v2"), s"pinned v0 must survive: $lagAfter")
     assert(lagDeleted == Seq("v1"))
   }
+
+  test("windowed CMS: streaming cells equal the batch sketch per window; probe bounds exact") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_docs_cms")
+    Files.createSymbolicLink(dir.resolve("documents.parquet"),
+      Paths.get(s"$sf0001/documents.parquet"))
+    val params = graft.operators.Sketches.cmsParams(4, seed = 17)
+    val w = 64
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros($"doc_id" * 60000000L))
+    val cells = EventStream.runToMemory(spark,
+      EventStream.windowedSketchCounts(
+        withTs(EventStream.readDocuments(spark, dir.toString)), w, params),
+      "cms_cells")
+    // batch twin: per window, Sketches.countMin over that window's hashed terms
+    val batchTerms = withTs(graft.core.Tables.documents(spark, sf0001))
+      .select(unix_timestamp(window($"ts", "10 minutes").getField("start")).as("win_start"),
+        explode(graft.functions.TextOps.tokens($"text")).as("term"))
+      .select($"win_start",
+        pmod(xxhash64($"term"), lit(graft.operators.Sketches.P)).as("hk"))
+    val wins = batchTerms.select($"win_start").distinct().collect().map(_.getLong(0))
+    assert(wins.length > 1)
+    def cellSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = cellSet(cells)
+    val batch = wins.flatMap { ws =>
+      graft.operators.Sketches.countMin(
+        batchTerms.filter($"win_start" === ws).select($"hk"), "hk", w, params)
+        .collect().map(r => (ws, r.getInt(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(streamed == batch)
+    // sink-side probe is one-sided vs the exact windowed census
+    val watch = Seq("table", "sort", "no_such_term")
+    val est = EventStream.probeWindowedSketch(cells, watch, w, params).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val exact = withTs(graft.core.Tables.documents(spark, sf0001))
+      .select(unix_timestamp(window($"ts", "10 minutes").getField("start")).as("win_start"),
+        explode(graft.functions.TextOps.tokens($"text")).as("term"))
+      .filter($"term".isin(watch: _*))
+      .groupBy($"win_start", $"term").count().collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"$k: est ${est(k)} < exact $n") }
+    assert(est.keys.count(_._2 == "no_such_term") == wins.length)
+  }
 }
