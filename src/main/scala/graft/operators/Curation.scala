@@ -67,6 +67,46 @@ object Curation {
         round(avg(col("q")), 4).as("mean_quality"))
       .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
 
+  /** MERGEABLE dataset card — the incremental face of [[datasetCard]]:
+    * release stats that combine across corpus increments WITHOUT
+    * rescanning history. Counts (docs, tokens) merge by addition; the
+    * exact-duplicate signal cannot (distinct fingerprints are not a sum),
+    * so it rides as a per-slice HyperLogLog register table
+    * (`Sketches.hllRegisters` over the 32-bit head of the canonical
+    * fingerprint) that merges by per-register max — the q103 union
+    * contract. `mergeCards` of two increments is EXACTLY the card of
+    * their union (registers are max-merged, not approximately combined;
+    * only the final distinct ESTIMATE carries HLL error), which is what
+    * lets a 100 TB release maintain its datasheet append-only. Returns
+    * (counts, registers): counts = (source, lang, n_docs, n_tokens);
+    * registers = (source, lang, reg, rho). */
+  def cardSketch(docs: DataFrame): (DataFrame, DataFrame) = {
+    val counts = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+    val keyed = docs.select(col("source"), col("lang"),
+      conv(substring(TextOps.fingerprint(col("text")), 1, 8), 16, 10)
+        .cast("long").as("fpk"))
+    val regs = Sketches.hllRegisters(keyed, "fpk",
+        struct(col("source"), col("lang")), Sketches.Hll.a, Sketches.Hll.b)
+      .select(col("grp.source").as("source"), col("grp.lang").as("lang"),
+        col("reg"), col("rho"))
+    (counts, regs)
+  }
+
+  /** Combine two [[cardSketch]] increments: addition for counts, per-
+    * register max for the HLL side — exactly the card of the unioned
+    * corpora. */
+  def mergeCards(a: (DataFrame, DataFrame), b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val counts = a._1.unionByName(b._1)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val regs = a._2.unionByName(b._2)
+      .groupBy(col("source"), col("lang"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+    (counts, regs)
+  }
+
   /** Keep at most `k` documents per domain, best quality first (doc_id
     * tiebreak). ONE hash shuffle on the domain key; Spark's rank-limit
     * pushdown plants a map-side WindowGroupLimit below the exchange

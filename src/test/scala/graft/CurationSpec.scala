@@ -482,4 +482,25 @@ class CurationSpec extends SparkSpec {
     val one = Curation.ringNegatives(Seq(42L).toDF("doc_id"), k = 2).collect()
     assert(one.isEmpty)
   }
+
+  test("cardSketch/mergeCards: merged increments equal the whole-corpus card EXACTLY") {
+    val docs = docsDf
+    val h1 = docs.filter($"doc_id" % 2 === 0)
+    val h2 = docs.filter($"doc_id" % 2 =!= 0)
+    val (mc, mr) = Curation.mergeCards(Curation.cardSketch(h1), Curation.cardSketch(h2))
+    val (wc, wr) = Curation.cardSketch(docs)
+    def cset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(cset(mc) == cset(wc), "counts must merge by addition, exactly")
+    assert(rset(mr) == rset(wr), "registers must max-merge to the union's table, exactly")
+    // the distinct-fingerprint ESTIMATE from the merged registers lands
+    // near the exact census (m = 128 -> ~9% sigma; allow 3 sigma)
+    val est = graft.operators.Sketches.hllEstimateCorrected(
+      mr.select(struct($"source", $"lang").as("grp"), $"reg", $"rho"))
+      .agg(sum($"est")).head().getDouble(0)
+    val exact = docs.select(graft.functions.TextOps.fingerprint($"text")).distinct().count()
+    assert(math.abs(est / exact - 1.0) < 0.3, s"est $est vs exact $exact")
+  }
 }
