@@ -136,6 +136,45 @@ object Sketches {
       .orderBy(desc("freq"), col(keyCol))
   }
 
+  /** Per-group exact heavy hitters — [[heavyHitters]] with the threshold
+    * taken per group (every key above n_g/k within ITS group, e.g. the
+    * boilerplate n-grams of each crawl domain). ONE global sketch serves
+    * all groups: a global CMS cell includes every group's occurrences, so
+    * est ≥ count_g for any group and the superset property survives the
+    * per-group thresholds; the exact recount then filters per group.
+    * Group thresholds are bounded driver state (groups × 1 longs — the
+    * bounded-groups contract, like `bisectQuantiles`' brackets) rebuilt
+    * as a LITERAL broadcast frame, so pass 2 carries a single corpus
+    * lineage: probe → per-group filter → (grp, key) partial-agg recount. */
+  def groupedHeavyHitters(rows: DataFrame, grpCol: String, keyCol: String,
+      k: Int, w: Int = 1024, d: Int = 4, seed: Long = 137): DataFrame = {
+    require(k >= 2 && w >= 2 && d >= 2, s"invalid params k=$k w=$w d=$d")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val params = cmsParams(d, seed)
+    val keyed = rows.select(col(grpCol), col(keyCol),
+      pmod(xxhash64(col(keyCol)), lit(P)).as("hk"))
+    val cells = countMin(keyed, "hk", w, params).collect()
+    val tables = Array.fill(d)(new Array[Long](w))
+    cells.foreach(r => tables(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    // bounded per-group thresholds, re-issued as a literal frame (no
+    // lineage back to the corpus — a derived-frame join would re-scan)
+    val thr = keyed.groupBy(col(grpCol))
+      .agg(expr(s"count(1) div $k").as("thr")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF(grpCol, "thr")
+    val est = least(params.zipWithIndex.map { case ((a, b), j) =>
+      element_at(lit(tables(j)), (bucket(col("hk"), a, b, w) + 1).cast("int"))
+    }: _*)
+    keyed.join(broadcast(thr), Seq(grpCol))
+      .filter(est > col("thr"))
+      .groupBy(col(grpCol), col(keyCol), col("thr"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > col("thr"))
+      .select(col(grpCol), col(keyCol), col("freq"))
+      .orderBy(col(grpCol), desc("freq"), col(keyCol))
+  }
+
   /** Pass-1½ of [[heavyHitters]]: the candidate ROW stream (rows whose
     * key's sketch estimate exceeds n/k) plus the threshold — exposed so
     * SketchesSpec can pin the pruning ratio on planted Zipf data, which
@@ -650,6 +689,28 @@ object Sketches {
         est.crossJoin(exact)
       },
       Some(JoinCms.oracle)),
+
+    // ---- q137: per-group exact heavy hitters -------------------------------
+    // Each source's bigrams above n_source/300, exactly — one global
+    // sketch pre-screens all groups (a global cell upper-bounds every
+    // per-group count); the oracle is the per-group census + HAVING.
+    QueryDef(
+      "q137_group_heavy_hitters",
+      (s, dir) => groupedHeavyHitters(
+        Tables.documents(s, dir).select(col("source"),
+          explode(graft.functions.TextOps.ngrams(col("text"), 2)).as("bigram")),
+        "source", "bigram", k = 300, w = 1024, d = 4, seed = 137),
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+             |bg AS (
+             |  SELECT source,
+             |    unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS bigram
+             |  FROM t WHERE len(t) >= 2),
+             |tot AS (SELECT source, count(*) AS n FROM bg GROUP BY 1),
+             |c AS (SELECT source, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+             |SELECT c.source, c.bigram, CAST(c.c AS BIGINT) AS freq
+             |FROM c JOIN tot ON tot.source = c.source
+             |WHERE c.c > tot.n // 300
+             |ORDER BY c.source, freq DESC, bigram""".stripMargin)),
 
     // ---- q124: exact heavy hitters (sketch-then-verify) --------------------
     // Bigram heavy hitters over the corpus: every bigram occurring more

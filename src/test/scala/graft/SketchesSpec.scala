@@ -191,6 +191,27 @@ class SketchesSpec extends SparkSpec {
     assert(c <= hot.size + 200L, s"tail not pruned: $c candidate rows of $n")
   }
 
+  test("groupedHeavyHitters: per-group thresholds, exact output, planted skew") {
+    // group g1: one hot key over a uniform tail; g2: all uniform (no HH)
+    val rows = (Seq.fill(500)(("g1", "hot")) ++
+      (0 until 300).map(i => ("g1", s"a$i")) ++
+      (0 until 400).map(i => ("g2", s"b${i % 40}"))).toDF("grp", "key")
+    val out = Sketches.groupedHeavyHitters(rows, "grp", "key", k = 10,
+        w = 512, d = 4, seed = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // g1: thr = 800/10 = 80 -> only "hot" (500); g2: thr = 40, each key has 10
+    assert(out == Seq(("g1", "hot", 500L)), s"got $out")
+    // replay: census + per-group HAVING from first principles
+    val all = (Seq.fill(500)(("g1", "hot")) ++
+      (0 until 300).map(i => ("g1", s"a$i")) ++
+      (0 until 400).map(i => ("g2", s"b${i % 40}")))
+    val totals = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val exp = all.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter { case ((g, _), c) => c > totals(g) / 10 }
+      .map { case ((g, key), c) => (g, key, c) }
+    assert(out.toSet == exp.toSet)
+  }
+
   test("heavyHitters: output is exact even when the sketch is saturated (w = 8)") {
     // with 2003 keys in 8 buckets every estimate is inflated — the filter
     // passes nearly everything, and the exact recount must still discard
