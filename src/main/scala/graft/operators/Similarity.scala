@@ -261,6 +261,28 @@ object Similarity {
       .orderBy(col("qid"), col("kind"), col("rank"))
   }
 
+  /** Embedding-space class separability — the go/no-go diagnostic run
+    * BEFORE spending on clustering/ANN/triplet mining: per label, the
+    * mean within-class cosine, plus the across-class mean as the
+    * `label = -1` row. Embeddings that score intra ≈ inter are noise for
+    * label-driven work no matter how good the index is (exactly the
+    * regime the IVF-PQ spec measured on this corpus). Gate shape:
+    * input-capped all-pairs (the verification rule); the production path
+    * subsamples pairs per class with the q131 hash-ring — the statistic
+    * needs thousands of pairs, not all of them. */
+  def classSeparability(embs: DataFrame, nVecs: Int): DataFrame = {
+    val e = embs.filter(col("vec_id") < nVecs)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        when(col("a.label") === col("b.label"), col("a.label"))
+          .otherwise(lit(-1)).as("label"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    pairs.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 6).as("mean_cos"))
+      .orderBy(col("label"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q48: embedding cosine near-dup pairs ------------------------------
@@ -326,6 +348,27 @@ object Similarity {
              |SELECT qid, nid, rank, round(cos, 4) AS cos
              |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
       headline = true),
+
+    // ---- q138: embedding class separability --------------------------------
+    // Mean within-class cosine per label + the across-class mean as the
+    // label = -1 row, over the capped pair set; round(avg, 6) absorbs the
+    // cross-engine summation-order noise of the ~80k-term averages.
+    QueryDef(
+      "q138_class_separability",
+      (s, d) => classSeparability(Tables.embeddings(s, d), nVecs = 400),
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE vec_id < 400),
+             |p AS (
+             |  SELECT CASE WHEN a.label = b.label THEN a.label ELSE -1 END AS label,
+             |    list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+             |      / nullif(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             |             * sqrt(list_sum(list_transform(b.v, x -> x * x))), 0.0) AS cos
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round(avg(cos), 6) AS mean_cos
+             |FROM p GROUP BY label ORDER BY label""".stripMargin)),
 
     // ---- q126: hard-triplet mining (contrastive training prep) -------------
     // q49's engine-independent ranking contract (round-6 cosine + nid

@@ -205,4 +205,25 @@ class SimilaritySpec extends SparkSpec {
     // same ranking contract (round-6 cosine, id tiebreak) as the query
     assert(negs.toSeq == bruteNegs)
   }
+
+  test("classSeparability: separable blobs score intra >> inter; noise scores ~0") {
+    // two tight blobs around orthogonal axes
+    val vecs = (0 until 40).map { i =>
+      val label = i % 2
+      val base = Array.fill(8)(0.01f * (i % 5))
+      base(label * 4) = 1.0f
+      (i.toLong, base.toSeq, label)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val out = graft.operators.Similarity.classSeparability(df, nVecs = 40)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(0) > 0.9 && out(1) > 0.9, s"intra must be tight: $out")
+    assert(out(-1) < 0.5, s"inter must be far below intra: $out")
+    // the real (noise) corpus honestly reports no separability
+    val real = graft.operators.Similarity.classSeparability(
+      graft.core.Tables.embeddings(spark, sf0001), nVecs = 200)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(real(-1)) < 0.05 && real.forall { case (_, m) => math.abs(m) < 0.1 })
+  }
 }
