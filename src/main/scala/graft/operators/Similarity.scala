@@ -283,6 +283,37 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Quantization recall audit — does int8 compression change RETRIEVAL?
+    * The question that decides whether q74's 4× shrink is free: per query,
+    * the overlap between the float top-k and the top-k computed over the
+    * int8-quantized corpus. Cosine is scale-invariant, so the quantized
+    * ranking runs DIRECTLY on the integer vectors (the per-vector scale
+    * divides out of the norm — no dequantization pass, no float read of
+    * the compressed corpus). Input-capped queries (the verification
+    * rule); both rankings use q49's engine-independent contract. */
+  def quantizedRecallAudit(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = embs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def topk(corpus: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 6).desc, col("nid"))
+      broadcast(q).join(corpus, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          VectorOps.cosine(col("qv"), col("nv")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("nid"))
+    }
+    val fTop = topk(embs.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+    val iTop = topk(Curation.quantizeInt8(embs, "embedding")
+      .select(col("vec_id").as("nid"), col("qvec").cast("array<double>").as("nv")))
+    q.select(col("qid"))
+      .join(fTop.join(iTop, Seq("qid", "nid")).groupBy(col("qid"))
+        .agg(count(lit(1)).as("n")), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n"), lit(0L)).as("n_common"))
+      .orderBy(col("qid"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q48: embedding cosine near-dup pairs ------------------------------
@@ -348,6 +379,51 @@ object Similarity {
              |SELECT qid, nid, rank, round(cos, 4) AS cos
              |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
       headline = true),
+
+    // ---- q139: int8-quantization recall audit ------------------------------
+    // Overlap@5 between the float and int8-ranked top-k for 10 queries;
+    // the oracle replays the quantization (q74's spelling), both
+    // rankings, and the overlap count.
+    QueryDef(
+      "q139_quantized_recall",
+      (s, d) => quantizedRecallAudit(Tables.embeddings(s, d), nQueries = 10, k = 5),
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id,
+             |    list_transform(v, x -> CAST(greatest(-127, least(127,
+             |      CAST(floor(x * scale + 0.5) AS BIGINT))) AS DOUBLE)) AS iv
+             |  FROM (SELECT vec_id, v,
+             |          CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+             |        FROM (SELECT vec_id, v,
+             |                list_max(list_transform(v, x -> abs(x))) AS mx FROM e))),
+             |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+             |f AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT q.qid, n.vec_id AS nid,
+             |      row_number() OVER (PARTITION BY q.qid ORDER BY
+             |        round(list_sum(list_transform(list_zip(q.qv, n.v), t -> t[1] * t[2]))
+             |          / nullif(sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+             |                 * sqrt(list_sum(list_transform(n.v, x -> x * x))), 0.0), 6) DESC,
+             |        n.vec_id) AS rk
+             |    FROM qs q JOIN e n ON n.vec_id != q.qid)
+             |  WHERE rk <= 5),
+             |g AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT q.qid, n.vec_id AS nid,
+             |      row_number() OVER (PARTITION BY q.qid ORDER BY
+             |        round(list_sum(list_transform(list_zip(q.qv, n.iv), t -> t[1] * t[2]))
+             |          / nullif(sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+             |                 * sqrt(list_sum(list_transform(n.iv, x -> x * x))), 0.0), 6) DESC,
+             |        n.vec_id) AS rk
+             |    FROM qs q JOIN qz n ON n.vec_id != q.qid)
+             |  WHERE rk <= 5),
+             |m AS (
+             |  SELECT f.qid, count(*) AS n FROM f JOIN g USING (qid, nid) GROUP BY 1)
+             |SELECT qs.qid, CAST(coalesce(m.n, 0) AS BIGINT) AS n_common
+             |FROM qs LEFT JOIN m ON m.qid = qs.qid
+             |ORDER BY qs.qid""".stripMargin)),
 
     // ---- q138: embedding class separability --------------------------------
     // Mean within-class cosine per label + the across-class mean as the

@@ -226,4 +226,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
     assert(math.abs(real(-1)) < 0.05 && real.forall { case (_, m) => math.abs(m) < 0.1 })
   }
+
+  test("quantizedRecallAudit: near-perfect overlap on this corpus; exact on int-valued vectors") {
+    val real = graft.operators.Similarity.quantizedRecallAudit(
+      graft.core.Tables.embeddings(spark, sf0001), nQueries = 5, k = 5)
+      .collect().map(_.getLong(1))
+    assert(real.length == 5 && real.sum >= 5 * 4, s"int8 should barely move top-5: ${real.toSeq}")
+    // vectors already on the int8 grid quantize losslessly -> overlap == k
+    val grid = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 7 + j * 3) % 255 - 127).toFloat).toSeq, 0)
+    }
+    val df = grid.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val exactRows = graft.operators.Similarity.quantizedRecallAudit(df, nQueries = 4, k = 3)
+      .collect().map(_.getLong(1))
+    assert(exactRows.forall(_ == 3L), s"grid vectors must rank identically: ${exactRows.toSeq}")
+  }
 }
