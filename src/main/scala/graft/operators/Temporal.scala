@@ -84,7 +84,62 @@ object Temporal {
       .limit(topK)
   }
 
+  /** Rolling active-user stickiness — the DAU/WAU shape on parameterized
+    * units: per short window, distinct actives divided by distinct
+    * actives over the trailing `factor` windows. The long-window distinct
+    * CANNOT be merged from short-window distinct counts (distinct is not
+    * a sum — the same reason the mergeable card carries HLL registers),
+    * so the exact spelling explodes each event into the `factor` long
+    * windows it contributes to (the q52 membership pattern) and counts
+    * distinct per long window: shuffle ∝ events·factor of (window, user)
+    * pairs, two-phase distinct, no window functions over hot keys. The
+    * ratio is one division of exact integers — bit-identical
+    * cross-engine. At larger factors, swap the exact distinct for the
+    * per-window HLL registers (q103/q106 machinery) merged across the
+    * trailing span — registers merge where counts cannot. */
+  def stickiness(events: org.apache.spark.sql.DataFrame,
+      shortMinutes: Int = 10, factor: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(shortMinutes >= 1 && factor >= 2)
+    val unitUs = shortMinutes * 60000000L
+    val base = events.select(
+      expr(s"unix_micros(ts) div $unitUs").as("win"), col("user_id"))
+    val sau = base.groupBy(col("win"))
+      .agg(countDistinct(col("user_id")).as("n_short"))
+    val lau = base
+      .select(explode(sequence(col("win"), col("win") + (factor - 1))).as("lwin"),
+        col("user_id"))
+      .groupBy(col("lwin"))
+      .agg(countDistinct(col("user_id")).as("n_long"))
+    sau.join(lau, col("win") === col("lwin"))
+      .select((col("win") * shortMinutes * 60L).as("win_start"),
+        col("n_short"), col("n_long"),
+        (col("n_short").cast("double") / col("n_long").cast("double")).as("stickiness"))
+      .orderBy(col("win_start"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q140: rolling active-user stickiness ------------------------------
+    // 10-minute actives over 70-minute trailing actives; the oracle
+    // replays the integer window grid, the membership explode, both
+    // distincts, and the raw division.
+    QueryDef(
+      "q140_stickiness",
+      (s, d) => stickiness(Tables.events(s, d)),
+      Some("""WITH e AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS win, user_id
+             |  FROM events),
+             |sau AS (SELECT win, count(DISTINCT user_id) AS n_short FROM e GROUP BY 1),
+             |m AS (
+             |  SELECT win + i AS lwin, user_id
+             |  FROM e, unnest(range(0, 7)) AS r(i)),
+             |lau AS (SELECT lwin, count(DISTINCT user_id) AS n_long FROM m GROUP BY 1)
+             |SELECT CAST(sau.win * 600 AS BIGINT) AS win_start,
+             |  CAST(n_short AS BIGINT) AS n_short,
+             |  CAST(n_long AS BIGINT) AS n_long,
+             |  CAST(n_short AS DOUBLE) / CAST(n_long AS DOUBLE) AS stickiness
+             |FROM sau JOIN lau ON lau.lwin = sau.win
+             |ORDER BY win_start""".stripMargin)),
 
     // ---- q134: frequent session paths --------------------------------------
     // Top-20 length-3 in-session event-type sequences; the oracle replays

@@ -74,4 +74,27 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSet == Set(("a>b>c", 1L), ("c>a>b", 1L)),
       s"cross-boundary paths leaked: $out")
   }
+
+  test("stickiness: long-window distinct counts the union, not the sum") {
+    // user 1 active in EVERY window (sticky); users 2..4 churn through
+    // one window each
+    val rows = (0 until 6).flatMap { w =>
+      Seq((1L, w)) ++ (if (w < 3) Seq((2L + w, w)) else Nil)
+    }.zipWithIndex.map { case ((u, w), i) =>
+      (i.toLong, u, w.toLong * 600L * 1000000L + (u % 7) * 1000L)
+    }
+    val ev = rows.toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val out = Temporal.stickiness(ev, shortMinutes = 10, factor = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // TRAILING semantics (the week ENDING at the window): window 0 has
+    // no history yet -> long == short -> stickiness 1.0
+    val w0 = out.find(_._1 == 0L).get
+    assert(w0._2 == 2 && w0._3 == 2 && w0._4 == 1.0, s"got $w0")
+    // window 5's trailing span covers all six windows: long window is the
+    // UNION {1, 2, 3, 4} = 4 (not the sum of per-window counts = 9),
+    // short is the sticky user alone -> 1/4
+    val w5 = out.find(_._1 == 5L * 600).get
+    assert(w5._2 == 1 && w5._3 == 4 && w5._4 == 0.25, s"got $w5")
+  }
 }
