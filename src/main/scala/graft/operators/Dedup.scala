@@ -925,7 +925,10 @@ object Dedup {
              |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
              |  FROM ch GROUP BY 1)
              |SELECT chunk, n_occ, n_docs FROM cen
-             |WHERE n_docs >= 2 ORDER BY n_occ DESC, chunk""".stripMargin)),
+             |WHERE n_docs >= 2 ORDER BY n_occ DESC, chunk""".stripMargin),
+      // headline: the per-doc running-sum window + chunk census is the
+      // engine's one full-corpus window shape — bench-watched
+      headline = true),
 
     // ---- q136: containment near-dup (asymmetric) ---------------------------
     // CDC-chunk candidates (≥ half the smaller doc's distinct chunks

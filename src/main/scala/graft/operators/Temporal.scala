@@ -139,7 +139,10 @@ object Temporal {
              |  CAST(n_long AS BIGINT) AS n_long,
              |  CAST(n_short AS DOUBLE) / CAST(n_long AS DOUBLE) AS stickiness
              |FROM sau JOIN lau ON lau.lwin = sau.win
-             |ORDER BY win_start""".stripMargin)),
+             |ORDER BY win_start""".stripMargin),
+      // headline: the factor-fold membership explode + two-phase distinct
+      // is the bench's heaviest distinct shape — watched for regressions
+      headline = true),
 
     // ---- q134: frequent session paths --------------------------------------
     // Top-20 length-3 in-session event-type sequences; the oracle replays
