@@ -117,7 +117,61 @@ object Temporal {
       .orderBy(col("win_start"))
   }
 
+  /** Co-engagement lift — market-basket association over event types: for
+    * each type pair, the user-level lift
+    * n_both·n_users / (n_a·n_b) (> 1 ⇒ doing A makes doing B more likely
+    * than base rate — the cross-sell/feature-affinity signal). Everything
+    * after the one distinct projection is bounded: (user, type) rows cap
+    * at users × |types|, the per-user self-join fans ≤ |types|² per user,
+    * and the output is the type-pair census. The lift is a pure rational
+    * of exact counts — floor-quantized (CLAUDE.md: ratio of integers, not
+    * a noise-dominated aggregate). */
+  def coEngagementLift(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val lift = (col("n_both").cast("double") * col("n_users").cast("double")) /
+      (col("n_a").cast("double") * col("n_b").cast("double"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (floor(lift * 1e6 + 0.5) / 1e6).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q141: co-engagement lift ------------------------------------------
+    // User-level association between event-type pairs; the oracle replays
+    // the distinct projection, the pair census, and the exact lift chain.
+    QueryDef(
+      "q141_coengagement_lift",
+      (s, d) => coEngagementLift(Tables.events(s, d)),
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+             |pt AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+             |p AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    count(*) AS n_both
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+             |  floor((CAST(p.n_both AS DOUBLE) * CAST(tot.n_users AS DOUBLE))
+             |        / (CAST(pa.n_t AS DOUBLE) * CAST(pb.n_t AS DOUBLE))
+             |        * 1e6 + 0.5) / 1e6 AS lift
+             |FROM p
+             |JOIN pt pa ON pa.event_type = p.type_a
+             |JOIN pt pb ON pb.event_type = p.type_b
+             |CROSS JOIN tot
+             |ORDER BY p.type_a, p.type_b""".stripMargin)),
 
     // ---- q140: rolling active-user stickiness ------------------------------
     // 10-minute actives over 70-minute trailing actives; the oracle

@@ -97,4 +97,22 @@ class TemporalSpec extends SparkSpec {
     val w5 = out.find(_._1 == 5L * 600).get
     assert(w5._2 == 1 && w5._3 == 4 && w5._4 == 0.25, s"got $w5")
   }
+
+  test("coEngagementLift: planted association scores above 1, anti-association below") {
+    // users 0..9 do A; the SAME users do B (perfect association);
+    // users 10..19 do C (B and C never co-occur)
+    val rows = (0 until 10).flatMap(u => Seq((u.toLong, "A"), (u.toLong, "B"))) ++
+      (10 until 20).map(u => (u.toLong, "C")) ++
+      Seq((0L, "C")) // one bridge user so (A,C)/(B,C) pairs exist at all
+    val ev = rows.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+      .select($"event_id", $"user_id", timestamp_micros($"event_id" * 1000000L).as("ts"),
+        $"event_type")
+    val out = Temporal.coEngagementLift(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    // n_users = 20; A-B: 10*20/(10*10) = 2.0 (perfect association)
+    assert(out(("A", "B")) == 2.0, s"got $out")
+    // A-C: 1*20/(10*11) ~ 0.18 << 1 (near-disjoint audiences)
+    assert(out(("A", "C")) < 0.5 && out(("B", "C")) < 0.5)
+  }
 }
