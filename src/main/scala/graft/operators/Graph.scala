@@ -95,7 +95,7 @@ object Graph {
     |c$k AS (
     |  SELECT t.dst AS node, sum(r.rank * t.p) AS csum
     |  FROM trans t JOIN r$k r ON r.node = t.src GROUP BY t.dst),
-    |r${k + 1} AS (
+    |r${k + 1} AS MATERIALIZED (
     |  SELECT nodes.node,
     |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
     |      + CAST(0.85 AS DOUBLE)
@@ -104,7 +104,7 @@ object Graph {
     |  FROM nodes LEFT JOIN c$k c USING (node))""".stripMargin
 
   private def pageRankOracle(iterations: Int): String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
        |         CAST(count(*) AS DOUBLE) AS w
        |  FROM lineitem l
@@ -113,8 +113,8 @@ object Graph {
        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |  GROUP BY 1, 2),
        |outw AS (SELECT src, sum(w) AS w_out FROM e GROUP BY src),
-       |trans AS (SELECT e.src, e.dst, e.w / o.w_out AS p FROM e JOIN outw o USING (src)),
-       |nodes AS (SELECT DISTINCT node FROM
+       |trans AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.w_out AS p FROM e JOIN outw o USING (src)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |dangn AS (SELECT node FROM nodes
@@ -126,8 +126,116 @@ object Graph {
          |FROM r$iterations r JOIN nation n ON n.n_nationkey = r.node
          |ORDER BY r.node""".stripMargin
 
+  /** HITS hubs/authorities — the asymmetric companion to [[pageRank]]: a
+    * node is a good HUB if it points at good authorities and a good
+    * AUTHORITY if good hubs point at it (on the trade graph: importing
+    * nations vs exporting nations — PageRank's single score cannot
+    * separate the two roles). Same per-round contract as PageRank: one
+    * co-partitioned join + partial agg per half-step over the EDGE CENSUS
+    * (never facts), L1 normalization via a one-row aggregate crossed back
+    * in broadcast, lineage cut per round. Replay discipline is also
+    * PageRank's: both engines walk the identical IEEE dag and only the
+    * output rounds. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w")).cutLineage()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cutLineage()
+    var h = nodes.select(col("node"), lit(1.0).as("h"))
+    var a = nodes.select(col("node"), lit(0.0).as("a"))
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(h.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("ar"))
+      val aN = nodes
+        .join(aRaw.select(col("dst").as("node"), col("ar")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0.0)).as("ar"))
+      a = aN.crossJoin(broadcast(aN.agg(sum(col("ar")).as("s"))))
+        .select(col("node"), (col("ar") / col("s")).as("a")).cutLineage()
+      val hRaw = e.join(a.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src")).agg(sum(col("w") * col("a")).as("hr"))
+      val hN = nodes
+        .join(hRaw.select(col("src").as("node"), col("hr")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0.0)).as("hr"))
+      h = hN.crossJoin(broadcast(hN.agg(sum(col("hr")).as("s"))))
+        .select(col("node"), (col("hr") / col("s")).as("h")).cutLineage()
+    }
+    h.join(a, "node")
+  }
+
+  /** q147 oracle: one HITS round as chained CTEs, h{k-1} → a{k} → h{k} —
+    * the [[prIterSql]] scheme for the dag (identical IEEE expressions, no
+    * per-round rounds) but with the CLAUDE.md DuckDB-inlining rule
+    * applied: round CTEs are AS MATERIALIZED and the L1 normalization
+    * reads its input once via `sum(…) OVER ()` (a scalar subquery would
+    * double-reference the predecessor and re-evaluate the whole prefix —
+    * 2^rounds evaluations of the fact-join census). */
+  private def hitsIterSql(k: Int): String = s"""
+    |ar$k AS (
+    |  SELECT e.dst AS node, sum(e.w * hh${k - 1}.h) AS ar
+    |  FROM e JOIN hh${k - 1} ON hh${k - 1}.node = e.src GROUP BY 1),
+    |an$k AS (
+    |  SELECT nodes.node, coalesce(ar.ar, CAST(0.0 AS DOUBLE)) AS ar
+    |  FROM nodes LEFT JOIN ar$k ar USING (node)),
+    |aa$k AS MATERIALIZED (SELECT node, ar / sum(ar) OVER () AS a FROM an$k),
+    |hr$k AS (
+    |  SELECT e.src AS node, sum(e.w * aa$k.a) AS hr
+    |  FROM e JOIN aa$k ON aa$k.node = e.dst GROUP BY 1),
+    |hn$k AS (
+    |  SELECT nodes.node, coalesce(hr.hr, CAST(0.0 AS DOUBLE)) AS hr
+    |  FROM nodes LEFT JOIN hr$k hr USING (node)),
+    |hh$k AS MATERIALIZED (SELECT node, hr / sum(hr) OVER () AS h FROM hn$k)""".stripMargin
+
+  private def hitsOracle(iterations: Int): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |         CAST(count(*) AS DOUBLE) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |hh0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),""".stripMargin +
+      (1 to iterations).map(hitsIterSql).mkString(",") +
+      s"""
+         |SELECT h.node, n.n_name,
+         |  round(h.h, 6) AS hub, round(a.a, 6) AS auth
+         |FROM hh$iterations h
+         |JOIN aa$iterations a USING (node)
+         |JOIN nation n ON n.n_nationkey = h.node
+         |ORDER BY h.node""".stripMargin
+
   // lazy: q120's def is declared after this Seq (object init order)
   lazy val defs: Seq[QueryDef] = Seq(
+
+    // ---- q147: HITS hubs/authorities over the trade graph ------------------
+    // 5 replayed rounds on the same edge census as q97; hub = importer
+    // role, authority = exporter role.
+    QueryDef(
+      "q147_hits",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey").as("src")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+        hits(edges, "src", "dst", "w", iterations = 5)
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+          .select(col("node"), col("n_name"),
+            round(col("h"), 6).as("hub"), round(col("a"), 6).as("auth"))
+          .orderBy(col("node"))
+      },
+      Some(hitsOracle(5))),
 
     // ---- q97: PageRank over the customer→supplier nation trade graph -------
     // The edge census is the scale half: a fact⋈fact join (lineitem ⋈

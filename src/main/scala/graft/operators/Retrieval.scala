@@ -71,7 +71,9 @@ object Retrieval {
   /** DuckDB twin of [[bm25TopK]] — operand-for-operand the same IEEE dag
     * (literals CAST to DOUBLE so DuckDB's default DECIMAL typing can't
     * change a single rounding). */
-  private def bm25Oracle(terms: Seq[String], k: Int): String = {
+  /** The WITH-body shared by q95's and q148's oracles (one spelling of
+    * the BM25 dag — the ADVICE drift rule). */
+  private def bm25ScoredCtes(terms: Seq[String]): String = {
     val tf = terms.indices.map(i =>
       s"CAST(len(list_filter(string_split(text, ' '), x -> x = '${terms(i)}')) AS DOUBLE) AS tf_$i")
       .mkString(",\n    ")
@@ -84,7 +86,7 @@ object Retrieval {
          |       * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs))))"""
         .stripMargin
     }.mkString("\n  + ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
        |    $tf
@@ -96,10 +98,97 @@ object Retrieval {
        |scored AS (
        |  SELECT doc_id,
        |  $score AS score_raw
-       |  FROM base, stats)
-       |SELECT doc_id, floor(score_raw * 1e6 + 0.5) / 1e6 AS score
-       |FROM scored WHERE score_raw > 0
+       |  FROM base, stats),
+       |ranked AS (
+       |  SELECT doc_id, floor(score_raw * 1e6 + 0.5) / 1e6 AS score
+       |  FROM scored WHERE score_raw > 0)""".stripMargin
+  }
+
+  private def bm25Oracle(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25ScoredCtes(terms)}
+       |SELECT doc_id, score
+       |FROM ranked
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval merge: a
+    * lexical ranking ([[bm25TopK]]) and a semantic ranking (cosine against
+    * a query embedding, doc_id ≡ vec_id) fuse by
+    *   rrf(d) = Σ_lists 1/(k₀ + rank_list(d))
+    * with a doc absent from a list contributing 0. Rank-based fusion
+    * needs no score calibration between the two systems — which is why
+    * it's the production default. Distributed shape: each ranking is its
+    * own bounded top-`pool` (BM25's broadcast-stats scan; cosine's
+    * TakeOrdered over one map pass), the fusion is an outer join of two
+    * pool-sized frames, and every score is a quantized rational of
+    * integer ranks — bit-replayable. */
+  def rrfFusion(docs: DataFrame, embs: DataFrame, queryTerms: Seq[String],
+      queryVec: Long = 0L, pool: Int = 20, k0: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps
+    // windows are over pool-sized frames (bounded), not the corpus
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25TopK(docs, queryTerms, pool)
+      .withColumn("r_lex", row_number().over(wLex))
+      .select(col("doc_id"), col("r_lex"))
+    val q = embs.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("qv"))
+    val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
+    val sem = embs.filter(col("vec_id") =!= queryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (floor(VectorOps.cosine(col("embedding"), col("qv")) * 1e6 + 0.5) / 1e6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(pool)
+      .withColumn("r_sem", row_number().over(wSem))
+      .select(col("doc_id"), col("r_sem"))
+    val contrib = (r: Column) =>
+      when(r.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(k0) + r))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0)).as("r_sem"),
+        (floor((contrib(col("r_lex")) + contrib(col("r_sem"))) * 1e6 + 0.5) / 1e6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  private def rrfOracle(terms: Seq[String], queryVec: Long, pool: Int,
+      k0: Int, topK: Int): String = {
+    val cos = "list_sum(list_transform(list_zip(n.v, q.qv), t -> t[1] * t[2]))" +
+      " / nullif(sqrt(list_sum(list_transform(n.v, x -> x * x)))" +
+      " * sqrt(list_sum(list_transform(q.qv, x -> x * x))), 0.0)"
+    s"""WITH ${bm25ScoredCtes(terms)},
+       |lexpool AS (
+       |  SELECT doc_id, score FROM ranked
+       |  ORDER BY score DESC, doc_id LIMIT $pool),
+       |lex AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+       |  FROM lexpool),
+       |ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |qv AS (SELECT v AS qv FROM ev WHERE vec_id = $queryVec),
+       |sempool AS (
+       |  SELECT n.vec_id AS doc_id,
+       |    floor(($cos) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM ev n, qv q WHERE n.vec_id != $queryVec
+       |  ORDER BY cos DESC, doc_id LIMIT $pool),
+       |sem AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+       |  FROM sempool),
+       |f AS (
+       |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |    coalesce(l.r_lex, 0) AS r_lex, coalesce(s.r_sem, 0) AS r_sem,
+       |    floor((CASE WHEN l.r_lex IS NULL THEN CAST(0.0 AS DOUBLE)
+       |             ELSE CAST(1.0 AS DOUBLE) / ($k0 + l.r_lex) END
+       |           + CASE WHEN s.r_sem IS NULL THEN CAST(0.0 AS DOUBLE)
+       |             ELSE CAST(1.0 AS DOUBLE) / ($k0 + s.r_sem) END)
+       |          * 1e6 + 0.5) / 1e6 AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id)
+       |SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+       |  CAST(r_sem AS BIGINT) AS r_sem, rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT $topK""".stripMargin
   }
 
   /** Doc-sharded inverted index: `(term, shard) → (cf, df, postings)` where
@@ -156,6 +245,17 @@ object Retrieval {
   }
 
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q148: reciprocal-rank fusion (hybrid retrieval) -------------------
+    // q95's lexical pool fused with a cosine pool for query vector 0;
+    // the oracle shares the BM25 CTE body (one dag spelling) and replays
+    // both rankings and the quantized 1/(60+r) sum.
+    QueryDef(
+      "q148_rrf_fusion",
+      (s, d) => rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("dup", "spark", "merge", "vector")),
+      Some(rrfOracle(Seq("dup", "spark", "merge", "vector"),
+        queryVec = 0L, pool = 20, k0 = 60, topK = 10))),
 
     // ---- q95: BM25 ranked retrieval ----------------------------------------
     // Terms mix one rare token (high idf — 'dup' appears in ~5% of docs)

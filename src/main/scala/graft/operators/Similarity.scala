@@ -314,7 +314,136 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Principal component by power iteration — the embedding-space variance
+    * audit (is one direction carrying most of the energy? how much does a
+    * 1-dim projection explain?). Declarative Lloyd's discipline applied to
+    * eigendecomposition: the covariance census is built ONCE as a (i, j, c)
+    * table with every entry rounded (round 6 — the Km per-round contract,
+    * so both engines iterate on IDENTICAL matrices), checkpointed, and
+    * each power round is one 64-row join + partial agg with the iterate
+    * re-rounded after normalization. Shapes at 100 TB: the d²-fanout
+    * self-join on vec_id is the only corpus-scale stage (n·d² rows,
+    * partial-aggregated to d² — for big d, sample rows first; the census
+    * only needs the density shape, the same argument as IVF's training
+    * sample); every iteration is census-sized. The start vector is a
+    * constant (0.125 — any nonzero constant works, round-0 normalization
+    * removes the scale) so the replay is deterministic: no RNG, no sign
+    * ambiguity. */
+  def pcaPower(embs: DataFrame, iters: Int = 8): DataFrame = {
+    import graft.core.Lineage.CutOps
+    val xp = embs.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val means = xp.groupBy(col("pos")).agg(round(avg(col("x")), 6).as("m"))
+    val cent = xp.join(broadcast(means), "pos")
+      .select(col("vec_id"), col("pos"), (col("x") - col("m")).as("xc"))
+    val n = embs.count().toDouble // one scalar — the census divisor
+    val cov = cent.as("a").join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+      .agg(round(sum(col("a.xc") * col("b.xc")) / lit(n), 6).as("c"))
+      .cutLineage()
+    var v = means.select(col("pos"), lit(0.125).as("w"))
+    for (_ <- 1 to iters) {
+      val u = cov
+        .join(v.select(col("pos").as("j"), col("w")), "j")
+        .groupBy(col("i").as("pos")).agg(sum(col("c") * col("w")).as("u"))
+      val nm = u.agg(sqrt(sum(col("u") * col("u"))).as("nm"))
+      v = u.crossJoin(broadcast(nm))
+        .select(col("pos"), round(col("u") / col("nm"), 6).as("w"))
+        .cutLineage()
+    }
+    val lam = cov
+      .join(v.select(col("pos").as("i"), col("w").as("wi")), "i")
+      .join(v.select(col("pos").as("j"), col("w").as("wj")), "j")
+      .agg(round(sum(col("c") * col("wi") * col("wj")), 6).as("eigval"))
+    val tr = cov.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("pos"), col("w").as("loading"), col("eigval"),
+        round(col("eigval") / col("tr"), 6).as("var_ratio"))
+      .orderBy(col("pos"))
+  }
+
+  /** Maximal-marginal-relevance re-ranking — diversified top-k: greedily
+    * pick k results maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s), the
+    * standard redundancy-penalized retrieval step after ANN. Distributed
+    * shape: the CORPUS-scale work (relevance top-`pool` per query, then
+    * the pool×pool sim table) happens once up front — exactly q49's
+    * broadcast-join + WindowGroupLimit shape; the greedy loop then runs k
+    * declarative rounds over pool-sized frames (anti-join the selected
+    * set, max-sim partial agg, rank-1 pick), each lineage-cut. Every
+    * similarity and score is floor-quantized, so the argmax chain replays
+    * bit-identically cross-engine (ties break on nid). */
+  def mmrRerank(embs: DataFrame, nQueries: Int = Mmr.NQ, pool: Int = Mmr.Pool,
+      k: Int = Mmr.K, lambda: Double = Mmr.Lambda): DataFrame = {
+    import graft.core.Lineage.CutOps
+    val q6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
+    val cand = broadcast(q)
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("nv"),
+        q6(VectorOps.cosine(col("qv"), col("nv"))).as("rel"))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= pool)
+      .drop("rk")
+      .cutLineage()
+    val sims = cand.as("a")
+      .join(cand.as("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.qid").as("qid"), col("a.nid").as("a_nid"),
+        col("b.nid").as("b_nid"),
+        q6(VectorOps.cosine(col("a.nv"), col("b.nv"))).as("sim"))
+      .cutLineage()
+    val wPick = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    var selected = cand
+      .select(col("qid"), col("nid"), col("rel").as("score"))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), lit(1).as("step"), col("score"))
+      .cutLineage()
+    for (t <- 2 to k) {
+      val remaining = cand.join(selected.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_anti")
+      val maxSim = sims
+        .join(selected.select(col("qid"), col("nid").as("b_nid")), Seq("qid", "b_nid"))
+        .groupBy(col("qid"), col("a_nid").as("nid")).agg(max(col("sim")).as("ms"))
+      val scored = remaining.join(maxSim, Seq("qid", "nid"), "left")
+        .select(col("qid"), col("nid"),
+          q6(lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * coalesce(col("ms"), lit(0.0))).as("score"))
+      selected = selected.union(
+        scored.withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("qid"), col("nid"), lit(t).as("step"), col("score")))
+        .cutLineage()
+    }
+    selected.orderBy(col("qid"), col("step"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q146: MMR diversified re-ranking ----------------------------------
+    // Pool-20 relevance candidates, 5 greedy quantized rounds at λ=0.7;
+    // the generated oracle replays the pool, the pairwise sim table, and
+    // every pick round.
+    QueryDef(
+      "q146_mmr_rerank",
+      (s, d) => mmrRerank(Tables.embeddings(s, d)),
+      Some(Mmr.oracle)),
+
+    // ---- q145: principal component via power iteration ---------------------
+    // Rounded covariance census + 8 replayed power rounds; the oracle's
+    // generated CTE chain mirrors every round, the Rayleigh quotient, and
+    // the trace ratio.
+    QueryDef(
+      "q145_pca_power",
+      (s, d) => pcaPower(Tables.embeddings(s, d), iters = Pca.Iters),
+      Some(Pca.oracle),
+      // headline: the n·d² covariance fan + 4096-group partial agg is a
+      // shape no other bench query covers
+      headline = true),
 
     // ---- q48: embedding cosine near-dup pairs ------------------------------
     QueryDef(
@@ -685,6 +814,118 @@ object Similarity {
          |${assignStep(Iters)}
          |SELECT cluster, count(*) AS n, round(sum(d2), 3) AS inertia
          |FROM aa$Iters GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
+  }
+
+  /** Shared constants + generated DuckDB oracle for q146 — [[Km]] scheme;
+    * the λ literals are emitted from the SAME Scala doubles the plan uses
+    * (`1.0 - lambda` is 0.30000000000000004, not decimal 0.3 — the
+    * CLAUDE.md decimal-literal rule). */
+  private[graft] object Mmr {
+    val NQ = 3
+    val Pool = 20
+    val K = 5
+    val Lambda = 0.7
+    private val lamLit = s"CAST($Lambda AS DOUBLE)"
+    private val invLit = s"CAST(${1.0 - Lambda} AS DOUBLE)"
+
+    val oracle: String = {
+      val cos = "list_sum(list_transform(list_zip(%s, %s), t -> t[1] * t[2]))" +
+        " / nullif(sqrt(list_sum(list_transform(%s, x -> x * x)))" +
+        " * sqrt(list_sum(list_transform(%s, x -> x * x))), 0.0)"
+      def q6(x: String) = s"floor(($x) * 1e6 + 0.5) / 1e6"
+      def step(t: Int): String =
+        s"""rem$t AS (
+           |  SELECT c.* FROM cand c
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+           |                    WHERE s.qid = c.qid AND s.nid = c.nid)),
+           |mx$t AS (
+           |  SELECT p.qid, p.a_nid AS nid, max(p.sim) AS ms
+           |  FROM ps p JOIN sel${t - 1} s ON s.qid = p.qid AND s.nid = p.b_nid
+           |  GROUP BY 1, 2),
+           |sc$t AS (
+           |  SELECT r.qid, r.nid,
+           |    ${q6(s"$lamLit * r.rel - $invLit * coalesce(m.ms, CAST(0.0 AS DOUBLE))")} AS score
+           |  FROM rem$t r LEFT JOIN mx$t m ON m.qid = r.qid AND m.nid = r.nid),
+           |sel$t AS MATERIALIZED (
+           |  SELECT * FROM sel${t - 1}
+           |  UNION ALL
+           |  SELECT qid, nid, $t AS step, score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, nid) AS rk FROM sc$t) WHERE rk = 1)"""
+      val chain = (2 to K).map(step).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid, n.v AS nv,
+         |    ${q6(cos.format("q.v", "n.v", "q.v", "n.v"))} AS rel
+         |  FROM e q JOIN e n ON q.vec_id < $NQ AND n.vec_id != q.vec_id),
+         |cand AS MATERIALIZED (
+         |  SELECT qid, nid, nv, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, nid) AS rk FROM c0) WHERE rk <= $Pool),
+         |ps AS MATERIALIZED (
+         |  SELECT a.qid, a.nid AS a_nid, b.nid AS b_nid,
+         |    ${q6(cos.format("a.nv", "b.nv", "a.nv", "b.nv"))} AS sim
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid != b.nid),
+         |sel1 AS MATERIALIZED (
+         |  SELECT qid, nid, 1 AS step, rel AS score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, nid) AS rk FROM cand) WHERE rk = 1),
+         |$chain
+         |SELECT qid, nid, CAST(step AS INTEGER) AS step, score
+         |FROM sel$K ORDER BY qid, step""".stripMargin
+    }
+  }
+
+  /** Shared constants + generated DuckDB oracle for q145 — the [[Km]]
+    * scheme: the CTE chain is produced by the same `Iters` the Scala loop
+    * unrolls with, so both engines walk identical rounded rounds.
+    *
+    * DuckDB 1.0 INLINES every CTE reference (no auto-materialization), so
+    * an iterate that consumes its predecessor twice re-evaluates the whole
+    * prefix per reference — 2^iters plan blowup, the SQL twin of the
+    * lineage hazard [[graft.core.Lineage]] cuts on the Spark side. Two
+    * rules keep the chain linear: every round CTE is AS MATERIALIZED, and
+    * the L2 normalization reads its input ONCE via `sum(u*u) OVER ()`
+    * instead of a scalar subquery (same value — summation-order noise is
+    * absorbed by the per-round round(…, 6)). */
+  private[graft] object Pca {
+    val Iters = 8
+
+    val oracle: String = {
+      def round(k: Int): String =
+        s"""pu$k AS MATERIALIZED (
+           |  SELECT cov.i AS pos, sum(cov.c * pv$k.w) AS u
+           |  FROM cov JOIN pv$k ON pv$k.pos = cov.j GROUP BY 1),
+           |pv${k + 1} AS MATERIALIZED (
+           |  SELECT pos, round(u / sqrt(sum(u * u) OVER ()), 6) AS w FROM pu$k)"""
+      val chain = (0 until Iters).map(round).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |xp AS (
+         |  SELECT vec_id,
+         |    unnest([{'pos': i - 1, 'x': v[i]} for i in range(1, len(v) + 1)]) AS s
+         |  FROM e),
+         |x2 AS (SELECT vec_id, s.pos AS pos, s.x AS x FROM xp),
+         |m AS (SELECT pos, round(avg(x), 6) AS m FROM x2 GROUP BY 1),
+         |cn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+         |cx AS (SELECT x2.vec_id, x2.pos, x2.x - m.m AS xc FROM x2 JOIN m USING (pos)),
+         |cov AS MATERIALIZED (
+         |  SELECT a.pos AS i, b.pos AS j,
+         |    round(sum(a.xc * b.xc) / (SELECT n FROM cn), 6) AS c
+         |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |pv0 AS (SELECT pos, CAST(0.125 AS DOUBLE) AS w FROM m),
+         |$chain,
+         |lam AS (
+         |  SELECT round(sum(cov.c * vi.w * vj.w), 6) AS eigval
+         |  FROM cov JOIN pv$Iters vi ON vi.pos = cov.i
+         |  JOIN pv$Iters vj ON vj.pos = cov.j),
+         |tr AS (SELECT sum(c) AS tr FROM cov WHERE i = j)
+         |SELECT pos, w AS loading, eigval, round(eigval / tr, 6) AS var_ratio
+         |FROM pv$Iters, lam, tr ORDER BY pos""".stripMargin
     }
   }
 

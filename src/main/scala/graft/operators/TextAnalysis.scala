@@ -197,7 +197,75 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Distinctive terms per source — the domain-signature diagnostic of a
+    * corpus mix: for each source, the tokens whose within-source rate
+    * most exceeds their corpus rate,
+    *   lift = (c_st · N) / (c_t · N_s)
+    * (the same ratio-form PMI discipline as [[collocations]] — a pure
+    * rational of exact counts, floor-quantized, no ln). A count floor on
+    * the GLOBAL token count kills hapax noise. Shape at 100 TB: one
+    * explode + (source, token) partial-agg census is the only
+    * corpus-sized stage; the global token census derives FROM that census
+    * (never re-scans text), the per-source totals broadcast, and the
+    * top-k rank is a WindowGroupLimit-pruned window over census rows
+    * partitioned by source. */
+  def distinctiveTerms(docs: DataFrame, topK: Int = 10,
+      minCount: Long = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cst = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val tot = cst.agg(sum(col("c_st")).as("n_tot"))
+    val lift = (col("c_st").cast("double") * col("n_tot").cast("double")) /
+      (col("c_t").cast("double") * col("n_s").cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("tok"))
+    cst
+      .join(ct, "tok").filter(col("c_t") >= minCount)
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", floor(lift * 1e6 + 0.5) / 1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("tok"), col("c_st"), col("lift"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q144: distinctive terms per source --------------------------------
+    // Ratio-form lift with a global count-20 floor, top-10 per source;
+    // the oracle replays the (source, token) census, derives the global
+    // census from it, and mirrors the quantized lift and the rank.
+    QueryDef(
+      "q144_distinctive_terms",
+      (s, d) => distinctiveTerms(Tables.documents(s, d)),
+      Some("""WITH cst AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT source, tok, count(*) AS c_st FROM cst GROUP BY 1, 2),
+             |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM c GROUP BY 1),
+             |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM c GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_tot FROM c),
+             |l AS (
+             |  SELECT c.source, c.tok, c.c_st,
+             |    floor((CAST(c.c_st AS DOUBLE) * CAST(tot.n_tot AS DOUBLE))
+             |          / (CAST(ct.c_t AS DOUBLE) * CAST(ns.n_s AS DOUBLE))
+             |          * 1e6 + 0.5) / 1e6 AS lift
+             |  FROM c
+             |  JOIN ct ON ct.tok = c.tok AND ct.c_t >= 20
+             |  JOIN ns ON ns.source = c.source
+             |  CROSS JOIN tot),
+             |r AS (
+             |  SELECT source, tok, c_st, lift,
+             |    row_number() OVER (PARTITION BY source
+             |                       ORDER BY lift DESC, tok) AS rank
+             |  FROM l)
+             |SELECT source, CAST(rank AS BIGINT) AS rank, tok,
+             |  CAST(c_st AS BIGINT) AS c_st, lift
+             |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
 
     // ---- q129: collocations (PMI lift, ratio form) -------------------------
     // Top-30 adjacent pairs by lift with a count-5 floor; the oracle

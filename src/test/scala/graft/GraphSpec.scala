@@ -149,4 +149,24 @@ class GraphSpec extends SparkSpec {
       0L -> ((3L, 0L, 0.0)), 1L -> ((1L, 0L, 0.0)),
       2L -> ((1L, 0L, 0.0)), 3L -> ((1L, 0L, 0.0))))
   }
+
+  test("hits: the all-out star is the top hub, the all-in sink the top authority") {
+    import org.apache.spark.sql.functions._
+    // 9 points at everything (pure hub); 0 is pointed at by everything
+    // (pure authority); 1-3 are both pointed-at and pointing
+    val edges = Seq((9L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+      (9L, 1L), (9L, 2L), (9L, 3L))
+      .toDF("src", "dst").withColumn("w", lit(1.0))
+    val out = graft.operators.Graph.hits(edges, "src", "dst", "w", iterations = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val topHub = out.maxBy(_._2._1)._1
+    val topAuth = out.maxBy(_._2._2)._1
+    assert(topHub == 9L, s"got $out")
+    assert(topAuth == 0L, s"got $out")
+    // pure-sink 0 has no out-edges -> hub 0; pure-source 9 -> auth 0
+    assert(out(0L)._1 == 0.0 && out(9L)._2 == 0.0)
+    // each normalized vector sums to 1
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+  }
 }

@@ -100,4 +100,27 @@ class RetrievalSpec extends SparkSpec {
     assert(idx(0).getSeq[Long](4) == Seq(0L, 1L, 2L))
     assert(idx(0).getLong(3) == 10L, "df counts ALL docs, not the capped prefix")
   }
+
+  test("rrfFusion: a doc present in BOTH rankings beats each single-list winner") {
+    import org.apache.spark.sql.functions._
+    // lex pool (pool=2): doc1 rank 1, doc2 rank 2; doc3 has no query term.
+    // sem pool (pool=2): doc3 rank 1 (cos 1), doc2 rank 2; doc1 excluded.
+    // RRF: doc2 = 1/62+1/62 > doc1 = doc3 = 1/61 (tie -> doc_id order).
+    val docs = Seq((1L, "alpha alpha alpha"), (2L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)), (3L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Retrieval.rrfFusion(docs, embs, Seq("alpha"),
+      queryVec = 0L, pool = 2, k0 = 60, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 3L), s"got ${out.toSeq}")
+    val r2 = out.find(_._1 == 2L).get
+    assert(r2._2 == 2 && r2._3 == 2, s"doc2 is rank 2 in both lists: $r2")
+    assert(r2._4 == math.floor((1.0 / 62 + 1.0 / 62) * 1e6 + 0.5) / 1e6)
+    // absent ranks surface as 0, never null
+    assert(out.find(_._1 == 3L).get._2 == 0 && out.find(_._1 == 1L).get._3 == 0)
+  }
 }

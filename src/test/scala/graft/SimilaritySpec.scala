@@ -242,4 +242,45 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(exactRows.forall(_ == 3L), s"grid vectors must rank identically: ${exactRows.toSeq}")
   }
+
+  test("pcaPower: a planted dominant axis concentrates the loading and the variance") {
+    import spark.implicits._
+    // coordinate 0 swings ±10, coordinates 1-3 carry small deterministic
+    // wiggle -> the top eigenvector must be ~e0 and explain ~all variance
+    val rows = (0 until 40).map { i =>
+      val big = if (i % 2 == 0) 10f else -10f
+      (i.toLong, Seq(big, (i % 3).toFloat * 0.1f, (i % 5).toFloat * 0.1f, 0.05f * (i % 2)), 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val out = graft.operators.Similarity.pcaPower(df, iters = 8).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3)))
+    assert(out.length == 4)
+    val byPos = out.map(t => t._1 -> t._2).toMap
+    assert(math.abs(byPos(0)) > 0.999, s"loading must concentrate on pos 0: ${out.toSeq}")
+    assert(out.forall(t => t._1 == 0 || math.abs(t._2) < 0.05))
+    // unit norm (up to the per-round 1e-6 rounding)
+    val n2 = out.map(t => t._2 * t._2).sum
+    assert(math.abs(n2 - 1.0) < 1e-4)
+    assert(out.head._3 > 0.99, s"var_ratio ~1 on a one-axis corpus: ${out.head}")
+  }
+
+  test("mmrRerank: the second pick trades relevance for diversity") {
+    import spark.implicits._
+    // query 0 = e0. c1 and c2 are EXACT duplicates; c3 has the SAME
+    // relevance (cos 1/√2) but is orthogonal to c1. Plain top-2 is
+    // {c1, c2} (nid tiebreak); MMR's step 2 must skip the duplicate
+    // (penalty 0.3·1) and take the novel c3 (penalty 0).
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 1f, 0f, 0f)),
+      (2L, Seq(1f, 1f, 0f, 0f)),
+      (3L, Seq(1f, -1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = graft.operators.Similarity.mmrRerank(df, nQueries = 1, pool = 3, k = 2)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).toMap
+    assert(out(1) == 1L, s"step 1 takes the most relevant (tie -> lower id): $out")
+    assert(out(2) == 3L, s"step 2 must diversify away from the exact duplicate: $out")
+  }
 }

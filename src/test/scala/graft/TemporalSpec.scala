@@ -115,4 +115,67 @@ class TemporalSpec extends SparkSpec {
     // A-C: 1*20/(10*11) ~ 0.18 << 1 (near-disjoint audiences)
     assert(out(("A", "C")) < 0.5 && out(("B", "C")) < 0.5)
   }
+
+  test("churnHazard: censoring removes users from the risk set without a churn event") {
+    val dayUs = 86400000000L
+    // horizon = day 10 (user B). A: days 0-2 (churned at k=2); B: days
+    // 0-10 (alive at horizon -> censored); C: days 5-10 (censored);
+    // D: day 0 only (churned at k=0)
+    val rows = Seq(
+      (1L, Seq(0L, 1L, 2L)), (2L, Seq(0L, 10L)),
+      (3L, Seq(5L, 10L)), (4L, Seq(0L)))
+    val ev = rows.flatMap { case (u, days) => days.map(d => (u, d)) }
+      .toDF("user_id", "day")
+      .select($"user_id", timestamp_micros($"day" * dayUs + $"user_id").as("ts"))
+    val out = Temporal.churnHazard(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // k=0: all 4 at risk, D churns -> hazard 1/4
+    assert(out(0L) == ((4L, 1L, 0.25)), s"got $out")
+    // k=2: A, B, C still at risk (D left at 0); A churns -> 1/3
+    assert(out(2L)._1 == 3L && out(2L)._2 == 1L)
+    // k=5: B and C at risk; C is CENSORED (last day == horizon) so it
+    // exits without a churn event -> hazard 0, at_risk 2
+    assert(out(5L) == ((2L, 0L, 0.0)), s"got $out")
+    // k=10: only B, censored -> hazard 0
+    assert(out(10L) == ((1L, 0L, 0.0)))
+  }
+
+  test("rateAutocorr: alternation scores -1, a trend scores +1, gapped series drop out") {
+    val winUs = 600000000L
+    // 'alt': counts 10,2,10,...,10 over 9 windows -> the 8 adjacent pairs
+    // split 4/4 between (10,2) and (2,10), a perfectly balanced
+    // anticorrelation -> exactly -1
+    val alt = (0 until 9).flatMap { w =>
+      val k = if (w % 2 == 0) 10 else 2
+      (0 until k).map(i => (w.toLong * winUs + i, "alt"))
+    }
+    // 'trend': counts 1,2,...,8 -> adjacent pairs are affine -> exactly +1
+    val trend = (0 until 8).flatMap(w =>
+      (0 to w).map(i => (w.toLong * winUs + i, "trend")))
+    // 'gap': observed windows 0,1,5,6 -> only 2 adjacent pairs < minPairs
+    val gap = Seq(0, 1, 5, 6).flatMap(w =>
+      (0 until 3).map(i => (w.toLong * winUs + i, "gap")))
+    val ev = (alt ++ trend ++ gap).toDF("us", "event_type")
+      .select(timestamp_micros($"us").as("ts"), $"event_type")
+    val out = Temporal.rateAutocorr(ev).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("alt") == ((8L, -1.0)), s"got $out")
+    assert(out("trend") == ((7L, 1.0)), s"got $out")
+    assert(!out.contains("gap"), s"gapped series must not fabricate zeros: $out")
+  }
+
+  test("gapQuantiles: exact k-th-smallest gaps per type, never across users") {
+    // user 1, type A: events with gaps 1..9 µs -> p50 = 5, p90 = 9
+    val tsA = Seq.iterate(0L, 10)(identity).zipWithIndex
+      .map { case (_, i) => (1 to i).map(_.toLong).sum } // 0,1,3,6,...,45
+    // user 2, type A: ONE event (no gap) placed far away — if gaps leaked
+    // across users it would inject a huge outlier and shift p90
+    val rows = tsA.map(t => (1L, "A", t)) :+ (2L, "A", 1000000L)
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.gapQuantiles(ev).collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(out == Map(("A", 0.5) -> 5.0, ("A", 0.9) -> 9.0), s"got $out")
+  }
 }

@@ -107,4 +107,29 @@ class TextOpsSpec extends SparkSpec {
       .select(graft.functions.TextOps.compressionRatio($"text")).head().getDouble(0)
     assert(rows(2).contains(again))
   }
+
+  test("distinctiveTerms: a source-exclusive token outranks shared vocabulary") {
+    import spark.implicits._
+    // 'kernel' appears ONLY in src a (25×); 'the' is everywhere (50×);
+    // 'mixed' is 2:1 across sources — lift must rank kernel > mixed > the
+    // within source a, and the count-20 floor must drop rare tokens.
+    val docs = (0 until 25).map(i => (i.toLong, "kernel the mixed rare" + i, "a")) ++
+      (0 until 25).map(i => (100L + i, "the " + (if (i < 12) "mixed " else "") + "web", "b"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.distinctiveTerms(df, topK = 10, minCount = 20)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(4)))
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    assert(a.head._3 == "kernel", s"exclusive token must rank first: ${a.toSeq}")
+    val liftOf = a.map(t => t._3 -> t._4).toMap
+    assert(liftOf("kernel") > liftOf("mixed") && liftOf("mixed") > liftOf("the"),
+      s"got $liftOf")
+    // rareN tokens (1 occurrence) are below the global floor
+    assert(out.forall(t => !t._3.startsWith("rare")))
+    // lift replay from first principles for the head row:
+    // c_st=25, N=total tokens, c_t=25, N_s = source-a tokens
+    val nTot = docs.map(_._2.split(" ", -1).length).sum.toDouble
+    val nA = docs.filter(_._3 == "a").map(_._2.split(" ", -1).length).sum.toDouble
+    val lift = math.floor(25.0 * nTot / (25.0 * nA) * 1e6 + 0.5) / 1e6
+    assert(liftOf("kernel") == lift, s"${liftOf("kernel")} vs $lift")
+  }
 }
