@@ -672,7 +672,76 @@ object Dedup {
     bitCols.reduce((a, c) => a.bitwiseOR(c))
   }
 
+  /** Cross-source passage overlap — the provenance/contamination matrix:
+    * which sources share verbatim 8-gram passages with which (mirror
+    * sites, syndication, template families — the source-level view the
+    * doc-level dedup tiers don't aggregate). Unit is the distinct
+    * (source, shingle) census — ONE scan + one explode, partial-agg'd
+    * before its shuffle; the self-join on shingle then fans at most
+    * |sources|² per shingle (sources are few; a boilerplate shingle
+    * present everywhere costs sources², not corpus²). Jaccard over
+    * per-source shingle-set sizes is a floor-quantized rational. */
+  def crossSourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    val f = docs
+      .select(col("source"), explode(TextOps.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val ns = f.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = f.as("x")
+      .join(f.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val jac = col("n_shared").cast("double") /
+      (col("n_a").cast("double") + col("n_b").cast("double") -
+        col("n_shared").cast("double"))
+    shared
+      .join(broadcast(ns.select(col("source").as("source_a"), col("n").as("n_a"))),
+        "source_a")
+      .join(broadcast(ns.select(col("source").as("source_b"), col("n").as("n_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (floor(jac * 1e6 + 0.5) / 1e6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q154 oracle helper: the q45 list-comprehension shingle spelling
+    * generalized to n tokens. */
+  private def shingleSql(n: Int): String = {
+    val chain = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"[$chain for i in range(1, greatest(len(t) - ${n - 2}, 1))]"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q154: cross-source passage overlap matrix -------------------------
+    // Distinct (source, 8-shingle) census, pair join, quantized Jaccard;
+    // the oracle replays the shingle comprehension and both censuses.
+    QueryDef(
+      "q154_source_overlap",
+      (s, d) => crossSourceOverlap(Tables.documents(s, d)),
+      Some(s"""WITH tt AS (
+             |  SELECT source, string_split(text, ' ') AS t FROM documents),
+             |f AS MATERIALIZED (
+             |  SELECT DISTINCT source, sh FROM (
+             |    SELECT source, unnest(${shingleSql(8)}) AS sh
+             |    FROM tt WHERE len(t) >= 8)),
+             |ns AS (SELECT source, count(*) AS n FROM f GROUP BY 1),
+             |p AS (
+             |  SELECT x.source AS source_a, y.source AS source_b,
+             |    count(*) AS n_shared
+             |  FROM f x JOIN f y ON y.sh = x.sh AND x.source < y.source
+             |  GROUP BY 1, 2)
+             |SELECT p.source_a, p.source_b,
+             |  CAST(p.n_shared AS BIGINT) AS n_shared,
+             |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+             |  floor(CAST(p.n_shared AS DOUBLE)
+             |        / (CAST(na.n AS DOUBLE) + CAST(nb.n AS DOUBLE)
+             |           - CAST(p.n_shared AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
+             |FROM p
+             |JOIN ns na ON na.source = p.source_a
+             |JOIN ns nb ON nb.source = p.source_b
+             |ORDER BY p.source_a, p.source_b""".stripMargin)),
 
     // ---- q44: exact deduplication ------------------------------------------
     QueryDef(

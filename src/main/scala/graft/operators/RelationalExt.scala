@@ -8,7 +8,73 @@ import graft.core.{QueryDef, Tables}
   */
 object RelationalExt {
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * feature-redundancy audit, computed the single-pass way: ONE
+    * aggregation emits every moment sum (Σxᵢ, Σxᵢ², Σxᵢxⱼ) and the d·(d−1)/2
+    * correlations unfold driver-side from that one row — the corpus is
+    * scanned once whatever d, no per-pair jobs, no corr() re-scans.
+    * Numerics: the moment sums are order-dependent doubles, so outputs
+    * round(·, 6) (noise-dominated rule); the corr dag itself (products,
+    * differences, IEEE sqrt) is mirrored verbatim in the oracle. */
+  def corrMatrix(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.size >= 2)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments =
+      Seq(count(lit(1)).cast("double").as("m")) ++
+        cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+        pairs.map { case (x, y) => sum(col(x) * col(y)).as(s"sp_${x}_$y") }
+    val one = df.agg(moments.head, moments.tail: _*)
+    // unfold from the ONE aggregate row via explode — a per-pair
+    // union-of-selects would re-reference (and re-scan) the aggregation
+    // subtree once per pair (the q100 branch-and-join hazard)
+    val pairStructs = pairs.map { case (x, y) =>
+      val num = col("m") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")
+      val den = sqrt(col("m") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")) *
+        sqrt(col("m") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"))
+      struct(lit(x).as("col_a"), lit(y).as("col_b"), round(num / den, 6).as("r"))
+    }
+    one.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.r").as("r"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q152: single-pass correlation matrix ------------------------------
+    // Four lineitem measures, six pairs from one aggregation pass; the
+    // oracle replays the identical moment-sum dag.
+    QueryDef(
+      "q152_corr_matrix",
+      (s, d) => corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val sums =
+          Seq("CAST(count(*) AS DOUBLE) AS m") ++
+            cols.map(c => s"sum($c) AS s_$c") ++
+            cols.map(c => s"sum($c * $c) AS ss_$c") ++
+            pairs.map { case (x, y) => s"sum($x * $y) AS sp_${x}_$y" }
+        val rows = pairs.map { case (x, y) =>
+          s"""SELECT '$x' AS col_a, '$y' AS col_b,
+             |  round((m * sp_${x}_$y - s_$x * s_$y)
+             |        / (sqrt(m * ss_$x - s_$x * s_$x)
+             |           * sqrt(m * ss_$y - s_$y * s_$y)), 6) AS r
+             |FROM mom""".stripMargin
+        }
+        s"""WITH mom AS MATERIALIZED (
+           |  SELECT ${sums.mkString(",\n    ")}
+           |  FROM lineitem)
+           |${rows.mkString("\nUNION ALL\n")}
+           |ORDER BY col_a, col_b""".stripMargin
+      }),
 
     // ---- q23: exact interpolated percentiles -------------------------------
     // Both engines implement the continuous (type-7) quantile: order

@@ -477,6 +477,126 @@ object Sketches {
          |ORDER BY e.grp""".stripMargin
   }
 
+  /** Equal-frequency binning (quantile discretizer) — the ML-prep step
+    * that turns a skewed numeric feature into balanced ordinal buckets.
+    * Cut points come from [[bisectQuantiles]] (exact, bounded state);
+    * assignment is then a PURE MAP: the per-group edge array broadcasts
+    * and each row's bucket is the count of edges strictly below its
+    * quantized value — one scan, one census-sized partial agg, no row
+    * ever shuffles on the value. All comparisons happen on the same
+    * integer grid the bisection answered on (floor(val·scale + 0.5)), so
+    * both engines replay identical bucket decisions; duplicate edges
+    * (coinciding quantiles on skewed data) legitimately skip a bucket on
+    * both sides. Returns the (grp, bucket, n) census. */
+  def quantileBin(df: DataFrame, valCol: String, grpCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75), scale: Int = 100): DataFrame = {
+    val iv = floor(col(valCol) * scale + lit(0.5)).cast("long")
+    val vals = df.select(col(grpCol).cast("string").as("grp"), iv.as("iv"))
+    val edges = bisectQuantiles(df, valCol, grpCol, qs, scale)
+      .select(col("grp"),
+        floor(col("val") * scale + lit(0.5)).cast("long").as("eiv"))
+      .groupBy(col("grp")).agg(sort_array(collect_list(col("eiv"))).as("earr"))
+    vals.join(broadcast(edges), Seq("grp"))
+      .select(col("grp"),
+        aggregate(col("earr"), lit(0L),
+          (acc, e) => acc + when(col("iv") > e, 1L).otherwise(0L)).as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("grp"), col("bucket"))
+  }
+
+  /** HLL audience overlap — distinct-set ALGEBRA on register tables: for
+    * every event-type pair, est|A∪B| comes from the per-register max
+    * merge (the union contract [[hllRegisters]] documents) and est|A∩B|
+    * by inclusion–exclusion est(A)+est(B)−est(A∪B). This is the sketch
+    * operation exact distincts cannot give you incrementally: at 100 TB
+    * the per-type register tables (≤ m rows each) are maintained
+    * append-only and every pairwise overlap is computed from registers
+    * alone — no re-scan, no (user, type) self-join. The exact
+    * intersection census sits beside the estimate (the q101/q103
+    * discipline: the gate value-checks the whole sketch dag AND exposes
+    * its error). Intersection estimates can go negative on tiny true
+    * overlaps — that is honest inclusion–exclusion output, reported raw.
+    *
+    * Scale shape: registers partial-agg to |types|·m rows; the pair fan
+    * is a broadcast nested loop over that census; the only corpus-scale
+    * stages are the register build and the (gate-only) exact census. */
+  def audienceOverlap(events: DataFrame, a: Long, b: Long): DataFrame = {
+    val ue = events.select(col("event_type"), col("user_id"))
+    val regs = hllRegisters(ue, "user_id", col("event_type"), a, b)
+    val types = ue.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("ta"))
+      .join(types.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    val uRegs = broadcast(pairs)
+      .join(regs, col("grp") === col("ta") || col("grp") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("reg")).agg(max(col("rho")).as("rho"))
+    val estU = hllEstimate(uRegs.select(
+        concat_ws("|", col("ta"), col("tb")).as("grp"), col("reg"), col("rho")))
+      .select(col("grp").as("pu"), col("est").as("est_union"))
+    val estT = hllEstimate(regs)
+    val ut = ue.distinct()
+    val exact = ut.as("x")
+      .join(ut.as("y"), col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    pairs
+      .join(broadcast(estT.select(col("grp").as("ta"), col("est").as("est_a"))), "ta")
+      .join(broadcast(estT.select(col("grp").as("tb"), col("est").as("est_b"))), "tb")
+      .join(estU, concat_ws("|", col("ta"), col("tb")) === col("pu"))
+      .join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** Shared constants + oracle for q150 (the [[Hll]] scheme over events). */
+  private[graft] object Ov {
+    val (a, b) = cmsParams(1, seed = 150).head
+    private val alpha =
+      s"CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $HllM) * $HllM * $HllM"
+    private def estSql(grpCols: String, src: String): String =
+      s"""SELECT $grpCols,
+         |    floor($alpha / (sum(power(2.0, -rho)) + ($HllM - count(*)))
+         |          * 1e6 + 0.5) / 1e6 AS est
+         |  FROM $src GROUP BY $grpCols""".stripMargin
+
+    val oracle: String =
+      s"""WITH k0 AS (
+         |  SELECT event_type, ((user_id * $a + $b) % $P + $P) % $P AS h1
+         |  FROM events),
+         |k AS (SELECT event_type, ((h1 * h1) % $P) * h1 % $P AS h FROM k0),
+         |zt AS (SELECT event_type, h % $HllM AS reg, h // $HllM AS z FROM k),
+         |regs AS MATERIALIZED (
+         |  SELECT event_type AS grp, reg, max(${Hll.rhoSql}) AS rho
+         |  FROM zt GROUP BY 1, 2),
+         |tp AS (SELECT DISTINCT event_type FROM events),
+         |prs AS MATERIALIZED (
+         |  SELECT a.event_type AS ta, b.event_type AS tb
+         |  FROM tp a JOIN tp b ON a.event_type < b.event_type),
+         |ur AS (
+         |  SELECT ta, tb, reg, max(rho) AS rho
+         |  FROM prs JOIN regs ON regs.grp = prs.ta OR regs.grp = prs.tb
+         |  GROUP BY 1, 2, 3),
+         |estt AS MATERIALIZED (${estSql("grp", "regs")}),
+         |estu AS (${estSql("ta, tb", "ur")}),
+         |ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         |ex AS (
+         |  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n
+         |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+         |    AND x.event_type < y.event_type
+         |  GROUP BY 1, 2)
+         |SELECT p.ta, p.tb, ea.est AS est_a, eb.est AS est_b,
+         |  eu.est AS est_union, ea.est + eb.est - eu.est AS est_inter,
+         |  CAST(coalesce(ex.n, 0) AS BIGINT) AS n_exact_inter
+         |FROM prs p
+         |JOIN estt ea ON ea.grp = p.ta
+         |JOIN estt eb ON eb.grp = p.tb
+         |JOIN estu eu ON eu.ta = p.ta AND eu.tb = p.tb
+         |LEFT JOIN ex ON ex.ta = p.ta AND ex.tb = p.tb
+         |ORDER BY p.ta, p.tb""".stripMargin
+  }
+
   /** Shared constants + oracle for q101 (single source of truth). */
   private[graft] object Cms {
     val D = 4
@@ -555,6 +675,53 @@ object Sketches {
   // null oracle string). Deferring defs lets both objects finish
   // initializing before any QueryDef captures nested-object state.
   lazy val defs: Seq[QueryDef] = Seq(
+
+    // ---- q150: HLL audience overlap (register algebra) ---------------------
+    // Pairwise event-type union/intersection estimates from register
+    // max-merge + inclusion-exclusion, exact intersection census beside;
+    // the oracle replays hash, registers, pair merge, and both estimates.
+    QueryDef(
+      "q150_audience_overlap",
+      (s, d) => audienceOverlap(Tables.events(s, d), Ov.a, Ov.b),
+      Some(Ov.oracle)),
+
+    // ---- q151: equal-frequency quantile binning ----------------------------
+    // Quartile cut points via bisection, broadcast-edge map assignment,
+    // bucket census; the oracle replays q128's k-th-smallest edges and
+    // the same integer-grid comparisons.
+    QueryDef(
+      "q151_quantile_bins",
+      (s, d) => quantileBin(Tables.lineitem(s, d), "l_extendedprice",
+        "l_returnflag"),
+      Some("""WITH v AS (
+             |  SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+             |    CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS iv
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT grp, iv,
+             |    row_number() OVER (PARTITION BY grp ORDER BY iv) AS rk,
+             |    count(*) OVER (PARTITION BY grp) AS n
+             |  FROM v),
+             |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+             |                      CAST(0.75 AS DOUBLE)]) AS q),
+             |sel AS (
+             |  SELECT r.grp, qs.q, min(r.iv) AS iv
+             |  FROM r, qs
+             |  WHERE r.rk = CAST(ceil(qs.q * r.n) AS BIGINT)
+             |  GROUP BY 1, 2),
+             |ed AS (
+             |  SELECT grp,
+             |    CAST(floor(iv / CAST(100 AS DOUBLE) * 100
+             |               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS eiv
+             |  FROM sel),
+             |earr AS (SELECT grp, list(eiv ORDER BY eiv) AS earr FROM ed GROUP BY 1),
+             |b AS (
+             |  SELECT v.grp,
+             |    len(list_filter(e.earr, x -> v.iv > x)) AS bucket
+             |  FROM v JOIN earr e USING (grp))
+             |SELECT grp, CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- q101: Count-Min frequency sketch ----------------------------------
     // Build the sketch over every event's user_id, point-estimate the

@@ -233,7 +233,112 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Zipf power-law fit — the corpus-health diagnostic on the token
+    * frequency spectrum: least-squares slope of ln(freq) against ln(rank)
+    * over the top-`topK` tokens (natural text sits near −1; a synthetic
+    * or template-heavy corpus drifts visibly). One vocab census (the q81
+    * shape) → TakeOrdered head → a topK-row bounded regression. ln() is
+    * transcendental but its args are identical integer-valued doubles on
+    * both engines and every output is a noise-dominated regression
+    * aggregate — the lmScore rounding discipline (round 6). */
+  def zipfFit(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val head = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("tok")) // topK rows only
+    val pts = head
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val denx = col("m") * col("sxx") - col("sx") * col("sx")
+    val deny = col("m") * col("syy") - col("sy") * col("sy")
+    pts.agg(count(lit(1)).cast("double").as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("m").cast("long").as("n_points"),
+        round(num / denx, 6).as("slope"),
+        round((col("sy") - num / denx * col("sx")) / col("m"), 6).as("intercept"),
+        round(num * num / (denx * deny), 6).as("r2"))
+  }
+
+  /** Out-of-vocabulary rate per source — the tokenizer-coverage audit: the
+    * share of token occurrences a top-`vocabK` vocabulary would miss,
+    * sliced by source (a source with a high OOV rate is the one that will
+    * fragment into bytes under the trained tokenizer). The vocabulary is
+    * the q81 census head (freq DESC, token — deterministic cut),
+    * broadcast; membership is then a broadcast left join on the exploded
+    * stream feeding one per-source partial agg — corpus text never
+    * shuffles. (Production trains the vocab once and persists it; the
+    * gate fuses train + audit into one plan, the lmScore discipline.) */
+  def oovRate(docs: DataFrame, vocabK: Int = 500): DataFrame = {
+    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(vocabK)
+      .select(col("tok"), lit(1).as("iv"))
+    val rate = col("n_oov").cast("double") / col("n_tokens").cast("double")
+    docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (floor(rate * 1e6 + 0.5) / 1e6).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q155: out-of-vocabulary rate per source ---------------------------
+    // Top-500 vocab head, broadcast membership join, per-source census;
+    // the oracle replays the census cut and the quantized rate.
+    QueryDef(
+      "q155_oov_rate",
+      (s, d) => oovRate(Tables.documents(s, d)),
+      Some("""WITH f AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok, count(*) AS freq FROM f GROUP BY 1),
+             |v AS (SELECT tok FROM c ORDER BY freq DESC, tok LIMIT 500),
+             |j AS (
+             |  SELECT f.source,
+             |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+             |  FROM f LEFT JOIN v ON v.tok = f.tok)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(oov) AS BIGINT) AS n_oov,
+             |  floor(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS oov_rate
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- q153: Zipf power-law fit over the token spectrum ------------------
+    // Top-100 census regression in log-log space; the oracle replays the
+    // census, the rank, and the exact moment dag.
+    QueryDef(
+      "q153_zipf_fit",
+      (s, d) => zipfFit(Tables.documents(s, d)),
+      Some("""WITH f AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |c AS (SELECT tok, count(*) AS freq FROM f GROUP BY 1),
+             |t AS (SELECT tok, freq FROM c ORDER BY freq DESC, tok LIMIT 100),
+             |p AS (
+             |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS x,
+             |    ln(CAST(freq AS DOUBLE)) AS y
+             |  FROM t),
+             |s AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS m,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             |    sum(y * y) AS syy, sum(x * y) AS sxy
+             |  FROM p)
+             |SELECT CAST(m AS BIGINT) AS n_points,
+             |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+             |  round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+             |    AS intercept,
+             |  round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+             |        / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+             |FROM s""".stripMargin)),
 
     // ---- q144: distinctive terms per source --------------------------------
     // Ratio-form lift with a global count-20 floor, top-10 per source;

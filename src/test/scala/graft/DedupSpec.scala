@@ -357,4 +357,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.toSeq == Seq((10L, 20L)),
       s"the embedding survives the cap, boilerplate-only pairs do not: ${capped.toSeq}")
   }
+
+  test("crossSourceOverlap: a syndicated passage links exactly its two sources") {
+    import org.apache.spark.sql.functions._
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ") // one 8-shingle
+    def filler(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage ${filler("a")}", "sa"),   // shares the passage…
+      (2L, s"${filler("b")} $passage", "sb"),   // …with sb
+      (3L, filler("c"), "sc"))                  // sc shares nothing
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceOverlap(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(("sa", "sb")), s"got $out")
+    val (shared, na, nb, jac) = out(("sa", "sb"))
+    // sa: passage+filler text has 21 tokens -> 14 shingles; only the
+    // leading pure-passage shingle matches sb's trailing one
+    assert(shared == 1L, s"exactly the syndicated shingle: $out")
+    assert(jac == math.floor(1.0 / (na + nb - 1).toDouble * 1e6 + 0.5) / 1e6)
+  }
 }

@@ -107,4 +107,19 @@ class RelationalExtSpec extends SparkSpec {
     assert(nullable.filter($"second_price".isNotNull).count() == 0)
     assert(out.filter(isnan($"second_price")).count() == 0)
   }
+
+  test("corrMatrix: exact ±1 on affine columns, one aggregation pass") {
+    import spark.implicits._
+    // y = 2x and z = -3x: every pairwise correlation is exactly ±1
+    val df = (1 to 8).map(i => (i.toDouble, 2.0 * i, -3.0 * i)).toDF("x", "y", "z")
+    val out = graft.operators.RelationalExt.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(out == Map(("x", "y") -> 1.0, ("x", "z") -> -1.0, ("y", "z") -> -1.0),
+      s"got $out")
+    // one scan whatever the pair count: a single Aggregate feeds the
+    // explode — no union of per-pair aggregations
+    val plan = graft.operators.RelationalExt.corrMatrix(df, Seq("x", "y", "z"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), s"per-pair union would re-scan:\n$plan")
+  }
 }

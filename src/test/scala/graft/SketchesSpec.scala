@@ -223,4 +223,41 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(out == Seq(("hot_a", 3000L), ("hot_b", 2000L), ("hot_c", 1200L)))
   }
+
+  test("audienceOverlap: planted half-overlap recovered; exact census beside") {
+    import org.apache.spark.sql.functions._
+    // A = users 0..4999, B = 2500..7499 (both in HLL's raw regime,
+    // n >= 2.5m): true intersection 2500, union 7500
+    val rows = (0 until 5000).map(u => (u.toLong, "A")) ++
+      (2500 until 7500).map(u => (u.toLong, "B"))
+    val ev = rows.toDF("user_id", "event_type")
+    val out = Sketches.audienceOverlap(ev, Sketches.Ov.a, Sketches.Ov.b).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(6) == 2500L, "exact intersection census")
+    val (estA, estB, estU, estI) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // HLL σ ≈ 1.04/√128 ≈ 9%; inclusion-exclusion compounds three
+    // estimates, so the intersection tolerance is generous
+    assert(math.abs(estA - 5000) < 1500 && math.abs(estB - 5000) < 1500)
+    assert(math.abs(estU - 7500) < 2000, s"union est $estU")
+    assert(math.abs(estI - 2500) < 1500, s"inter est $estI")
+    // register algebra invariant: union never exceeds the sum
+    assert(estU <= estA + estB)
+  }
+
+  test("quantileBin: balanced buckets per group on distinct values") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i.toDouble))
+    val df = rows.toDF("grp", "v")
+    val out = Sketches.quantileBin(df, "v", "grp").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    // group a: edges 25/50/75 -> four buckets of exactly 25
+    assert((0L to 3L).forall(b => out(("a", b)) == 25L), s"got $out")
+    // group b: edges at k=ceil(q*10) = 3,5,8 -> sizes 3,2,3,2
+    assert(out(("b", 0L)) == 3L && out(("b", 1L)) == 2L &&
+      out(("b", 2L)) == 3L && out(("b", 3L)) == 2L, s"got $out")
+  }
 }

@@ -132,4 +132,30 @@ class TextOpsSpec extends SparkSpec {
     val lift = math.floor(25.0 * nTot / (25.0 * nA) * 1e6 + 0.5) / 1e6
     assert(liftOf("kernel") == lift, s"${liftOf("kernel")} vs $lift")
   }
+
+  test("zipfFit: a planted 1/rank spectrum fits slope ~ -1 with high r2") {
+    import spark.implicits._
+    // token w_i appears floor(2000/i) times, i = 1..50 — a power law with
+    // exponent -1 (plus integer-floor noise)
+    val text = (1 to 50).flatMap(i => Seq.fill(2000 / i)(f"w$i%03d")).mkString(" ")
+    val out = graft.operators.TextAnalysis.zipfFit(
+      Seq((1L, text)).toDF("doc_id", "text")).collect().head
+    val (n, slope, r2) = (out.getLong(0), out.getDouble(1), out.getDouble(3))
+    assert(n == 50L)
+    assert(slope > -1.1 && slope < -0.9, s"slope $slope")
+    assert(r2 > 0.99, s"r2 $r2")
+  }
+
+  test("oovRate: tokens outside the top-K head count as OOV, per source") {
+    import spark.implicits._
+    // vocabK=2 -> vocab = {common1, common2} (freq 20 each); src 'clean'
+    // writes only vocab tokens, src 'noisy' is half OOV
+    val docs = (0 until 10).map(i => (i.toLong, "common1 common2", "clean")) ++
+      (0 until 10).map(i => (100L + i, s"common1 common2 rare${i}a rare${i}b", "noisy"))
+    val out = graft.operators.TextAnalysis.oovRate(
+      docs.toDF("doc_id", "text", "source"), vocabK = 2).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("clean") == ((20L, 0L, 0.0)), s"got $out")
+    assert(out("noisy") == ((40L, 20L, 0.5)), s"got $out")
+  }
 }
