@@ -682,9 +682,12 @@ object Dedup {
     * present everywhere costs sources², not corpus²). Jaccard over
     * per-source shingle-set sizes is a floor-quantized rational. */
   def crossSourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    // three consumers (sizes census + both self-join sides) — cut so the
+    // corpus explode+distinct runs once
     val f = docs
       .select(col("source"), explode(TextOps.shingles(col("text"), n)).as("sh"))
       .distinct()
+      .cutLineage()
     val ns = f.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = f.as("x")
       .join(f.as("y"), col("x.sh") === col("y.sh") &&

@@ -331,12 +331,20 @@ object Similarity {
     * ambiguity. */
   def pcaPower(embs: DataFrame, iters: Int = 8): DataFrame = {
     import graft.core.Lineage.CutOps
+    // ONE parquet scan: the exploded (vec_id, pos, x) frame is
+    // materialized and every later consumer (mean census, row count,
+    // both sides of the covariance self-join) reads the cut — without it
+    // the self-join alone re-scans the corpus per side
     val xp = embs.select(col("vec_id"),
       posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-    val means = xp.groupBy(col("pos")).agg(round(avg(col("x")), 6).as("m"))
+      .cutLineage()
+    val mstats = xp.groupBy(col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("cnt"))
+    // the census divisor, read off the 64-row mean census (no extra scan)
+    val n = mstats.agg(max(col("cnt"))).head().getLong(0).toDouble
+    val means = mstats.select(col("pos"), col("m"))
     val cent = xp.join(broadcast(means), "pos")
       .select(col("vec_id"), col("pos"), (col("x") - col("m")).as("xc"))
-    val n = embs.count().toDouble // one scalar — the census divisor
     val cov = cent.as("a").join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
       .agg(round(sum(col("a.xc") * col("b.xc")) / lit(n), 6).as("c"))

@@ -521,8 +521,12 @@ object Sketches {
     * is a broadcast nested loop over that census; the only corpus-scale
     * stages are the register build and the (gate-only) exact census. */
   def audienceOverlap(events: DataFrame, a: Long, b: Long): DataFrame = {
+    import graft.core.Lineage.CutOps
     val ue = events.select(col("event_type"), col("user_id"))
+    // the register census feeds the pair merge AND the per-type
+    // estimates — cut so the corpus register build runs once
     val regs = hllRegisters(ue, "user_id", col("event_type"), a, b)
+      .cutLineage()
     val types = ue.select(col("event_type")).distinct()
     val pairs = types.select(col("event_type").as("ta"))
       .join(types.select(col("event_type").as("tb")), col("ta") < col("tb"))

@@ -58,17 +58,27 @@ object Temporal {
     * transition matrix cannot see. One user_id shuffle feeds the gap
     * window, the session window, and the leads; the census
     * partial-aggregates and top-k lands on TakeOrdered. */
-  def sessionPaths(events: org.apache.spark.sql.DataFrame, pathLen: Int = 3,
-      topK: Int = 20, gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+  /** q54's 30-minute-gap sessionization (same integer-µs gap spelling and
+    * (t, event_id) tie order), factored for reuse: adds `t` (integer µs)
+    * and `session_id` (per-user running counter) to the event stream.
+    * One user_id shuffle feeds both windows. */
+  private def sessionized(events: org.apache.spark.sql.DataFrame,
+      gapUs: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(pathLen >= 2 && topK >= 1)
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     val runFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withSess = events
+    events
       .withColumn("t", unix_micros(col("ts")))
       .withColumn("gap", col("t") - lag(col("t"), 1).over(byUser))
       .withColumn("new_s", when(col("gap").isNull || col("gap") >= gapUs, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_s")).over(runFrame))
+  }
+
+  def sessionPaths(events: org.apache.spark.sql.DataFrame, pathLen: Int = 3,
+      topK: Int = 20, gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pathLen >= 2 && topK >= 1)
+    val withSess = sessionized(events, gapUs)
     val inSess = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("t"), col("event_id"))
     val steps = (0 until pathLen).map {
@@ -198,15 +208,32 @@ object Temporal {
   def rateAutocorr(events: org.apache.spark.sql.DataFrame,
       windowMinutes: Int = 10, minPairs: Int = 4): org.apache.spark.sql.DataFrame = {
     val unitUs = windowMinutes * 60000000L
-    val census = events
+    autocorrFromCensus(events
       .groupBy(expr(s"unix_micros(ts) div $unitUs").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val pairs = census.as("a")
-      .join(census.as("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("b.win") === col("a.win") + 1)
-      .select(col("a.event_type").as("event_type"),
-        col("a.n").as("x"), col("b.n").as("y"))
+      .agg(count(lit(1)).as("n")),
+      minPairs)
+  }
+
+  /** Scoring half of [[rateAutocorr]], factored out (the [[scoreRates]]
+    * split) so a STREAMING census — `EventStream.windowedCounts` rows
+    * with `win = win_start div stepSeconds` — can be scored sink-side:
+    * the streaming query keeps only its one census aggregation, and the
+    * correlation is a batch pass over the emitted, already-bounded
+    * census. Adjacent pairs come from a lead window over the census (one
+    * pass, and — the CLAUDE.md memory-sink rule — a census self-join
+    * fails analysis outright when the census is a streaming memory-sink
+    * view, since both join sides share attribute ids); the gap guard
+    * `lead(win) = win + 1` keeps missing windows ending a pair chain
+    * rather than fabricating zeros. */
+  def autocorrFromCensus(census: org.apache.spark.sql.DataFrame,
+      minPairs: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("win"))
+    val pairs = census
+      .withColumn("nw", lead(col("win"), 1).over(w))
+      .withColumn("y", lead(col("n"), 1).over(w))
+      .filter(col("nw") === col("win") + 1)
+      .select(col("event_type"), col("n").as("x"), col("y"))
     val m = col("m").cast("double")
     val num = m * col("sxy").cast("double") -
       col("sx").cast("double") * col("sy").cast("double")
@@ -221,9 +248,124 @@ object Temporal {
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
       .filter(col("m") >= minPairs)
+      // nullif: a zero-variance pair series (constant counts) has no
+      // defined correlation — NULL, never an ANSI divide-by-zero throw
       .select(col("event_type"), col("m"),
-        (floor(num / (sqrt(denx) * sqrt(deny)) * 1e6 + 0.5) / 1e6).as("r1"))
+        (floor(num / nullif(sqrt(denx) * sqrt(deny), lit(0.0)) * 1e6 + 0.5)
+          / 1e6).as("r1"))
       .orderBy(col("event_type"))
+  }
+
+  /** Bounce rate by entry type — per first-event-of-session type, the
+    * share of sessions that end after that single event (the engagement
+    * cliff per landing surface). Rides [[sessionized]]'s one user_id
+    * shuffle; the per-session rollup needs the entry type, taken as the
+    * rank-1 row of the in-session window (total (t, event_id) order —
+    * deterministic cross-engine); the rate is a quantized rational. */
+  def bounceRate(events: org.apache.spark.sql.DataFrame,
+      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("t"), col("event_id"))
+    val sess = sessionized(events, gapUs)
+      .withColumn("rn", row_number().over(inSess))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("rn") === 1, col("event_type"))).as("entry"))
+    val rate = col("n_bounce").cast("double") / col("n_sessions").cast("double")
+    sess.groupBy(col("entry"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("entry"), col("n_sessions"), col("n_bounce"),
+        (floor(rate * 1e6 + 0.5) / 1e6).as("bounce_rate"))
+      .orderBy(col("entry"))
+  }
+
+  /** RFM segmentation — the user-value census: each user scored
+    * high/low against the population MEDIAN on recency (days since last
+    * activity), frequency (event count), and monetary (value summed in
+    * exact integer cents — per-row quantization BEFORE the sum, so the
+    * aggregate is order-free and bit-identical cross-engine, where a
+    * double sum binned at an edge could flip a bucket on a 1-ulp
+    * summation difference). Medians come from [[Sketches.bisectQuantiles]]
+    * over the materialized user census (bounded state); bucketing is a
+    * broadcast compare; the output is the 2×2×2 segment census. */
+  def rfmSegments(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
+    val dayUs = 86400000000L
+    val users = events
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("mon"))
+      .cutLineage()
+    val horizon = users.agg(max(col("last_day")).as("hmax"))
+    val base = users.crossJoin(broadcast(horizon))
+      .select(col("user_id"), (col("hmax") - col("last_day")).as("rec"),
+        col("freq"), col("mon"), lit("g").as("g"))
+      .cutLineage()
+    def median(metric: String): org.apache.spark.sql.DataFrame =
+      Sketches.bisectQuantiles(base, metric, "g", Seq(0.5), scale = 1)
+        .select(col("val").cast("long").as(s"med_$metric"))
+    base
+      .crossJoin(broadcast(median("rec")))
+      .crossJoin(broadcast(median("freq")))
+      .crossJoin(broadcast(median("mon")))
+      .groupBy(
+        when(col("rec") > col("med_rec"), 1L).otherwise(0L).as("r_high"),
+        when(col("freq") > col("med_freq"), 1L).otherwise(0L).as("f_high"),
+        when(col("mon") > col("med_mon"), 1L).otherwise(0L).as("m_high"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("r_high"), col("f_high"), col("m_high"))
+  }
+
+  /** The q112 funnel fold, factored for reuse: per user, the timestamps
+    * of signup → first click after it → first purchase after that, as one
+    * struct column `f(s_t, c_t, p_t)` (integer µs, NULL = stage never
+    * reached). ONE scan, one user_id shuffle, per-user state bounded by
+    * that user's activity — the join formulation consumed the stream once
+    * per stage (audited r6: 3 corpus lineages → 1). */
+  def funnelTimes(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nil = lit(null).cast("long")
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("t"), col("event_type")))).as("evs"))
+      .select(col("user_id"), aggregate(col("evs"),
+        struct(nil.as("s_t"), nil.as("c_t"), nil.as("p_t")),
+        (acc, e) => struct(
+          when(acc("s_t").isNull && e("event_type") === "signup", e("t"))
+            .otherwise(acc("s_t")).as("s_t"),
+          when(acc("c_t").isNull && acc("s_t").isNotNull &&
+              e("event_type") === "click" && e("t") > acc("s_t"), e("t"))
+            .otherwise(acc("c_t")).as("c_t"),
+          when(acc("p_t").isNull && acc("c_t").isNotNull &&
+              e("event_type") === "purchase" && e("t") > acc("c_t"), e("t"))
+            .otherwise(acc("p_t")).as("p_t"))).as("f"))
+  }
+
+  /** Funnel time-to-convert quantiles — how LONG each conversion stage
+    * takes, not just how many reach it: exact p50/p90 of the two
+    * stage-gap distributions (signup→click, click→purchase), gaps in
+    * integer µs from [[funnelTimes]]'s per-user struct, quantiles through
+    * [[Sketches.bisectQuantiles]] (bounded state). The gap frame is
+    * materialized once ahead of the descent rounds (the q149 note). */
+  def funnelTimeQuantiles(events: org.apache.spark.sql.DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.9)): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
+    val gaps = funnelTimes(events)
+      .select(explode(array(
+        struct(lit("signup_to_click").as("stage"),
+          (col("f.c_t") - col("f.s_t")).as("gap")),
+        struct(lit("click_to_purchase").as("stage"),
+          (col("f.p_t") - col("f.c_t")).as("gap")))).as("g"))
+      .select(col("g.stage").as("stage"), col("g.gap").as("gap"))
+      .filter(col("gap").isNotNull)
+      .cutLineage()
+    Sketches.bisectQuantiles(gaps, "gap", "stage", qs, scale = 1)
+      .orderBy(col("grp"), col("q"))
   }
 
   /** Per-type inter-arrival gap quantiles — the engagement-cadence
@@ -255,6 +397,128 @@ object Temporal {
   }
 
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q158: bounce rate by entry type -----------------------------------
+    // Share of single-event sessions per session-entry type; the oracle
+    // replays q54's sessionization, the rank-1 entry, and both censuses.
+    QueryDef(
+      "q158_bounce_rate",
+      (s, d) => bounceRate(Tables.events(s, d)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, event_id, event_type, t,
+             |    CASE WHEN t - lag(t, 1) OVER w IS NULL
+             |           OR t - lag(t, 1) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |sid AS (
+             |  SELECT user_id, event_id, event_type, t,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g),
+             |r AS (
+             |  SELECT user_id, session_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id, session_id
+             |                       ORDER BY t, event_id) AS rn
+             |  FROM sid),
+             |sess AS (
+             |  SELECT user_id, session_id, count(*) AS n_ev,
+             |    max(CASE WHEN rn = 1 THEN event_type END) AS entry
+             |  FROM r GROUP BY 1, 2)
+             |SELECT entry, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+             |  floor(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bounce_rate
+             |FROM sess GROUP BY entry ORDER BY entry""".stripMargin)),
+
+    // ---- q157: RFM segmentation --------------------------------------------
+    // High/low vs the population median on recency/frequency/monetary
+    // (monetary in exact integer cents); the oracle replays the user
+    // census, three k-th-smallest medians, and the 2x2x2 census.
+    QueryDef(
+      "q157_rfm_segments",
+      (s, d) => rfmSegments(Tables.events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id, max(day) AS last_day, count(*) AS freq,
+             |    CAST(sum(cents) AS BIGINT) AS mon
+             |  FROM (
+             |    SELECT user_id,
+             |      epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |      CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             |    FROM events)
+             |  GROUP BY 1),
+             |b AS MATERIALIZED (
+             |  SELECT user_id, (SELECT max(last_day) FROM u) - last_day AS rec,
+             |    freq, mon
+             |  FROM u),
+             |mr AS (
+             |  SELECT min(iv) AS med FROM (
+             |    SELECT rec AS iv, row_number() OVER (ORDER BY rec) AS rk,
+             |      count(*) OVER () AS n FROM b)
+             |  WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)),
+             |mf AS (
+             |  SELECT min(iv) AS med FROM (
+             |    SELECT freq AS iv, row_number() OVER (ORDER BY freq) AS rk,
+             |      count(*) OVER () AS n FROM b)
+             |  WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)),
+             |mm AS (
+             |  SELECT min(iv) AS med FROM (
+             |    SELECT mon AS iv, row_number() OVER (ORDER BY mon) AS rk,
+             |      count(*) OVER () AS n FROM b)
+             |  WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+             |SELECT
+             |  CAST(CASE WHEN rec > (SELECT med FROM mr) THEN 1 ELSE 0 END AS BIGINT) AS r_high,
+             |  CAST(CASE WHEN freq > (SELECT med FROM mf) THEN 1 ELSE 0 END AS BIGINT) AS f_high,
+             |  CAST(CASE WHEN mon > (SELECT med FROM mm) THEN 1 ELSE 0 END AS BIGINT) AS m_high,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- q156: funnel time-to-convert quantiles ----------------------------
+    // p50/p90 of the signup→click and click→purchase gaps; the oracle
+    // chains q112's stage CTEs into the q128 k-th-smallest selection.
+    QueryDef(
+      "q156_funnel_timing",
+      (s, d) => funnelTimeQuantiles(Tables.events(s, d)),
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+             |s1 AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN t END) AS s_t
+             |  FROM ev GROUP BY user_id),
+             |s2 AS (
+             |  SELECT ev.user_id, s1.s_t,
+             |    min(CASE WHEN event_type = 'click' AND t > s1.s_t THEN t END) AS c_t
+             |  FROM ev JOIN s1 ON s1.user_id = ev.user_id GROUP BY 1, 2),
+             |s3 AS MATERIALIZED (
+             |  SELECT ev.user_id, s2.s_t, s2.c_t,
+             |    min(CASE WHEN event_type = 'purchase' AND t > s2.c_t THEN t END) AS p_t
+             |  FROM ev JOIN s2 ON s2.user_id = ev.user_id GROUP BY 1, 2, 3),
+             |g AS (
+             |  SELECT stage, gap FROM (
+             |    SELECT 'signup_to_click' AS stage, c_t - s_t AS gap FROM s3
+             |    UNION ALL
+             |    SELECT 'click_to_purchase', p_t - c_t FROM s3)
+             |  WHERE gap IS NOT NULL),
+             |v AS (
+             |  SELECT CAST(stage AS VARCHAR) AS grp,
+             |    CAST(floor(gap * 1 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS iv
+             |  FROM g),
+             |r AS (
+             |  SELECT grp, iv,
+             |    row_number() OVER (PARTITION BY grp ORDER BY iv) AS rk,
+             |    count(*) OVER (PARTITION BY grp) AS n
+             |  FROM v),
+             |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+             |sel AS (
+             |  SELECT r.grp, qs.q, min(r.iv) AS iv
+             |  FROM r, qs
+             |  WHERE r.rk = CAST(ceil(qs.q * r.n) AS BIGINT)
+             |  GROUP BY 1, 2)
+             |SELECT grp, q, iv / CAST(1 AS DOUBLE) AS val
+             |FROM sel ORDER BY grp, q""".stripMargin)),
 
     // ---- q149: inter-arrival gap quantiles per type ------------------------
     // Exact bounded-state p50/p90 of per-user event gaps; the oracle
@@ -314,10 +578,11 @@ object Temporal {
              |SELECT event_type, CAST(m AS BIGINT) AS m,
              |  floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
              |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             |        / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        / nullif(sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
              |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |           * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-             |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+             |          CAST(0.0 AS DOUBLE))
              |        * 1e6 + 0.5) / 1e6 AS r1
              |FROM s WHERE m >= 4 ORDER BY event_type""".stripMargin)),
 
@@ -624,29 +889,10 @@ object Temporal {
     // times integer µs.
     QueryDef(
       "q112_funnel",
-      (s, d) => {
-        import s.implicits._
-        val nil = lit(null).cast("long")
-        val funnel = Tables.events(s, d)
-          .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
-          .filter($"event_type".isin("signup", "click", "purchase"))
-          .groupBy($"user_id")
-          .agg(sort_array(collect_list(struct($"t", $"event_type"))).as("evs"))
-          .select(aggregate($"evs",
-            struct(nil.as("s_t"), nil.as("c_t"), nil.as("p_t")),
-            (acc, e) => struct(
-              when(acc("s_t").isNull && e("event_type") === "signup", e("t"))
-                .otherwise(acc("s_t")).as("s_t"),
-              when(acc("c_t").isNull && acc("s_t").isNotNull &&
-                  e("event_type") === "click" && e("t") > acc("s_t"), e("t"))
-                .otherwise(acc("c_t")).as("c_t"),
-              when(acc("p_t").isNull && acc("c_t").isNotNull &&
-                  e("event_type") === "purchase" && e("t") > acc("c_t"), e("t"))
-                .otherwise(acc("p_t")).as("p_t"))).as("f"))
-        funnel.agg(count($"f.s_t").as("n_signup"),
-          count($"f.c_t").as("n_click_after"),
-          count($"f.p_t").as("n_purchase_after"))
-      },
+      (s, d) => funnelTimes(Tables.events(s, d))
+        .agg(count(col("f.s_t")).as("n_signup"),
+          count(col("f.c_t")).as("n_click_after"),
+          count(col("f.p_t")).as("n_purchase_after")),
       Some("""WITH ev AS (
              |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
              |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),

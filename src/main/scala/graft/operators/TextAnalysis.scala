@@ -212,9 +212,14 @@ object TextAnalysis {
   def distinctiveTerms(docs: DataFrame, topK: Int = 10,
       minCount: Long = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.core.Lineage.CutOps
+    // the census feeds FOUR consumers (global census, per-source totals,
+    // grand total, the lift join) — cut it so the corpus explode runs
+    // once, not once per consumer
     val cst = docs
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+      .cutLineage()
     val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
     val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val tot = cst.agg(sum(col("c_st")).as("n_tot"))

@@ -164,6 +164,81 @@ class TemporalSpec extends SparkSpec {
     assert(!out.contains("gap"), s"gapped series must not fabricate zeros: $out")
   }
 
+  test("autocorrFromCensus composes with the streaming census (batch/stream parity)") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_ac_stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      Paths.get(s"$sf0001/events.parquet"))
+    val ev = graft.core.Tables.events(spark, sf0001)
+    val stream = graft.streaming.EventStream.readEvents(spark, dir.toString)
+    val census = graft.streaming.EventStream.runToMemory(spark,
+      graft.streaming.EventStream.windowedCounts(stream), "ac_census")
+      .select(($"win_start" / 300L).cast("long").as("win"), $"event_type", $"n")
+    // r1 is NULL for zero-variance series — carry it as Option
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val streamed = rows(Temporal.autocorrFromCensus(census, minPairs = 2))
+    // batch twin over the SAME 5-minute grid
+    val batch = rows(Temporal.rateAutocorr(ev, windowMinutes = 5, minPairs = 2))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("funnelTimeQuantiles: exact stage-gap quantiles; non-converters drop out") {
+    // users 1..5 sign up at 0 and click at 10i µs (gaps 10..50);
+    // users 1..2 purchase 100i µs after the click
+    val rows = (1 to 5).flatMap { u =>
+      Seq((u.toLong, "signup", 0L), (u.toLong, "click", u * 10L)) ++
+        (if (u <= 2) Seq((u.toLong, "purchase", u * 10L + u * 100L)) else Nil)
+    }
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.funnelTimeQuantiles(ev).collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(out == Map(
+      ("signup_to_click", 0.5) -> 30.0, ("signup_to_click", 0.9) -> 50.0,
+      ("click_to_purchase", 0.5) -> 100.0, ("click_to_purchase", 0.9) -> 200.0),
+      s"got $out")
+  }
+
+  test("bounceRate: single-event sessions count against their entry type") {
+    val halfHourUs = 1800000000L
+    val rows = Seq(
+      (1L, "landing", 0L),                      // session 1: bounce
+      (1L, "landing", 2L * halfHourUs),         // session 2: two events
+      (1L, "click", 2L * halfHourUs + 1000L),
+      (2L, "promo", 0L))                        // bounce
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.bounceRate(ev).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map("landing" -> ((2L, 1L, 0.5)), "promo" -> ((1L, 1L, 1.0))),
+      s"got $out")
+  }
+
+  test("rfmSegments: hand-built medians split the 2x2x2 census exactly") {
+    val dayUs = 86400000000L
+    // (user, day, value): recencies 0,1,5,0; freqs 1,2,1,3; cents
+    // 100,300,50,1000 -> medians rec 0, freq 1, mon 100
+    val rows = Seq(
+      (1L, 10L, 1.00), (2L, 8L, 1.50), (2L, 9L, 1.50), (3L, 5L, 0.50),
+      (4L, 10L, 4.00), (4L, 10L, 3.00), (4L, 10L, 3.00))
+    val ev = rows.zipWithIndex.map { case ((u, d, v), i) => (i.toLong, u, d, v) }
+      .toDF("event_id", "user_id", "day", "value")
+      .select($"event_id", $"user_id", timestamp_micros($"day" * dayUs + $"event_id").as("ts"),
+        $"value")
+    val out = graft.operators.Temporal.rfmSegments(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(out == Map(
+      (0L, 0L, 0L) -> 1L,   // u1: recent, low freq, low spend
+      (1L, 1L, 1L) -> 1L,   // u2: stale, high freq, high spend
+      (1L, 0L, 0L) -> 1L,   // u3: stale, low, low
+      (0L, 1L, 1L) -> 1L),  // u4: recent, high, high
+      s"got $out")
+  }
+
   test("gapQuantiles: exact k-th-smallest gaps per type, never across users") {
     // user 1, type A: events with gaps 1..9 µs -> p50 = 5, p90 = 9
     val tsA = Seq.iterate(0L, 10)(identity).zipWithIndex
