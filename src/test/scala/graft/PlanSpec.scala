@@ -296,4 +296,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"expected a hash/merge join on the band bucket:\n$p")
   }
+
+  test("q144: lift totals broadcast; top-k rank is WindowGroupLimit-pruned") {
+    val p = physicalPlan("q144_distinctive_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source rank <= k must prune below the window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-source totals / grand total must broadcast:\n$p")
+  }
+
+  test("q148: both retrieval pools are TakeOrdered; fused frames stay pool-sized") {
+    val p = physicalPlan("q148_rrf_fusion")
+    // three TakeOrdered: lexical pool, semantic pool, final fused top-k —
+    // neither ranking global-sorts the corpus
+    val takes = p.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(takes >= 3, s"expected 3 TakeOrdered (two pools + fusion), got $takes:\n$p")
+    // stats / query rows ride broadcasts (one-row frames broadcast as
+    // IdentityBroadcastMode under a nested-loop join — also fine)
+    assert(p.contains("BroadcastExchange"),
+      s"stats/query rows must broadcast against the corpus scans:\n$p")
+  }
+
+  test("q152: the correlation matrix is ONE aggregation — no per-pair union") {
+    val p = physicalPlan("q152_corr_matrix")
+    assert(!p.contains("Union"), s"a per-pair union re-scans the fact table:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1, s"expected exactly one lineitem scan, got $scans:\n$p")
+  }
+
+  test("q155: vocab membership is a broadcast join over the exploded stream") {
+    val p = physicalPlan("q155_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab head must broadcast — the token stream never shuffles:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the per-source census must partial-aggregate:\n$p")
+  }
 }
