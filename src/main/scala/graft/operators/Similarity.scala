@@ -329,12 +329,14 @@ object Similarity {
     * constant (0.125 — any nonzero constant works, round-0 normalization
     * removes the scale) so the replay is deterministic: no RNG, no sign
     * ambiguity. */
-  def pcaPower(embs: DataFrame, iters: Int = 8): DataFrame = {
+  /** The rounded, checkpointed (i, j, c) covariance census shared by
+    * [[pcaPower]] and [[pcaTopK]]. ONE parquet scan: the exploded
+    * (vec_id, pos, x) frame is materialized and every later consumer
+    * (mean census, row count, both sides of the covariance self-join)
+    * reads the cut — without it the self-join alone re-scans the corpus
+    * per side. */
+  private def covarianceCensus(embs: DataFrame): DataFrame = {
     import graft.core.Lineage.CutOps
-    // ONE parquet scan: the exploded (vec_id, pos, x) frame is
-    // materialized and every later consumer (mean census, row count,
-    // both sides of the covariance self-join) reads the cut — without it
-    // the self-join alone re-scans the corpus per side
     val xp = embs.select(col("vec_id"),
       posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
       .cutLineage()
@@ -345,11 +347,18 @@ object Similarity {
     val means = mstats.select(col("pos"), col("m"))
     val cent = xp.join(broadcast(means), "pos")
       .select(col("vec_id"), col("pos"), (col("x") - col("m")).as("xc"))
-    val cov = cent.as("a").join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
+    cent.as("a").join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
       .agg(round(sum(col("a.xc") * col("b.xc")) / lit(n), 6).as("c"))
       .cutLineage()
-    var v = means.select(col("pos"), lit(0.125).as("w"))
+  }
+
+  /** `iters` rounds of v ← round(normalize(C·v), 6) from the constant
+    * seed, lineage-cut per round — the replayable power-iteration core. */
+  private def powerRounds(cov: DataFrame, iters: Int): DataFrame = {
+    import graft.core.Lineage.CutOps
+    var v = cov.filter(col("i") === col("j"))
+      .select(col("i").as("pos"), lit(0.125).as("w"))
     for (_ <- 1 to iters) {
       val u = cov
         .join(v.select(col("pos").as("j"), col("w")), "j")
@@ -359,15 +368,57 @@ object Similarity {
         .select(col("pos"), round(col("u") / col("nm"), 6).as("w"))
         .cutLineage()
     }
-    val lam = cov
-      .join(v.select(col("pos").as("i"), col("w").as("wi")), "i")
-      .join(v.select(col("pos").as("j"), col("w").as("wj")), "j")
-      .agg(round(sum(col("c") * col("wi") * col("wj")), 6).as("eigval"))
+    v
+  }
+
+  /** Rayleigh quotient round(vᵀCv, 6) as a one-row frame. */
+  private def rayleigh(cov: DataFrame, v: DataFrame): DataFrame = cov
+    .join(v.select(col("pos").as("i"), col("w").as("wi")), "i")
+    .join(v.select(col("pos").as("j"), col("w").as("wj")), "j")
+    .agg(round(sum(col("c") * col("wi") * col("wj")), 6).as("eigval"))
+
+  def pcaPower(embs: DataFrame, iters: Int = 8): DataFrame = {
+    val cov = covarianceCensus(embs)
+    val v = powerRounds(cov, iters)
+    val lam = rayleigh(cov, v)
     val tr = cov.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
     v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
       .select(col("pos"), col("w").as("loading"), col("eigval"),
         round(col("eigval") / col("tr"), 6).as("var_ratio"))
       .orderBy(col("pos"))
+  }
+
+  /** Top-k principal components by power iteration + Hotelling
+    * deflation: after extracting (λ_c, v_c), the census updates to
+    * round(C − λ_c·v_c v_cᵀ, 6) — rounded and checkpointed per
+    * component, so both engines deflate IDENTICAL matrices and the whole
+    * spectrum replays (the [[Km]] per-round contract applied at the
+    * component level). var_ratio is against the ORIGINAL trace, so the
+    * rows cumulate toward the total explained variance. Shapes: the one
+    * corpus-scale stage is [[covarianceCensus]]; everything after is k ×
+    * iters matvecs over d²/d-row frames. */
+  def pcaTopK(embs: DataFrame, k: Int = 3, iters: Int = 6): DataFrame = {
+    import graft.core.Lineage.CutOps
+    require(k >= 1)
+    val cov0 = covarianceCensus(embs)
+    val tr = cov0.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
+    var cov = cov0
+    val frames = (1 to k).map { comp =>
+      val v = powerRounds(cov, iters)
+      val lam = rayleigh(cov, v)
+      val out = v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+        .select(lit(comp).as("component"), col("pos"), col("w").as("loading"),
+          col("eigval"), round(col("eigval") / col("tr"), 6).as("var_ratio"))
+      cov = cov
+        .join(v.select(col("pos").as("i"), col("w").as("wi")), "i")
+        .join(v.select(col("pos").as("j"), col("w").as("wj")), "j")
+        .crossJoin(broadcast(lam))
+        .select(col("i"), col("j"),
+          round(col("c") - col("eigval") * col("wi") * col("wj"), 6).as("c"))
+        .cutLineage()
+      out
+    }
+    frames.reduce(_ unionByName _).orderBy(col("component"), col("pos"))
   }
 
   /** Maximal-marginal-relevance re-ranking — diversified top-k: greedily
@@ -440,6 +491,14 @@ object Similarity {
       "q146_mmr_rerank",
       (s, d) => mmrRerank(Tables.embeddings(s, d)),
       Some(Mmr.oracle)),
+
+    // ---- q162: top-k PCA via power iteration + deflation -------------------
+    // Three components, six rounds each, census deflated and re-rounded
+    // between components; the generated oracle replays the full spectrum.
+    QueryDef(
+      "q162_pca_topk",
+      (s, d) => pcaTopK(Tables.embeddings(s, d), k = PcaK.K, iters = PcaK.Iters),
+      Some(PcaK.oracle)),
 
     // ---- q145: principal component via power iteration ---------------------
     // Rounded covariance census + 8 replayed power rounds; the oracle's
@@ -902,15 +961,11 @@ object Similarity {
   private[graft] object Pca {
     val Iters = 8
 
-    val oracle: String = {
-      def round(k: Int): String =
-        s"""pu$k AS MATERIALIZED (
-           |  SELECT cov.i AS pos, sum(cov.c * pv$k.w) AS u
-           |  FROM cov JOIN pv$k ON pv$k.pos = cov.j GROUP BY 1),
-           |pv${k + 1} AS MATERIALIZED (
-           |  SELECT pos, round(u / sqrt(sum(u * u) OVER ()), 6) AS w FROM pu$k)"""
-      val chain = (0 until Iters).map(round).mkString(",\n")
-      s"""WITH e AS (
+    /** Base CTE text shared by q145's and q162's oracles: embeddings →
+      * centered positions → the rounded covariance census named
+      * `covName`. */
+    private[graft] def baseCtes(covName: String): String =
+      s"""e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |xp AS (
@@ -921,10 +976,23 @@ object Similarity {
          |m AS (SELECT pos, round(avg(x), 6) AS m FROM x2 GROUP BY 1),
          |cn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
          |cx AS (SELECT x2.vec_id, x2.pos, x2.x - m.m AS xc FROM x2 JOIN m USING (pos)),
-         |cov AS MATERIALIZED (
+         |$covName AS MATERIALIZED (
          |  SELECT a.pos AS i, b.pos AS j,
          |    round(sum(a.xc * b.xc) / (SELECT n FROM cn), 6) AS c
-         |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2)""".stripMargin
+
+    /** One power round against `cov`, names prefixed so multiple chains
+      * (q162's per-component chains) can coexist in one WITH. */
+    private[graft] def roundCtes(cov: String, p: String, k: Int): String =
+      s"""${p}u$k AS MATERIALIZED (
+         |  SELECT $cov.i AS pos, sum($cov.c * ${p}v$k.w) AS u
+         |  FROM $cov JOIN ${p}v$k ON ${p}v$k.pos = $cov.j GROUP BY 1),
+         |${p}v${k + 1} AS MATERIALIZED (
+         |  SELECT pos, round(u / sqrt(sum(u * u) OVER ()), 6) AS w FROM ${p}u$k)"""
+
+    val oracle: String = {
+      val chain = (0 until Iters).map(roundCtes("cov", "p", _)).mkString(",\n")
+      s"""WITH ${baseCtes("cov")},
          |pv0 AS (SELECT pos, CAST(0.125 AS DOUBLE) AS w FROM m),
          |$chain,
          |lam AS (
@@ -934,6 +1002,47 @@ object Similarity {
          |tr AS (SELECT sum(c) AS tr FROM cov WHERE i = j)
          |SELECT pos, w AS loading, eigval, round(eigval / tr, 6) AS var_ratio
          |FROM pv$Iters, lam, tr ORDER BY pos""".stripMargin
+    }
+  }
+
+  /** Generated oracle for q162 — [[Pca]]'s scheme with Hotelling
+    * deflation between components: each component's chain runs against
+    * the previous DEFLATED census, and every census/iterate is
+    * MATERIALIZED + rounded so both engines walk identical matrices. */
+  private[graft] object PcaK {
+    val K = 3
+    val Iters = 6
+
+    val oracle: String = {
+      val comps = (1 to K).map { c =>
+        val cov = s"cov${c - 1}"
+        val p = s"c$c"
+        val chain = (0 until Iters).map(Pca.roundCtes(cov, p, _)).mkString(",\n")
+        val vN = s"${p}v$Iters"
+        s"""${p}v0 AS (SELECT i AS pos, CAST(0.125 AS DOUBLE) AS w FROM $cov WHERE i = j),
+           |$chain,
+           |lam$c AS MATERIALIZED (
+           |  SELECT round(sum($cov.c * vi.w * vj.w), 6) AS eigval
+           |  FROM $cov JOIN $vN vi ON vi.pos = $cov.i
+           |  JOIN $vN vj ON vj.pos = $cov.j),
+           |cov$c AS MATERIALIZED (
+           |  SELECT cv.i, cv.j,
+           |    round(cv.c - (SELECT eigval FROM lam$c) * vi.w * vj.w, 6) AS c
+           |  FROM $cov cv JOIN $vN vi ON vi.pos = cv.i
+           |  JOIN $vN vj ON vj.pos = cv.j),
+           |out$c AS (
+           |  SELECT $c AS component, pos, w AS loading,
+           |    (SELECT eigval FROM lam$c) AS eigval,
+           |    round((SELECT eigval FROM lam$c) / (SELECT tr FROM tr0), 6) AS var_ratio
+           |  FROM $vN)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to K).map(c => s"SELECT * FROM out$c").mkString("\nUNION ALL\n")
+      s"""WITH ${Pca.baseCtes("cov0")},
+         |tr0 AS (SELECT sum(c) AS tr FROM cov0 WHERE i = j),
+         |$comps
+         |SELECT component, pos, loading, eigval, var_ratio FROM (
+         |$union)
+         |ORDER BY component, pos""".stripMargin
     }
   }
 

@@ -320,6 +320,155 @@ object Temporal {
       .orderBy(col("r_high"), col("f_high"), col("m_high"))
   }
 
+  /** Weekly seasonality profile — the (day-of-week, hour) activity census
+    * with each cell's share of total traffic. Day-of-week is pure integer
+    * arithmetic ((epoch_days + 4) mod 7, 0 = Sunday — 1970-01-01 was a
+    * Thursday), never an engine calendar function, so both engines agree
+    * by construction. One partial-agg census; the total is a one-row
+    * broadcast. */
+  def seasonalityProfile(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    val census = events
+      .groupBy(expr(s"pmod(unix_micros(ts) div $dayUs + 4, 7)").as("dow"),
+        expr(s"pmod(unix_micros(ts) div $hourUs, 24)").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = census.agg(sum(col("n")).as("n_tot"))
+    census.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        (floor(col("n").cast("double") / col("n_tot").cast("double") * 1e6 + 0.5)
+          / 1e6).as("share"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** Two-proportion z-test on conversion by variant — the A/B staple: a
+    * deterministic user split (user_id mod 2 — swap in q117's hash split
+    * for production), conversion = reached 'purchase', pooled-variance z.
+    * Every input to the z dag is an exact integer census; the z itself is
+    * a handful of IEEE ops (one sqrt — correctly rounded), so the output
+    * quantizes deterministically. One distinct-user projection, then
+    * everything is a 2-row census. */
+  def abConversionZ(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(pmod(col("user_id"), lit(2)).as("variant"), col("conv"))
+    val census = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val a = census.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = census.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    // nullif: degenerate censuses (0% or 100% pooled conversion) have no
+    // defined z — NULL, never an ANSI divide-by-zero (the q143 rule)
+    val z = (pa - pb) /
+      nullif(sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))),
+        lit(0.0))
+    a.crossJoin(b)
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (floor(z * 1e6 + 0.5) / 1e6).as("z"),
+        (abs(z) > lit(1.96)).as("significant"))
+  }
+
+  /** Revenue concentration (Pareto audit) — how much of total monetary
+    * value the top decile of users carries. The decile CUTOFF comes from
+    * [[Sketches.bisectQuantiles]] (p90 of per-user cents — bounded
+    * state), and the share is two partial aggs against that broadcast
+    * threshold — no global sort, no rank window over the user census.
+    * Monetary is exact integer cents throughout (the q157 rule). */
+  def revenuePareto(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
+    val users = events
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("mon"))
+      .withColumn("g", lit("g"))
+      .cutLineage()
+    val cutoff = Sketches.bisectQuantiles(users, "mon", "g", Seq(0.9), scale = 1)
+      .select(col("val").cast("long").as("cutoff_cents"))
+    val share = col("top_cents").cast("double") / col("total_cents").cast("double")
+    users.crossJoin(broadcast(cutoff))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("mon") > col("cutoff_cents"), 1L).otherwise(0L)).as("n_top"),
+        sum(col("mon")).as("total_cents"),
+        sum(when(col("mon") > col("cutoff_cents"), col("mon")).otherwise(0L))
+          .as("top_cents"),
+        max(col("cutoff_cents")).as("cutoff_cents"))
+      .select(col("cutoff_cents"), col("n_users"), col("n_top"),
+        col("total_cents"), col("top_cents"),
+        (floor(share * 1e6 + 0.5) / 1e6).as("top_share"))
+  }
+
+  /** Per-type value trend — grouped OLS: slope/intercept/r² of `value`
+    * against the hour index, per event type (is the metric drifting up or
+    * down per surface?). The x axis is the INTEGER hour offset from the
+    * global minimum hour, so Σx and Σx² are exact longs (raw epoch-hours
+    * squared would sit at the double-precision cliff); the y moments are
+    * order-dependent double sums → round(6) outputs (the q152 rule). One
+    * broadcast scalar + one partial-agg census. */
+  def valueTrend(events: org.apache.spark.sql.DataFrame,
+      minPoints: Long = 8): org.apache.spark.sql.DataFrame = {
+    val hourUs = 3600000000L
+    val base = events.select(col("event_type"),
+      expr(s"unix_micros(ts) div $hourUs").as("h"), col("value"))
+    val h0 = base.agg(min(col("h")).as("h0"))
+    val pts = base.crossJoin(broadcast(h0))
+      .select(col("event_type"), (col("h") - col("h0")).as("x"), col("value").as("y"))
+    val m = col("m").cast("double")
+    val num = m * col("sxy") - col("sx").cast("double") * col("sy")
+    val denx = m * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val deny = m * col("syy") - col("sy") * col("sy")
+    pts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x").cast("double") * col("y")).as("sxy"))
+      .filter(col("m") >= minPoints)
+      .select(col("event_type"), col("m"),
+        round(num / denx, 6).as("slope"),
+        round((col("sy") - num / denx * col("sx").cast("double")) / m, 6)
+          .as("intercept"),
+        round(num * num / nullif(denx * deny, lit(0.0)), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** χ² test of independence between event type and day-of-week — "is
+    * traffic mix stable across the week?". Observed cells are exact
+    * integer censuses; expected cells are rationals of those integers;
+    * the statistic is a bounded sum of identical IEEE terms on both
+    * engines (cell count ≤ |types|·7), floor-quantized. Margins derive
+    * FROM the cell census (one corpus pass) via windows over census
+    * rows. */
+  def chiSquareTypeDow(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val cells = events
+      .groupBy(col("event_type"),
+        expr(s"pmod(unix_micros(ts) div $dayUs + 4, 7)").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val withMargins = cells
+      .withColumn("row_t", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("col_t", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n_tot", sum(col("o")).over(Window.partitionBy()))
+    val e = col("row_t").cast("double") * col("col_t").cast("double") /
+      col("n_tot").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    val nr = col("n_rows").cast("double")
+    val nc = col("n_cols").cast("double")
+    withMargins
+      .agg(sum(term).as("chi2_raw"),
+        countDistinct(col("event_type")).as("n_rows"),
+        countDistinct(col("dow")).as("n_cols"))
+      .select(round(col("chi2_raw"), 6).as("chi2"), // noise-dominated sum → round, not floor-quantize
+        ((nr - 1) * (nc - 1)).cast("long").as("dof"))
+  }
+
   /** The q112 funnel fold, factored for reuse: per user, the timestamps
     * of signup → first click after it → first purchase after that, as one
     * struct column `f(s_t, c_t, p_t)` (integer µs, NULL = stage never
@@ -397,6 +546,158 @@ object Temporal {
   }
 
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q163: per-type value trend (grouped OLS) --------------------------
+    // Slope/intercept/r2 of value against the hour offset per type; the
+    // oracle replays the integer x axis and the exact moment dag.
+    QueryDef(
+      "q163_value_trend",
+      (s, d) => valueTrend(Tables.events(s, d)),
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, value
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type, h - (SELECT min(h) FROM b) AS x, value AS y
+             |  FROM b),
+             |s AS (
+             |  SELECT event_type, count(*) AS m,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    sum(y) AS sy, sum(y * y) AS syy,
+             |    sum(CAST(x AS DOUBLE) * y) AS sxy
+             |  FROM p GROUP BY 1)
+             |SELECT event_type, CAST(m AS BIGINT) AS m,
+             |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |        / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+             |  round((sy - (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |              / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |              * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE), 6) AS intercept,
+             |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |        * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |        / nullif((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |                 * (CAST(m AS DOUBLE) * syy - sy * sy),
+             |          CAST(0.0 AS DOUBLE)), 6) AS r2
+             |FROM s WHERE m >= 8 ORDER BY event_type""".stripMargin)),
+
+    // ---- q164: chi-square independence (type x day-of-week) ----------------
+    // Margins from the cell census via windows; identical IEEE terms,
+    // round(6) on the noise-dominated sum.
+    QueryDef(
+      "q164_chi2_type_dow",
+      (s, d) => chiSquareTypeDow(Tables.events(s, d)),
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 + 7) % 7 AS dow,
+             |    count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, dow, o,
+             |    sum(o) OVER (PARTITION BY event_type) AS row_t,
+             |    sum(o) OVER (PARTITION BY dow) AS col_t,
+             |    sum(o) OVER () AS n_tot
+             |  FROM c),
+             |s AS (
+             |  SELECT
+             |    sum((CAST(o AS DOUBLE)
+             |         - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             |        * (CAST(o AS DOUBLE)
+             |           - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             |        / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+             |      AS chi2_raw,
+             |    count(DISTINCT event_type) AS n_rows,
+             |    count(DISTINCT dow) AS n_cols
+             |  FROM m)
+             |SELECT round(chi2_raw, 6) AS chi2,
+             |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof
+             |FROM s""".stripMargin)),
+
+    // ---- q159: weekly seasonality profile ----------------------------------
+    // (dow, hour) census with traffic shares; dow by integer arithmetic,
+    // mirrored exactly — no calendar functions on either side.
+    QueryDef(
+      "q159_seasonality",
+      (s, d) => seasonalityProfile(Tables.events(s, d)),
+      Some("""WITH c AS (
+             |  SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 + 7) % 7 AS dow,
+             |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 + 24) % 24 AS hour,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c)
+             |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+             |  CAST(n AS BIGINT) AS n,
+             |  floor(CAST(n AS DOUBLE) / CAST(t.n_tot AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
+             |FROM c, t ORDER BY dow, hour""".stripMargin)),
+
+    // ---- q160: A/B conversion z-test ---------------------------------------
+    // user_id mod 2 split, purchase conversion, pooled-variance z; the
+    // oracle replays the census and the identical IEEE dag.
+    QueryDef(
+      "q160_ab_ztest",
+      (s, d) => abConversionZ(Tables.events(s, d)),
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY 1),
+             |c AS (
+             |  SELECT ((user_id % 2) + 2) % 2 AS variant,
+             |    count(*) AS n, sum(conv) AS x
+             |  FROM u GROUP BY 1),
+             |f AS (
+             |  SELECT
+             |    (SELECT CAST(n AS BIGINT) FROM c WHERE variant = 0) AS n_a,
+             |    (SELECT CAST(x AS BIGINT) FROM c WHERE variant = 0) AS x_a,
+             |    (SELECT CAST(n AS BIGINT) FROM c WHERE variant = 1) AS n_b,
+             |    (SELECT CAST(x AS BIGINT) FROM c WHERE variant = 1) AS x_b),
+             |z AS (
+             |  SELECT n_a, x_a, n_b, x_b,
+             |    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |     - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             |    / nullif(sqrt(
+             |        (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             |        * (CAST(1.0 AS DOUBLE)
+             |           - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             |        * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |           + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))),
+             |      CAST(0.0 AS DOUBLE)) AS zraw
+             |  FROM f)
+             |SELECT n_a, x_a, n_b, x_b,
+             |  floor(zraw * 1e6 + 0.5) / 1e6 AS z,
+             |  abs(zraw) > CAST(1.96 AS DOUBLE) AS significant
+             |FROM z""".stripMargin)),
+
+    // ---- q161: revenue Pareto (top-decile concentration) -------------------
+    // p90 cents cutoff via bisection, then two partial aggs against the
+    // broadcast threshold; the oracle replays the k-th smallest and the
+    // share dag on exact integer cents.
+    QueryDef(
+      "q161_revenue_pareto",
+      (s, d) => revenuePareto(Tables.events(s, d)),
+      Some("""WITH u AS MATERIALIZED (
+             |  SELECT user_id,
+             |    CAST(sum(CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS mon
+             |  FROM events GROUP BY 1),
+             |cut AS (
+             |  SELECT min(iv) AS cutoff_cents FROM (
+             |    SELECT mon AS iv, row_number() OVER (ORDER BY mon) AS rk,
+             |      count(*) OVER () AS n FROM u)
+             |  WHERE rk = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT)),
+             |s AS (
+             |  SELECT (SELECT cutoff_cents FROM cut) AS cutoff_cents,
+             |    count(*) AS n_users,
+             |    CAST(sum(CASE WHEN mon > (SELECT cutoff_cents FROM cut)
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+             |    CAST(sum(mon) AS BIGINT) AS total_cents,
+             |    CAST(sum(CASE WHEN mon > (SELECT cutoff_cents FROM cut)
+             |                  THEN mon ELSE 0 END) AS BIGINT) AS top_cents
+             |  FROM u)
+             |SELECT cutoff_cents, CAST(n_users AS BIGINT) AS n_users, n_top,
+             |  total_cents, top_cents,
+             |  floor(CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS top_share
+             |FROM s""".stripMargin)),
 
     // ---- q158: bounce rate by entry type -----------------------------------
     // Share of single-event sessions per session-entry type; the oracle

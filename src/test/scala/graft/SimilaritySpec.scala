@@ -265,6 +265,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._3 > 0.99, s"var_ratio ~1 on a one-axis corpus: ${out.head}")
   }
 
+  test("pcaTopK: two planted axes come out in variance order, orthogonal") {
+    import spark.implicits._
+    // coordinate 0 swings ±10, coordinate 1 swings ±4 (independent-ish
+    // deterministic patterns), coordinates 2-3 near-constant
+    val rows = (0 until 48).map { i =>
+      val a = if (i % 2 == 0) 10f else -10f
+      val b = if ((i / 2) % 2 == 0) 4f else -4f
+      (i.toLong, Seq(a, b, 0.01f * (i % 3), 0f), 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val out = graft.operators.Similarity.pcaTopK(df, k = 2, iters = 8).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(4)))
+    val c1 = out.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    val c2 = out.filter(_._1 == 2).sortBy(_._2).map(_._3)
+    assert(math.abs(c1(0)) > 0.999, s"component 1 must be the ±10 axis: ${c1.toSeq}")
+    assert(math.abs(c2(1)) > 0.999, s"component 2 must be the ±4 axis: ${c2.toSeq}")
+    // orthogonality (up to per-round rounding)
+    val dot = c1.zip(c2).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot) < 1e-3, s"components must be orthogonal: $dot")
+    // variance ratios ordered and summing to ~1 on a two-axis corpus
+    val vr = out.filter(_._2 == 0).sortBy(_._1).map(_._4)
+    assert(vr(0) > vr(1) && vr(0) + vr(1) > 0.999, s"got ${vr.toSeq}")
+  }
+
   test("mmrRerank: the second pick trades relevance for diversity") {
     import spark.implicits._
     // query 0 = e0. c1 and c2 are EXACT duplicates; c3 has the SAME

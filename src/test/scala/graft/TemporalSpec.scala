@@ -184,6 +184,81 @@ class TemporalSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("valueTrend: exact OLS on a planted line; constant series has NULL r2") {
+    val hourUs = 3600000000L
+    // 'up': y = 2x + 1 at hours 0..9 -> slope 2, intercept 1, r2 1
+    // 'flat': y = 5 -> slope 0, intercept 5, r2 undefined (NULL)
+    val rows = (0 until 10).flatMap(x => Seq(
+      ("up", x.toLong, 2.0 * x + 1.0), ("flat", x.toLong, 5.0)))
+    val ev = rows.zipWithIndex.map { case ((ty, h, v), i) => (i.toLong, ty, h, v) }
+      .toDF("event_id", "event_type", "h", "value")
+      .select($"event_id", $"event_type", timestamp_micros($"h" * hourUs).as("ts"), $"value")
+    val out = graft.operators.Temporal.valueTrend(ev).collect()
+      .map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out("up") == ((2.0, 1.0, Some(1.0))), s"got $out")
+    assert(out("flat") == ((0.0, 5.0, None)), s"got $out")
+  }
+
+  test("chiSquareTypeDow: proportional traffic scores chi2 = 0 with the right dof") {
+    val dayUs = 86400000000L
+    // days 3 (Sunday, dow 0) and 4 (dow 1); type B always 2x type A ->
+    // perfectly independent margins -> chi2 exactly 0, dof 1
+    val rows = Seq(("A", 3L, 10), ("A", 4L, 10), ("B", 3L, 20), ("B", 4L, 20))
+    val ev = rows.zipWithIndex.flatMap { case ((ty, d, k), i) =>
+      (0 until k).map(j => (i.toLong * 1000 + j, ty, d * dayUs + j)) }
+      .toDF("event_id", "event_type", "us")
+      .select($"event_id", $"event_type", timestamp_micros($"us").as("ts"))
+    val out = graft.operators.Temporal.chiSquareTypeDow(ev).collect().head
+    assert(out.getDouble(0) == 0.0 && out.getLong(1) == 1L, s"got ${out.toSeq}")
+  }
+
+  test("seasonalityProfile: integer dow/hour grid, shares sum to one") {
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    // day 0 = Thursday (dow 4); day 3 = Sunday (dow 0); hours explicit
+    val rows = Seq((0L * dayUs + 9L * hourUs, 3), (3L * dayUs + 15L * hourUs, 1))
+    val ev = rows.zipWithIndex.flatMap { case ((t, k), i) =>
+      (0 until k).map(j => (i.toLong * 100 + j, t + j)) }
+      .toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").as("ts"))
+    val out = graft.operators.Temporal.seasonalityProfile(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map((4L, 9L) -> ((3L, 0.75)), (0L, 15L) -> ((1L, 0.25))),
+      s"got $out")
+  }
+
+  test("abConversionZ: a perfect-split conversion difference scores the exact z") {
+    // even users purchase, odd users only click -> p=1.0 vs 0.0,
+    // pooled 0.5, z = 1/sqrt(0.5*0.5*(1/5+1/5)) = sqrt(10)
+    val rows = (0 until 10).map(u =>
+      (u.toLong, if (u % 2 == 0) "purchase" else "click"))
+    val ev = rows.zipWithIndex.map { case ((u, ty), i) => (i.toLong, u, ty) }
+      .toDF("event_id", "user_id", "event_type")
+      .select($"event_id", $"user_id", timestamp_micros($"event_id").as("ts"), $"event_type")
+    val out = graft.operators.Temporal.abConversionZ(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 5L, 5L, 0L)), s"got ${r.toSeq}")
+    val expected = math.floor(1.0 / math.sqrt(0.5 * 0.5 * (1.0 / 5 + 1.0 / 5)) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == expected && r.getBoolean(5), s"got ${r.toSeq}")
+  }
+
+  test("revenuePareto: p90 cutoff and top-decile share on hand-built spend") {
+    // users 1..10 spend 1..10 dollars: p90 cutoff = 900 cents,
+    // top = the single 1000-cent user, share = 1000/5500
+    val rows = (1 to 10).map(u => (u.toLong, u.toDouble))
+    val ev = rows.zipWithIndex.map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("event_id", "user_id", "value")
+      .select($"event_id", $"user_id", timestamp_micros($"event_id").as("ts"), $"value")
+    val out = graft.operators.Temporal.revenuePareto(ev).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) == ((900L, 10L, 1L, 5500L, 1000L)),
+      s"got ${out.toSeq}")
+    assert(out.getDouble(5) == math.floor(1000.0 / 5500.0 * 1e6 + 0.5) / 1e6)
+  }
+
   test("funnelTimeQuantiles: exact stage-gap quantiles; non-converters drop out") {
     // users 1..5 sign up at 0 and click at 10i µs (gaps 10..50);
     // users 1..2 purchase 100i µs after the click
