@@ -43,6 +43,80 @@ object RelationalExt {
       .orderBy(col("col_a"), col("col_b"))
   }
 
+  /** Market-basket association rules over order line items — the classic
+    * support/confidence/lift mining, shaped for scale: baskets are the
+    * distinct (order, part) projection materialized ONCE (three censuses
+    * derive from it), the pair census comes from a basket self-join on
+    * the order key whose fan is bounded by per-order basket size squared
+    * (single digits on order data — the q154 per-key-bound argument, not
+    * an all-pairs join), and everything after the `minSupport` cut is
+    * output-sized. Both confidence directions and the lift are pure
+    * rationals of exact integer censuses → floor-quantized (never
+    * round()), so the gate replays them bit-identically. */
+  def basketRules(lineitem: org.apache.spark.sql.DataFrame,
+      minSupport: Long = 3): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
+    val baskets = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+      .cutLineage()
+    val nOrders = baskets.agg(countDistinct(col("okey")).as("n_orders"))
+    val items = baskets.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    val nb = col("n_both").cast("double")
+    val na = col("n_a").cast("double")
+    val nbb = col("n_b").cast("double")
+    val nt = col("n_orders").cast("double")
+    pairs
+      .join(items.select(col("pk").as("part_a"), col("n_i").as("n_a")), Seq("part_a"))
+      .join(items.select(col("pk").as("part_b"), col("n_i").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        (floor(nb / nt * 1e6 + lit(0.5)) / 1e6).as("support"),
+        (floor(nb / na * 1e6 + lit(0.5)) / 1e6).as("conf_a_b"),
+        (floor(nb / nbb * 1e6 + lit(0.5)) / 1e6).as("conf_b_a"),
+        (floor(nb * nt / (na * nbb) * 1e6 + lit(0.5)) / 1e6).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** Benford first-digit audit over order totals — the accounting
+    * anomaly screen: the leading digit of each total (exact integer
+    * cents, so digit extraction is string-exact and engine-neutral)
+    * censused against the Benford expectation log₁₀(1+1/d). The nine
+    * expected shares are HARD LITERALS mirrored in the oracle — never an
+    * engine log() (the transcendental-replay rule); observed shares are
+    * floor-quantized rationals; the excess column is plain IEEE
+    * subtraction of two already-identical doubles. One census pass, a
+    * nine-row broadcast join, bounded output. */
+  def benfordAudit(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    // log10(1 + 1/d) to 6dp, d = 1..9 — literal on both engines
+    val expected = Seq(
+      ("1", 0.301030), ("2", 0.176091), ("3", 0.124939),
+      ("4", 0.096910), ("5", 0.079181), ("6", 0.066947),
+      ("7", 0.057992), ("8", 0.051153), ("9", 0.045757))
+      .toDF("digit", "exp_share")
+    val census = orders
+      .select(substring(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = census.agg(sum(col("n")).as("n_tot"))
+    census.crossJoin(broadcast(tot))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n"),
+        (floor(col("n").cast("double") / col("n_tot").cast("double") * 1e6
+          + lit(0.5)) / 1e6).as("obs_share"),
+        col("exp_share"))
+      .withColumn("excess", col("obs_share") - col("exp_share"))
+      .orderBy(col("digit"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q152: single-pass correlation matrix ------------------------------
@@ -248,5 +322,66 @@ object RelationalExt {
       None,
       headline = true,
       gate = false),
+
+    // ---- q165: market-basket association rules -----------------------------
+    // Support/confidence/lift over per-order part baskets; the oracle
+    // replays the basket projection, the three censuses, and the
+    // quantized rule metrics.
+    QueryDef(
+      "q165_basket_rules",
+      (s, d) => basketRules(Tables.lineitem(s, d)),
+      Some("""WITH b AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+             |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM b),
+             |it AS (SELECT pk, count(*) AS n_i FROM b GROUP BY 1),
+             |p AS (
+             |  SELECT a.pk AS part_a, b2.pk AS part_b, count(*) AS n_both
+             |  FROM b a JOIN b b2 ON a.okey = b2.okey AND a.pk < b2.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT p.part_a, p.part_b, CAST(p.n_both AS BIGINT) AS n_both,
+             |  floor(CAST(p.n_both AS DOUBLE) / CAST(tot.n_orders AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS support,
+             |  floor(CAST(p.n_both AS DOUBLE) / CAST(ia.n_i AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS conf_a_b,
+             |  floor(CAST(p.n_both AS DOUBLE) / CAST(ib.n_i AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS conf_b_a,
+             |  floor(CAST(p.n_both AS DOUBLE) * CAST(tot.n_orders AS DOUBLE)
+             |        / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE))
+             |        * 1e6 + 0.5) / 1e6 AS lift
+             |FROM p
+             |JOIN it ia ON ia.pk = p.part_a
+             |JOIN it ib ON ib.pk = p.part_b
+             |CROSS JOIN tot
+             |ORDER BY p.part_a, p.part_b""".stripMargin)),
+
+    // ---- q168: Benford first-digit audit -----------------------------------
+    // Leading-digit census of order totals vs the hard-literal Benford
+    // expectation; the oracle replays the cents grid, the digit census,
+    // and the same nine literals.
+    QueryDef(
+      "q168_benford_audit",
+      (s, d) => benfordAudit(Tables.orders(s, d)),
+      Some("""WITH c AS (
+             |  SELECT substr(CAST(CAST(floor(o_totalprice * 100
+             |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+             |    count(*) AS n
+             |  FROM orders GROUP BY 1),
+             |e AS (
+             |  SELECT * FROM (VALUES
+             |    ('1', CAST(0.301030 AS DOUBLE)), ('2', CAST(0.176091 AS DOUBLE)),
+             |    ('3', CAST(0.124939 AS DOUBLE)), ('4', CAST(0.096910 AS DOUBLE)),
+             |    ('5', CAST(0.079181 AS DOUBLE)), ('6', CAST(0.066947 AS DOUBLE)),
+             |    ('7', CAST(0.057992 AS DOUBLE)), ('8', CAST(0.051153 AS DOUBLE)),
+             |    ('9', CAST(0.045757 AS DOUBLE))) AS t(digit, exp_share)),
+             |o AS (
+             |  SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+             |    floor(CAST(c.n AS DOUBLE) /
+             |      CAST((SELECT sum(n) FROM c) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |      AS obs_share,
+             |    e.exp_share
+             |  FROM c JOIN e USING (digit))
+             |SELECT digit, n, obs_share, exp_share,
+             |  obs_share - exp_share AS excess
+             |FROM o ORDER BY digit""".stripMargin)),
   )
 }

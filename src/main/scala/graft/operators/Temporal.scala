@@ -545,6 +545,80 @@ object Temporal {
       .orderBy(col("grp"), col("q"))
   }
 
+  /** Robust outlier census per event type — median/MAD instead of
+    * mean/σ, so a single extreme value cannot drag its own threshold
+    * (the classic failure of 3σ flags on heavy-tailed value columns).
+    * Values quantize to exact integer cents BEFORE any aggregation (the
+    * q157 monetary rule), the per-type median and the median absolute
+    * deviation both come from [[Sketches.bisectQuantiles]] (exact,
+    * bounded state — event-type cardinality is bounded so brackets
+    * broadcast), and the flag `|cents − med| > k·MAD` is a pure integer
+    * comparison — no IEEE op anywhere near the decision boundary. The
+    * corpus is scanned by partial-agg censuses only; the output is the
+    * per-type outlier census, never the outlier rows themselves. */
+  def robustOutliers(events: org.apache.spark.sql.DataFrame,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
+    val base = events
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .cutLineage()
+    val med = Sketches.bisectQuantiles(base, "cents", "event_type", Seq(0.5), scale = 1)
+      .select(col("grp").as("event_type"), col("val").cast("long").as("med_cents"))
+    val dev = base.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med_cents"),
+        abs(col("cents") - col("med_cents")).as("dev"))
+    val mad = Sketches.bisectQuantiles(dev, "dev", "event_type", Seq(0.5), scale = 1)
+      .select(col("grp").as("event_type"), col("val").cast("long").as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_cents"), col("mad_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(k.toLong) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("med_cents"), col("mad_cents"), col("n"),
+        col("n_outliers"),
+        (floor(col("n_outliers").cast("double") / col("n").cast("double") * 1e6
+          + lit(0.5)) / 1e6).as("outlier_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Last-touch attribution — each purchase credited to the most recent
+    * non-purchase event by the same user within `windowDays` (the
+    * marketing-attribution staple). One user-partitioned window pass
+    * carries the running last touch (type and time) via
+    * `last(..., ignoreNulls)` over a total (t, event_id) order — the
+    * same single-exchange discipline as the q112 funnel fold, so user
+    * history never leaves its partition and there is no event↔event
+    * join. Purchases whose last touch is missing or stale attribute to
+    * 'none' rather than silently dropping — the census always sums to
+    * the purchase count. Time math is integer µs throughout. */
+  def lastTouchAttribution(events: org.apache.spark.sql.DataFrame,
+      windowDays: Int = 7): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizonUs = windowDays * 86400000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchT = when(col("event_type") =!= "purchase", col("t"))
+    val attributed = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("touch_type", last(touch, ignoreNulls = true).over(byUser))
+      .withColumn("touch_t", last(touchT, ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(when(col("touch_t").isNotNull &&
+        col("t") - col("touch_t") <= lit(horizonUs), col("touch_type"))
+        .otherwise(lit("none")).as("touch"))
+    val census = attributed.groupBy(col("touch")).agg(count(lit(1)).as("n_purchases"))
+    val tot = census.agg(sum(col("n_purchases")).as("n_tot"))
+    census.crossJoin(broadcast(tot))
+      .select(col("touch"), col("n_purchases"),
+        (floor(col("n_purchases").cast("double") / col("n_tot").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("share"))
+      .orderBy(col("touch"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -1298,5 +1372,78 @@ object Temporal {
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
              |  round(sum(dv), 6) AS score
              |FROM wv GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- q166: robust outlier census (median/MAD) --------------------------
+    // Per-type median and MAD from exact integer cents via k-th-smallest
+    // bisection; the flag is a pure integer comparison. The oracle
+    // replays both order statistics and the census.
+    QueryDef(
+      "q166_robust_outliers",
+      (s, d) => robustOutliers(Tables.events(s, d)),
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             |  FROM events),
+             |med AS (
+             |  SELECT event_type, min(iv) AS med_cents FROM (
+             |    SELECT event_type, cents AS iv,
+             |      row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+             |      count(*) OVER (PARTITION BY event_type) AS n
+             |    FROM base)
+             |  WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+             |  GROUP BY 1),
+             |dev AS MATERIALIZED (
+             |  SELECT b.event_type, m.med_cents, abs(b.cents - m.med_cents) AS dev
+             |  FROM base b JOIN med m USING (event_type)),
+             |mad AS (
+             |  SELECT event_type, min(iv) AS mad_cents FROM (
+             |    SELECT event_type, dev AS iv,
+             |      row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+             |      count(*) OVER (PARTITION BY event_type) AS n
+             |    FROM dev)
+             |  WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+             |  GROUP BY 1)
+             |SELECT d.event_type, CAST(d.med_cents AS BIGINT) AS med_cents,
+             |  CAST(a.mad_cents AS BIGINT) AS mad_cents,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN d.dev > 3 * a.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  floor(CAST(sum(CASE WHEN d.dev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+             |          AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS outlier_rate
+             |FROM dev d JOIN mad a USING (event_type)
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // ---- q167: last-touch attribution --------------------------------------
+    // Purchases credited to the latest preceding non-purchase touch
+    // within 7 days; the oracle replays the running-last window (same
+    // (t, event_id) total order) and the census.
+    QueryDef(
+      "q167_last_touch_attribution",
+      (s, d) => lastTouchAttribution(Tables.events(s, d)),
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |tr AS (
+             |  SELECT event_type, t,
+             |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+             |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+             |    last_value(CASE WHEN event_type <> 'purchase' THEN t END
+             |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_t
+             |  FROM ev),
+             |att AS (
+             |  SELECT CASE WHEN touch_t IS NOT NULL
+             |                AND t - touch_t <= 604800000000 THEN touch_type
+             |              ELSE 'none' END AS touch
+             |  FROM tr WHERE event_type = 'purchase'),
+             |c AS (SELECT touch, count(*) AS n_purchases FROM att GROUP BY 1)
+             |SELECT touch, CAST(n_purchases AS BIGINT) AS n_purchases,
+             |  floor(CAST(n_purchases AS DOUBLE) /
+             |        CAST((SELECT sum(n_purchases) FROM c) AS DOUBLE) * 1e6 + 0.5)
+             |    / 1e6 AS share
+             |FROM c ORDER BY touch""".stripMargin)),
   )
 }

@@ -122,4 +122,36 @@ class RelationalExtSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Union"), s"per-pair union would re-scan:\n$plan")
   }
+
+  test("basketRules: hand-built baskets give exact support/confidence/lift") {
+    import spark.implicits._
+    // orders 1-3 hold {A,B} (A twice in order 1 — distinct must collapse
+    // it), order 4 {A,C}, order 5 {B}: only (A,B) reaches support 3
+    val A = 10L; val B = 20L; val C = 30L
+    val li = Seq(
+      (1L, A), (1L, A), (1L, B), (2L, A), (2L, B), (3L, A), (3L, B),
+      (4L, A), (4L, C), (5L, B))
+      .toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.RelationalExt.basketRules(li).collect()
+    assert(out.length == 1, s"only (A,B) passes minSupport: ${out.toSeq}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (A, B, 3L))
+    // n_orders = 5, n_A = 4, n_B = 4: support 3/5, conf 3/4 both ways,
+    // lift 3*5/16 = 0.9375 — all exact on the 1e-6 grid
+    assert(r.getDouble(3) == 0.6 && r.getDouble(4) == 0.75 &&
+      r.getDouble(5) == 0.75 && r.getDouble(6) == 0.9375, s"got $r")
+  }
+
+  test("benfordAudit: digit census from exact cents, literal expectations") {
+    import spark.implicits._
+    val df = Seq(1.00, 19.99, 2.50, 0.30, 9000.00).toDF("o_totalprice")
+    val out = graft.operators.RelationalExt.benfordAudit(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // cents 100, 1999, 250, 30, 900000 -> digits 1,1,2,3,9
+    assert(out.keySet == Set("1", "2", "3", "9"))
+    assert(out("1") == ((2L, 0.4, 0.301030)), s"got ${out("1")}")
+    assert(out("2")._1 == 1L && out("2")._2 == 0.2)
+    assert(out("9")._3 == 0.045757)
+  }
 }

@@ -328,4 +328,40 @@ class TemporalSpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
     assert(out == Map(("A", 0.5) -> 5.0, ("A", 0.9) -> 9.0), s"got $out")
   }
+
+  test("robustOutliers: median/MAD flags the planted extreme, MAD=0 flags nothing") {
+    // type A values 1..8 and 100: median 5.00 (500c), MAD 200c, threshold
+    // 600c -> only the 100.00 row (dev 9500c) flags. Type B is constant:
+    // MAD 0, strict > keeps every row unflagged (no divide, no flood).
+    val rows = ((1 to 8).map(_.toDouble) :+ 100.0).map(("A", _)) ++
+      Seq(("B", 10.0), ("B", 10.0), ("B", 10.0))
+    val ev = rows.zipWithIndex.map { case ((ty, v), i) => (i.toLong, ty, v) }
+      .toDF("event_id", "event_type", "value")
+      .select($"event_id", $"event_type", $"value",
+        timestamp_micros($"event_id").as("ts"))
+    val out = graft.operators.Temporal.robustOutliers(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out("A") == ((500L, 200L, 9L, 1L, 0.111111)), s"got ${out("A")}")
+    assert(out("B") == ((1000L, 0L, 3L, 0L, 0.0)), s"got ${out("B")}")
+  }
+
+  test("lastTouchAttribution: preceding touch wins, stale and missing go to none") {
+    val dayUs = 86400000000L
+    // u1 view->click->purchase: click wins. u2 bare purchase: none.
+    // u3 click 8 days before purchase: stale -> none. u5 one click then
+    // TWO purchases: both credit the click (running last, not a join).
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      (2L, "purchase", 0L),
+      (3L, "click", 0L), (3L, "purchase", 8L * dayUs),
+      (5L, "click", 0L), (5L, "purchase", 10L), (5L, "purchase", 20L))
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("click" -> ((3L, 0.6)), "none" -> ((2L, 0.4))), s"got $out")
+  }
 }
