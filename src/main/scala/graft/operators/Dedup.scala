@@ -715,6 +715,31 @@ object Dedup {
     s"[$chain for i in range(1, greatest(len(t) - ${n - 2}, 1))]"
   }
 
+  /** Quality-aware canonical selection over near-dup clusters — the
+    * "keep best" dedup policy (vs q66's "keep min id"): each connected
+    * component keeps the member with the highest score (here `n_chars`;
+    * any scalar score column plugs in), ties broken on min doc_id so
+    * the pick is total. The pick is a min/max-struct partial aggregation
+    * over the component labeling — no window over cluster members, no
+    * per-cluster sort — so a pathological mega-cluster costs one
+    * combine-tree, not a single-partition sort (the q89 hot-key rule).
+    * The component labeling itself rides [[connectedComponents]]
+    * (pointer-doubling, candidate-bounded pairs). */
+  def canonicalPick(docs: DataFrame, pairs: DataFrame,
+      scoreCol: String = "n_chars"): DataFrame = {
+    val comp = connectedComponents(pairs.select(col("a_id"), col("b_id")))
+      .select(col("node").as("doc_id"), col("label").as("rep_id"))
+    comp
+      .join(docs.select(col("doc_id"),
+        col(scoreCol).cast("long").as("score")), Seq("doc_id"))
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score").as("s"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("rep_id"), (-col("best.nid")).as("keep_id"),
+        col("best.s").as("keep_chars"), col("n_members"))
+      .orderBy(col("rep_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q154: cross-source passage overlap matrix -------------------------
@@ -1146,5 +1171,52 @@ object Dedup {
              |LEFT JOIN ss ON ss.doc_id = t.doc_id
              |LEFT JOIN cl ON cl.doc_id = t.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- q169: quality-aware canonical pick per dedup cluster --------------
+    // q66's components with a "keep best" policy (max n_chars, min-id
+    // tie-break); the oracle chains q66's exact reachability CTE into a
+    // per-cluster deterministic rank.
+    QueryDef(
+      "q169_canonical_pick",
+      (s, d) => {
+        val pairs = minhashLshPairs(Tables.documents(s, d), 4, 5)
+          .select(col("a_id"), col("b_id"))
+        canonicalPick(Tables.documents(s, d), pairs)
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |cd AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+             |pairs AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cd c
+             |  JOIN sz sa ON sa.doc_id = c.a_id
+             |  JOIN sz sb ON sb.doc_id = c.b_id
+             |  WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4),
+             |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+             |      UNION ALL SELECT b_id, a_id FROM pairs),
+             |reach(src, node) AS (
+             |  SELECT u, u FROM e
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+             |comp AS (SELECT src AS doc_id, min(node) AS rep_id
+             |         FROM reach GROUP BY src),
+             |sel AS (
+             |  SELECT c.rep_id, c.doc_id, d.n_chars,
+             |    row_number() OVER (PARTITION BY c.rep_id
+             |      ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+             |    count(*) OVER (PARTITION BY c.rep_id) AS nm
+             |  FROM comp c JOIN documents d USING (doc_id))
+             |SELECT rep_id, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS keep_chars,
+             |  CAST(nm AS BIGINT) AS n_members
+             |FROM sel WHERE rk = 1 ORDER BY rep_id""".stripMargin)),
   )
 }

@@ -117,6 +117,33 @@ object RelationalExt {
       .orderBy(col("digit"))
   }
 
+  /** Referential-integrity audit — the data-quality gate a pipeline runs
+    * before trusting a join graph: orphan facts (lineitems whose order is
+    * missing), orphan orders (no customer), and duplicate primary keys,
+    * all as one single-row report. Each check is an anti-join or a
+    * distinct census that shuffles only on the checked key (the natural
+    * co-partitioning a later equi-join would use anyway — the audit
+    * costs what the join it certifies costs); the five one-row results
+    * combine by broadcast cross join. */
+  def integrityAudit(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val orphanLi = lineitem
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitem"))
+    val orphanOrd = orders
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orders"))
+    val ordStats = orders.agg(count(lit(1)).as("n_orders"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkeys"))
+    lineitem.agg(count(lit(1)).as("n_lineitem"))
+      .crossJoin(broadcast(orphanLi))
+      .crossJoin(broadcast(ordStats))
+      .crossJoin(broadcast(orphanOrd))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q152: single-pass correlation matrix ------------------------------
@@ -383,5 +410,24 @@ object RelationalExt {
              |SELECT digit, n, obs_share, exp_share,
              |  obs_share - exp_share AS excess
              |FROM o ORDER BY digit""".stripMargin)),
+
+    // ---- q171: referential-integrity audit ---------------------------------
+    // Orphan facts, orphan orders, duplicate primary keys as one report
+    // row; the oracle spells the same anti-joins as NOT EXISTS.
+    QueryDef(
+      "q171_integrity_audit",
+      (s, d) => integrityAudit(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d)),
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitem,
+             |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             |    AS BIGINT) AS orphan_lineitem,
+             |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+             |  CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+             |    AS BIGINT) AS dup_orderkeys,
+             |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |    AS BIGINT) AS orphan_orders""".stripMargin)),
   )
 }

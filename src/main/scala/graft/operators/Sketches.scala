@@ -672,6 +672,38 @@ object Sketches {
     }
   }
 
+  /** Key-skew audit — the pre-flight diagnostic for any groupBy/join on
+    * `keyCol`: the per-key count census summarized as p50/p99 (exact,
+    * via [[bisectQuantiles]] — bounded state, no global sort over the
+    * census), the max, the top-`topK` concentration share, and the
+    * max/p50 skew ratio that predicts straggler factor under hash
+    * partitioning. The census is materialized once and every summary is
+    * a partial aggregation or a TakeOrdered over it — keys never
+    * funnel into one partition in the very operator that measures
+    * whether they would. Ratios are floor-quantized exact rationals. */
+  def skewAudit(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    import graft.core.Lineage.CutOps
+    val census = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .cutLineage()
+    val qs = bisectQuantiles(census.withColumn("g", lit("g")), "n", "g",
+      Seq(0.5, 0.99), scale = 1)
+    val p50 = qs.filter(col("q") === 0.5).select(col("val").cast("long").as("p50"))
+    val p99 = qs.filter(col("q") === 0.99).select(col("val").cast("long").as("p99"))
+    val top = census.orderBy(col("n").desc, col("k")).limit(topK)
+      .agg(sum(col("n")).as("top_n"))
+    census
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"))
+      .crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      .crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("max_n"), col("p50"), col("p99"),
+        (floor(col("top_n").cast("double") / col("n_rows").cast("double") * 1e6
+          + lit(0.5)) / 1e6).as("topk_share"),
+        (floor(col("max_n").cast("double") / col("p50").cast("double") * 1e6
+          + lit(0.5)) / 1e6).as("skew_ratio"))
+  }
+
   // lazy: Streams.defs initializes BEFORE Sketches in SparkEntry.allDefs and
   // touches Sketches.Hll (q106 shares the q103 hash constants); Hll's init
   // re-enters the still-initializing outer object, and an EAGER defs would
@@ -908,5 +940,34 @@ object Sketches {
              |FROM c WHERE c > (SELECT n // 1000 FROM tot)
              |ORDER BY freq DESC, bigram""".stripMargin),
       headline = true),
+
+    // ---- q170: key-skew audit ----------------------------------------------
+    // Per-user-id count census summarized to exact p50/p99/max, top-10
+    // share, and the max/p50 straggler ratio; the oracle replays the
+    // census, both k-th-smallest selections, and the quantized ratios.
+    QueryDef(
+      "q170_skew_audit",
+      (s, d) => skewAudit(Tables.events(s, d), "user_id"),
+      Some("""WITH census AS MATERIALIZED (
+             |  SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+             |r AS (SELECT n, row_number() OVER (ORDER BY n) AS rk,
+             |        count(*) OVER () AS cnt FROM census),
+             |p50 AS (SELECT min(n) AS v FROM r
+             |  WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT)),
+             |p99 AS (SELECT min(n) AS v FROM r
+             |  WHERE rk = CAST(ceil(CAST(0.99 AS DOUBLE) * cnt) AS BIGINT)),
+             |top AS (SELECT sum(n) AS tn FROM
+             |  (SELECT n FROM census ORDER BY n DESC, k LIMIT 10)),
+             |tot AS (SELECT count(*) AS n_keys, sum(n) AS n_rows,
+             |          max(n) AS max_n FROM census)
+             |SELECT CAST(tot.n_keys AS BIGINT) AS n_keys,
+             |  CAST(tot.n_rows AS BIGINT) AS n_rows,
+             |  CAST(tot.max_n AS BIGINT) AS max_n,
+             |  CAST(p50.v AS BIGINT) AS p50, CAST(p99.v AS BIGINT) AS p99,
+             |  floor(CAST(top.tn AS DOUBLE) / CAST(tot.n_rows AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS topk_share,
+             |  floor(CAST(tot.max_n AS DOUBLE) / CAST(p50.v AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS skew_ratio
+             |FROM tot, p50, p99, top""".stripMargin)),
   )
 }

@@ -377,4 +377,15 @@ class DedupSpec extends SparkSpec {
     assert(shared == 1L, s"exactly the syndicated shingle: $out")
     assert(jac == math.floor(1.0 / (na + nb - 1).toDouble * 1e6 + 0.5) / 1e6)
   }
+
+  test("canonicalPick: max score wins, ties break to min id, components stay separate") {
+    val docs = Seq((1L, 5L), (2L, 10L), (3L, 10L), (7L, 4L), (8L, 3L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val out = Dedup.canonicalPick(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster {1,2,3}: chars 5,10,10 -> max 10 held by 2 and 3, keep 2;
+    // cluster {7,8}: keep the longer 7
+    assert(out == Map(1L -> ((2L, 10L, 3L)), 7L -> ((7L, 4L, 2L))), s"got $out")
+  }
 }

@@ -154,4 +154,19 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("2")._1 == 1L && out("2")._2 == 0.2)
     assert(out("9")._3 == 0.045757)
   }
+
+  test("integrityAudit: planted orphans and duplicate keys are counted") {
+    import spark.implicits._
+    // order 99 is referenced by a lineitem but missing; order 2 appears
+    // twice (dup pk); order 3 points at a missing customer
+    val li = Seq((1L, 100L), (2L, 200L), (99L, 300L))
+      .toDF("l_orderkey", "l_partkey")
+    val ord = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 777L))
+      .toDF("o_orderkey", "o_custkey")
+    val cust = Seq(10L, 20L).toDF("c_custkey")
+    val r = graft.operators.RelationalExt.integrityAudit(li, ord, cust)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 1L, 4L, 1L, 1L)), s"got $r")
+  }
 }

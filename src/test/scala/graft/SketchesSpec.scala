@@ -260,4 +260,18 @@ class SketchesSpec extends SparkSpec {
     assert(out(("b", 0L)) == 3L && out(("b", 1L)) == 2L &&
       out(("b", 2L)) == 3L && out(("b", 3L)) == 2L, s"got $out")
   }
+
+  test("skewAudit: exact quantiles, top-k share, and straggler ratio") {
+    // keys 1..9 once each, key 10 eleven times: census 1x9 + 11
+    val rows = (1L to 9L).map(k => (k, "x")) ++ (1 to 11).map(_ => (10L, "x"))
+    val df = rows.toDF("uid", "pad")
+    val out = Sketches.skewAudit(df, "uid").collect()
+    assert(out.length == 1)
+    val r = out.head
+    // n_keys 10, n_rows 20, max 11; p50 = 5th smallest = 1,
+    // p99 = 10th = 11; top-10 covers everything; ratio 11/1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5), r.getDouble(6)) ==
+      ((10L, 20L, 11L, 1L, 11L, 1.0, 11.0)), s"got $r")
+  }
 }
