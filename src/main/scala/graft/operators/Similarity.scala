@@ -166,6 +166,58 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     kmeansFit(embs, k, iters, vecCol, idCol)._2
 
+  /** Topic discovery — the BERTopic-style composite: documents clustered
+    * by embedding ([[kmeansLloyd]] — deterministic Lloyd, no RNG), each
+    * cluster labeled with its most distinctive terms
+    * ([[TextAnalysis.distinctiveTerms]]'s ratio-form lift with the
+    * cluster standing in for the source). Both halves keep their scale
+    * shapes: vectors never shuffle (per-round (cluster, pos) partial
+    * sums), corpus text explodes exactly once into a materialized
+    * (cluster, token) census, and the top-k rank is WindowGroupLimit-
+    * pruned. The join between worlds is assignment⋈documents on the
+    * document id — the one new exchange this composite adds. */
+  def topicTerms(docs: DataFrame, embs: DataFrame, k: Int, iters: Int,
+      topK: Int = 5, minCount: Long = 20): DataFrame = {
+    val assign = kmeansLloyd(embs, k, iters)
+      .select(col("vec_id").as("doc_id"), col("cluster").cast("string").as("cl"))
+    val clustered = docs.join(assign, Seq("doc_id"))
+      .select(col("cl").as("source"), col("text"))
+    TextAnalysis.distinctiveTerms(clustered, topK, minCount)
+      .withColumnRenamed("source", "cluster")
+  }
+
+  /** Embedding-health audit — the pre-flight for every ANN/clustering
+    * consumer: vector count, null embeddings, zero vectors, dimension
+    * range, and exact p50/p90 of the squared norm. The norm² is the
+    * deterministic left-fold ([[graft.functions.VectorOps.norm2]] — the
+    * engine-replayable sum order) quantized to the 1e-6 grid BEFORE any
+    * aggregation, so the quantile machinery ([[Sketches.bisectQuantiles]],
+    * bounded state) works on exact integers. One corpus pass materializes
+    * the (norm, dim) projection; everything downstream is censuses and
+    * one-row broadcasts. */
+  def embeddingHealth(embs: DataFrame): DataFrame = {
+    import graft.core.Lineage.CutOps
+    val v = embs.filter(col("embedding").isNotNull)
+      .select(floor(graft.functions.VectorOps.norm2(col("embedding")) * 1e6
+        + lit(0.5)).cast("long").as("iv"),
+        size(col("embedding")).as("dim"), lit("g").as("g"))
+      .cutLineage()
+    val qs = Sketches.bisectQuantiles(v, "iv", "g", Seq(0.5, 0.9), scale = 1)
+    val p50 = qs.filter(col("q") === 0.5)
+      .select(col("val").cast("long").as("p50_n2_micro"))
+    val p90 = qs.filter(col("q") === 0.9)
+      .select(col("val").cast("long").as("p90_n2_micro"))
+    val nulls = embs.filter(col("embedding").isNull)
+      .agg(count(lit(1)).as("n_null"))
+    v.agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("iv") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("dim")).cast("long").as("dim_min"),
+        max(col("dim")).cast("long").as("dim_max"))
+      .crossJoin(broadcast(nulls))
+      .crossJoin(broadcast(p50))
+      .crossJoin(broadcast(p90))
+  }
+
   /** [[kmeansLloyd]]'s fit, returning BOTH the final centroid table
     * (cluster, c) and the final assignment — product quantization
     * ([[graft.operators.Pq.pqTrain]]) trains one of these per subspace
@@ -840,6 +892,46 @@ object Similarity {
       (s, d) => randomProject(Tables.embeddings(s, d), RandProj.signs)
         .orderBy(col("vec_id")),
       Some(RandProj.oracle)),
+
+    // ---- q172: topic discovery (k-means + distinctive terms) --------------
+    // q105's Lloyd assignment feeding q144's lift census per cluster; the
+    // oracle chains Km's generated round CTEs into the token census.
+    QueryDef(
+      "q172_topic_terms",
+      (s, d) => topicTerms(Tables.documents(s, d), Tables.embeddings(s, d),
+        k = Km.K, iters = Km.Iters, topK = Topics.TopK, minCount = Topics.MinCount),
+      Some(Topics.oracle)),
+
+    // ---- q173: embedding-health audit --------------------------------------
+    // Null/zero/dimension census + exact p50/p90 of the 1e-6-grid squared
+    // norm; the oracle replays the fold, the grid, and the k-th-smallest
+    // selections.
+    QueryDef(
+      "q173_embedding_health",
+      (s, d) => embeddingHealth(Tables.embeddings(s, d)),
+      Some("""WITH v AS MATERIALIZED (
+             |  SELECT CAST(floor(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e6 + 0.5)
+             |      AS BIGINT) AS iv,
+             |    len(embedding) AS dim
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |r AS (SELECT iv, row_number() OVER (ORDER BY iv) AS rk,
+             |        count(*) OVER () AS cnt FROM v),
+             |p50 AS (SELECT min(iv) AS v FROM r
+             |  WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT)),
+             |p90 AS (SELECT min(iv) AS v FROM r
+             |  WHERE rk = CAST(ceil(CAST(0.9 AS DOUBLE) * cnt) AS BIGINT)),
+             |nn AS (SELECT count(*) AS n_null FROM embeddings
+             |  WHERE embedding IS NULL)
+             |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             |  CAST(sum(CASE WHEN iv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             |  CAST(min(dim) AS BIGINT) AS dim_min,
+             |  CAST(max(dim) AS BIGINT) AS dim_max,
+             |  CAST(nn.n_null AS BIGINT) AS n_null,
+             |  CAST(p50.v AS BIGINT) AS p50_n2_micro,
+             |  CAST(p90.v AS BIGINT) AS p90_n2_micro
+             |FROM v, nn, p50, p90
+             |GROUP BY nn.n_null, p50.v, p90.v""".stripMargin)),
   )
 
   /** Shared constants + generated DuckDB oracle for q105: the CTE chain is
@@ -849,7 +941,11 @@ object Similarity {
     val K = 4
     val Iters = 2
 
-    val oracle: String = {
+    /** WITH-body through the final assignment CTE `aa$Iters` — the single
+      * source of truth for the replayed Lloyd rounds, shared by q105's
+      * oracle and q172's topic oracle (which chains a token census onto
+      * the same assignment). */
+    val assignBody: String = {
       def dist(c: String): String =
         s"floor(list_sum(list_transform(list_zip(e.v, $c.c), " +
           s"t -> (t[1] - t[2]) * (t[1] - t[2]))) * 1e6 + 0.5) / 1e6"
@@ -869,7 +965,7 @@ object Similarity {
            |c${i + 1} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM g${i + 1} GROUP BY cluster)"""
       val chain = (0 until Iters)
         .map(i => assignStep(i) + ",\n" + updateStep(i)).mkString(",\n")
-      s"""WITH e AS (
+      s"""e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |ep AS (
@@ -878,10 +974,50 @@ object Similarity {
          |  FROM e),
          |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < $K),
          |$chain,
-         |${assignStep(Iters)}
+         |${assignStep(Iters)}""".stripMargin
+    }
+
+    val oracle: String =
+      s"""WITH $assignBody
          |SELECT cluster, count(*) AS n, round(sum(d2), 3) AS inertia
          |FROM aa$Iters GROUP BY cluster ORDER BY cluster""".stripMargin
-    }
+  }
+
+  /** Generated DuckDB oracle for q172: [[Km.assignBody]]'s Lloyd rounds
+    * chained into q144's census/lift/rank spelling, with the cluster
+    * label standing in for the source. */
+  private[graft] object Topics {
+    val TopK = 5
+    val MinCount = 20
+
+    val oracle: String =
+      s"""WITH ${Km.assignBody},
+         |asg AS (SELECT vec_id AS doc_id, CAST(cluster AS VARCHAR) AS cl
+         |        FROM aa${Km.Iters}),
+         |cst AS (
+         |  SELECT a.cl, unnest(string_split(d.text, ' ')) AS tok
+         |  FROM documents d JOIN asg a ON a.doc_id = d.doc_id),
+         |c AS (SELECT cl, tok, count(*) AS c_st FROM cst GROUP BY 1, 2),
+         |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM c GROUP BY 1),
+         |ns AS (SELECT cl, CAST(sum(c_st) AS BIGINT) AS n_s FROM c GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_tot FROM c),
+         |l AS (
+         |  SELECT c.cl, c.tok, c.c_st,
+         |    floor((CAST(c.c_st AS DOUBLE) * CAST(tot.n_tot AS DOUBLE))
+         |          / (CAST(ct.c_t AS DOUBLE) * CAST(ns.n_s AS DOUBLE))
+         |          * 1e6 + 0.5) / 1e6 AS lift
+         |  FROM c
+         |  JOIN ct ON ct.tok = c.tok AND ct.c_t >= $MinCount
+         |  JOIN ns ON ns.cl = c.cl
+         |  CROSS JOIN tot),
+         |r AS (
+         |  SELECT cl, tok, c_st, lift,
+         |    row_number() OVER (PARTITION BY cl
+         |                       ORDER BY lift DESC, tok) AS rank
+         |  FROM l)
+         |SELECT cl AS cluster, CAST(rank AS BIGINT) AS rank, tok,
+         |  CAST(c_st AS BIGINT) AS c_st, lift
+         |FROM r WHERE rank <= $TopK ORDER BY cluster, rank""".stripMargin
   }
 
   /** Shared constants + generated DuckDB oracle for q146 — [[Km]] scheme;

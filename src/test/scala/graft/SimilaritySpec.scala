@@ -308,4 +308,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == 1L, s"step 1 takes the most relevant (tie -> lower id): $out")
     assert(out(2) == 3L, s"step 2 must diversify away from the exact duplicate: $out")
   }
+
+  test("topicTerms: planted clusters get their own distinctive vocabulary") {
+    val embs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)), (2L, Seq(0.1f, 0f)),
+      (3L, Seq(0f, 0.1f)), (4L, Seq(10.1f, 10f)), (5L, Seq(10f, 10.1f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val docs = Seq(
+      (0L, "apple apple banana shared"), (2L, "apple apple banana shared"),
+      (3L, "apple apple banana shared"), (1L, "car car truck shared"),
+      (4L, "car car truck shared"), (5L, "car car truck shared"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Similarity
+      .topicTerms(docs, embs, k = 2, iters = 2, topK = 2, minCount = 1)
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getDouble(4))))
+      .toMap
+    // cluster 0 = {0,2,3}: apple lift 6*24/(6*12)=2, banana 3*24/(3*12)=2,
+    // shared 1 — tie breaks alphabetically; cluster 1 mirrors with car/truck
+    assert(out(("0", 1)) == (("apple", 2.0)) && out(("0", 2)) == (("banana", 2.0)),
+      s"got $out")
+    assert(out(("1", 1)) == (("car", 2.0)) && out(("1", 2)) == (("truck", 2.0)),
+      s"got $out")
+  }
+
+  test("embeddingHealth: nulls, zeros, dims, and exact norm quantiles") {
+    val embs = Seq(
+      (0L, Some(Seq(0f, 0f))), (1L, Some(Seq(1f, 0f))),
+      (2L, Some(Seq(2f, 0f))), (3L, Some(Seq(3f, 0f))),
+      (4L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val r = graft.operators.Similarity.embeddingHealth(embs).collect().head
+    // norms² 0,1,4,9 on the 1e-6 grid; p50 = 2nd smallest = 1e6,
+    // p90 = ceil(0.9*4)=4th = 9e6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((4L, 1L, 2L, 2L, 1L, 1000000L, 9000000L)), s"got $r")
+  }
 }
