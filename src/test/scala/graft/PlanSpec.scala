@@ -332,4 +332,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"the per-source census must partial-aggregate:\n$p")
   }
+
+  test("q165: basket rules have no window and partial-aggregate every census") {
+    val p = physicalPlan("q165_basket_rules")
+    // the pair census is a groupBy over the bounded self-join fan and the
+    // rule metrics join censuses — a Window anywhere would funnel a hot
+    // part key into one partition (the q89 rule)
+    assert(!p.contains("Window"), s"no window over part keys:\n$p")
+    assert(p.contains("partial_count"), s"pair census must map-side combine:\n$p")
+  }
+
+  test("q167: attribution is ONE user exchange, then census-sized work") {
+    val p = physicalPlan("q167_last_touch_attribution")
+    // exactly one shuffle touches event rows (the user-partitioned window);
+    // every later exchange moves census/one-row frames. AQE prints the
+    // static plan: count Exchange lines that sit above the events scan.
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"expected user exchange + census-sized ones only:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"the running-last fold is a window pass:\n$p")
+  }
+
+  test("q169: canonical pick is a partial max-struct agg, no member window") {
+    val p = physicalPlan("q169_canonical_pick")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"per-cluster argmax must map-side combine:\n$p")
+  }
+
+  test("q170: the skew audit never windows or globally sorts the census") {
+    val p = physicalPlan("q170_skew_audit")
+    assert(!p.contains("Window"), s"no window over the key census:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k concentration must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q172: topic terms consume ONE materialized census — no explode in the final plan") {
+    val p = physicalPlan("q172_topic_terms")
+    // distinctiveTerms cuts lineage at the (cluster, token) census, so the
+    // corpus explode runs exactly once INTO the cut and the visible plan
+    // reads the materialized census — zero Generate nodes above the cut
+    val gens = p.linesIterator.count(_.contains("Generate"))
+    assert(gens == 0, s"explode must sit below the census cut, got $gens:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cluster rank <= k must prune below the window:\n$p")
+  }
 }
