@@ -359,6 +359,50 @@ object EventStream {
       .toDF()
   }
 
+  final case class AttrEv(user_id: Long, event_id: Long, event_type: String, t: Long)
+  final case class TouchState(touch_type: Option[String], touch_t: Option[Long])
+  final case class Attribution(user_id: Long, purchase_t: Long, touch: String)
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * [[graft.operators.Temporal.lastTouchAttribution]] (q167): per-user
+    * state is ONE (type, time) pair — the latest non-purchase touch —
+    * and each purchase emits its attribution exactly once, crediting the
+    * stored touch when it is within `windowDays`, else 'none'. Rows are
+    * (t, event_id)-sorted within each micro-batch (the streamingFunnel
+    * discipline), so batch-internal arrival order never matters; across
+    * batches the fold advances in arrival order, which equals event
+    * order for time-monotone sources. State is O(1) per user — smaller
+    * than the batch window's partition buffer — and never times out by
+    * default (an attribution-window timeout is the production eviction:
+    * a touch older than `windowDays` can only ever attribute 'none'). */
+  def streamingAttribution(spark: SparkSession, events: DataFrame,
+      windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val horizonUs = windowDays * 86400000000L
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .as[AttrEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[AttrEv], state: GroupState[TouchState]) => {
+          var st = state.getOption.getOrElse(TouchState(None, None))
+          val out = Seq.newBuilder[Attribution]
+          rows.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase") {
+              val touch = st.touch_t match {
+                case Some(tt) if e.t - tt <= horizonUs => st.touch_type.getOrElse("none")
+                case _ => "none"
+              }
+              out += Attribution(uid, e.t, touch)
+            } else st = TouchState(Some(e.event_type), Some(e.t))
+          }
+          state.update(st)
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Custom keyed state (the reference has none; this is the
     * mapGroupsWithState escape hatch for semantics windows can't express):
     * running per-user event count + value total, updated per micro-batch. */

@@ -271,6 +271,20 @@ class StreamingSpec extends SparkSpec {
       s"stream $streamCensus vs batch $batchCensus")
   }
 
+  test("streaming attribution emissions equal the q167 batch census") {
+    val stream = EventStream.streamingAttribution(spark,
+      EventStream.readEvents(spark, eventsPath))
+    val got = EventStream.runToMemory(spark, stream, "attr", OutputMode.Update())
+    // each purchase emits exactly once (on the batch it arrives in), so
+    // the per-touch census of ALL emissions is the batch census
+    val streamCensus = got.groupBy($"touch").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("q167_last_touch_attribution")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamCensus == batch && streamCensus.values.sum > 0,
+      s"stream $streamCensus vs batch $batch")
+  }
+
   test("streaming funnel across restarts: in-order batches advance the state machine") {
     import java.nio.file._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
