@@ -379,7 +379,8 @@ object RelationalExt {
              |JOIN it ia ON ia.pk = p.part_a
              |JOIN it ib ON ib.pk = p.part_b
              |CROSS JOIN tot
-             |ORDER BY p.part_a, p.part_b""".stripMargin)),
+             |ORDER BY p.part_a, p.part_b""".stripMargin),
+      headline = true),
 
     // ---- q168: Benford first-digit audit -----------------------------------
     // Leading-digit census of order totals vs the hard-literal Benford

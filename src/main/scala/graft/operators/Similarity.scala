@@ -900,7 +900,8 @@ object Similarity {
       "q172_topic_terms",
       (s, d) => topicTerms(Tables.documents(s, d), Tables.embeddings(s, d),
         k = Km.K, iters = Km.Iters, topK = Topics.TopK, minCount = Topics.MinCount),
-      Some(Topics.oracle)),
+      Some(Topics.oracle),
+      headline = true),
 
     // ---- q173: embedding-health audit --------------------------------------
     // Null/zero/dimension census + exact p50/p90 of the 1e-6-grid squared
