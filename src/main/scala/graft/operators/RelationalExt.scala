@@ -54,12 +54,28 @@ object RelationalExt {
     * rationals of exact integer censuses → floor-quantized (never
     * round()), so the gate replays them bit-identically. */
   def basketRules(lineitem: org.apache.spark.sql.DataFrame,
-      minSupport: Long = 3): org.apache.spark.sql.DataFrame = {
+      minSupport: Long = 3, maxBasket: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
     import graft.core.Lineage.CutOps
-    val baskets = lineitem
+    val allBaskets = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
       .cutLineage()
+    // Hot-basket guard (the minhashLshPairs(maxBucket) / editDistancePairs
+    // (maxKeyCount) discipline): a pseudo-basket class — a "shipping fee"
+    // item in every order, a crawl catalog's bulk order — makes the pair
+    // fan |basket|² for that order. Orders past the cap drop ENTIRELY
+    // (biasing support down for their parts, never exploding the join);
+    // the size census is a partial agg + co-partitioned semi-join on the
+    // okey the pair join shuffles on anyway. Default = uncapped: the size
+    // census stage only exists when a cap is requested.
+    val baskets =
+      if (maxBasket == Int.MaxValue) allBaskets
+      else {
+        val ok = allBaskets.groupBy(col("okey")).agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBasket)
+          .select(col("okey"))
+        allBaskets.join(ok, Seq("okey"), "left_semi")
+      }
     val nOrders = baskets.agg(countDistinct(col("okey")).as("n_orders"))
     val items = baskets.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
     val pairs = baskets.as("a")

@@ -619,6 +619,64 @@ object Temporal {
       .orderBy(col("touch"))
   }
 
+  /** Value-distribution drift between time halves — the batch twin of the
+    * streaming TV monitor, for "did this type's value distribution move?"
+    * audits between pipeline runs: per-type quartile edges over the WHOLE
+    * range (both halves share bins — drift in the data, not in the
+    * binning), a (type, half, bucket) census, and total-variation
+    * distance spelled INTEGER-EXACT: TV = Σ|n_a·N_b − n_b·N_a| /
+    * (2·N_a·N_b), so the only IEEE op is the final division of two exact
+    * longs (sum-order noise cannot exist; the long products stay far from
+    * overflow for censuses < ~3e9·3e9). Edges come from
+    * [[Sketches.bisectQuantiles]] (bounded state); the corpus shuffles
+    * once into the census. */
+  def valueDrift(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
+    val base = events
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        unix_micros(col("ts")).as("t"))
+      .cutLineage()
+    val rng = base.agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val edges = Sketches.bisectQuantiles(base, "cents", "event_type",
+        Seq(0.25, 0.5, 0.75), scale = 1)
+      .groupBy(col("grp").as("event_type"))
+      .agg(max(when(col("q") === 0.25, col("val"))).cast("long").as("e25"),
+        max(when(col("q") === 0.5, col("val"))).cast("long").as("e50"),
+        max(when(col("q") === 0.75, col("val"))).cast("long").as("e75"))
+    val census = base.crossJoin(broadcast(rng))
+      .join(broadcast(edges), Seq("event_type"))
+      .select(col("event_type"),
+        when(col("t") <= col("t0") + expr("(t1 - t0) div 2"), 0L).otherwise(1L)
+          .as("half"),
+        (when(col("cents") > col("e25"), 1L).otherwise(0L) +
+          when(col("cents") > col("e50"), 1L).otherwise(0L) +
+          when(col("cents") > col("e75"), 1L).otherwise(0L)).as("bucket"))
+      .groupBy(col("event_type"), col("half"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .cutLineage()
+    val a = census.filter(col("half") === 0L)
+      .select(col("event_type"), col("bucket"), col("n").as("na"))
+    val b = census.filter(col("half") === 1L)
+      .select(col("event_type"), col("bucket"), col("n").as("nb"))
+    val cells = a.join(b, Seq("event_type", "bucket"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+    val tots = census.groupBy(col("event_type"))
+      .agg(sum(when(col("half") === 0L, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1L, col("n")).otherwise(0L)).as("n_b"))
+    cells.join(tots, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a"))).as("num"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        // nullif: a type entirely inside one half has no defined TV —
+        // NULL, never an Infinity reaching floor() (the q143/q160 rule)
+        (floor(col("num").cast("double") /
+          nullif(lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double"),
+            lit(0.0))
+          * 1e6 + lit(0.5)) / 1e6).as("tv"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -1445,5 +1503,67 @@ object Temporal {
              |        CAST((SELECT sum(n_purchases) FROM c) AS DOUBLE) * 1e6 + 0.5)
              |    / 1e6 AS share
              |FROM c ORDER BY touch""".stripMargin)),
+
+    // ---- q174: value-distribution drift between time halves ----------------
+    // Shared per-type quartile bins, (type, half, bucket) census, TV with
+    // an integer-exact numerator; the oracle replays edges (k-th
+    // smallest), the integer bucket grid, and the same single division.
+    QueryDef(
+      "q174_value_drift",
+      (s, d) => valueDrift(Tables.events(s, d)),
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |rng AS (SELECT min(t) AS t0, max(t) AS t1 FROM base),
+             |rk AS (
+             |  SELECT event_type, cents AS iv,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM base),
+             |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+             |                      CAST(0.75 AS DOUBLE)]) AS q),
+             |sel AS (
+             |  SELECT rk.event_type, qs.q, min(rk.iv) AS iv
+             |  FROM rk, qs
+             |  WHERE rk.rk = CAST(ceil(qs.q * rk.n) AS BIGINT)
+             |  GROUP BY 1, 2),
+             |ed AS (
+             |  SELECT event_type,
+             |    max(CASE WHEN q = CAST(0.25 AS DOUBLE) THEN iv END) AS e25,
+             |    max(CASE WHEN q = CAST(0.5 AS DOUBLE) THEN iv END) AS e50,
+             |    max(CASE WHEN q = CAST(0.75 AS DOUBLE) THEN iv END) AS e75
+             |  FROM sel GROUP BY 1),
+             |census AS MATERIALIZED (
+             |  SELECT b.event_type,
+             |    CASE WHEN b.t <= rng.t0 + (rng.t1 - rng.t0) // 2
+             |         THEN 0 ELSE 1 END AS half,
+             |    (CASE WHEN b.cents > ed.e25 THEN 1 ELSE 0 END +
+             |     CASE WHEN b.cents > ed.e50 THEN 1 ELSE 0 END +
+             |     CASE WHEN b.cents > ed.e75 THEN 1 ELSE 0 END) AS bucket,
+             |    count(*) AS n
+             |  FROM base b, rng
+             |  JOIN ed ON ed.event_type = b.event_type
+             |  GROUP BY 1, 2, 3),
+             |cells AS (
+             |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+             |    coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+             |  FROM (SELECT event_type, bucket, n FROM census WHERE half = 0) a
+             |  FULL OUTER JOIN
+             |       (SELECT event_type, bucket, n FROM census WHERE half = 1) b
+             |    ON a.event_type = b.event_type AND a.bucket = b.bucket),
+             |tots AS (
+             |  SELECT event_type,
+             |    CAST(sum(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM census GROUP BY 1)
+             |SELECT c.event_type, t.n_a, t.n_b,
+             |  floor(CAST(sum(abs(c.na * t.n_b - c.nb * t.n_a)) AS DOUBLE) /
+             |        nullif(CAST(2 AS DOUBLE) * CAST(t.n_a AS DOUBLE)
+             |               * CAST(t.n_b AS DOUBLE), CAST(0 AS DOUBLE))
+             |        * 1e6 + 0.5) / 1e6 AS tv
+             |FROM cells c JOIN tots t USING (event_type)
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
   )
 }

@@ -142,6 +142,25 @@ class RelationalExtSpec extends SparkSpec {
       r.getDouble(5) == 0.75 && r.getDouble(6) == 0.9375, s"got $r")
   }
 
+  test("basketRules: the maxBasket cap drops a planted mega-basket whole") {
+    import spark.implicits._
+    val A = 10L; val B = 20L
+    val normal = Seq(
+      (1L, A), (1L, B), (2L, A), (2L, B), (3L, A), (3L, B), (4L, A), (5L, B))
+    // order 9 is a 12-item pseudo-basket (every part once)
+    val mega = (100L to 111L).map(p => (9L, p))
+    val li = (normal ++ mega).toDF("l_orderkey", "l_partkey")
+    val capped = graft.operators.RelationalExt.basketRules(li, maxBasket = 10)
+      .collect()
+    // with order 9 dropped the denominator is 5: support 3/5
+    assert(capped.length == 1 && capped.head.getDouble(3) == 0.6, s"got ${capped.toSeq}")
+    // uncapped: mega pairs still die to minSupport but order 9 stays in
+    // the denominator — support 3/6
+    val uncapped = graft.operators.RelationalExt.basketRules(li).collect()
+    assert(uncapped.length == 1 && uncapped.head.getDouble(3) == 0.5,
+      s"got ${uncapped.toSeq}")
+  }
+
   test("benfordAudit: digit census from exact cents, literal expectations") {
     import spark.implicits._
     val df = Seq(1.00, 19.99, 2.50, 0.30, 9000.00).toDF("o_totalprice")

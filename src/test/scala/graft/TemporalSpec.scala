@@ -364,4 +364,21 @@ class TemporalSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out == Map("click" -> ((3L, 0.6)), "none" -> ((2L, 0.4))), s"got $out")
   }
+
+  test("valueDrift: a shifted distribution scores TV 1, a stable one 0") {
+    // type A moves entirely (1.00 -> 9.00) across the midpoint; type B is
+    // identical in both halves
+    val rows =
+      (0 to 3).map(t => ("A", t.toLong, 1.00)) ++
+        (10 to 13).map(t => ("A", t.toLong, 9.00)) ++
+        Seq(("B", 0L, 1.00), ("B", 1L, 2.00), ("B", 10L, 1.00), ("B", 11L, 2.00))
+    val ev = rows.zipWithIndex.map { case ((ty, t, v), i) => (i.toLong, ty, t, v) }
+      .toDF("event_id", "event_type", "t", "value")
+      .select($"event_id", $"event_type", $"value", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.valueDrift(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("A") == ((4L, 4L, 1.0)), s"got ${out("A")}")
+    assert(out("B") == ((2L, 2L, 0.0)), s"got ${out("B")}")
+  }
 }
