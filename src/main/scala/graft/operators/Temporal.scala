@@ -677,6 +677,32 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Week-over-week growth per event type — the growth-accounting
+    * census: events bucketed onto the integer week grid (µs div week —
+    * never an engine calendar function), counted, and each week scored
+    * against the PREVIOUS CONTIGUOUS week: a gap in the series yields
+    * NULL growth rather than comparing across the hole (the q143
+    * gap rule). The lag window runs over census rows — types × weeks,
+    * bounded by the time horizon — never events; growth is a
+    * floor-quantized exact rational. */
+  def weeklyGrowth(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 7L * 86400000000L
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    events
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div $weekUs").as("week"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n"),
+        when(col("prev_week") === col("week") - 1,
+          floor((col("n") - col("prev_n")).cast("double") /
+            col("prev_n").cast("double") * 1e6 + lit(0.5)) / 1e6)
+          .as("wow_growth"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -1565,5 +1591,28 @@ object Temporal {
              |        * 1e6 + 0.5) / 1e6 AS tv
              |FROM cells c JOIN tots t USING (event_type)
              |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // ---- q175: week-over-week growth per type ------------------------------
+    // Integer week grid, census lag window, contiguity-gated growth; the
+    // oracle replays the grid, the lag, and the quantized rational.
+    QueryDef(
+      "q175_wow_growth",
+      (s, d) => weeklyGrowth(Tables.events(s, d)),
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |l AS (
+             |  SELECT event_type, week, n,
+             |    lag(week) OVER (PARTITION BY event_type ORDER BY week) AS pw,
+             |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS pn
+             |  FROM c)
+             |SELECT event_type, week, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN pw = week - 1 THEN
+             |    floor(CAST(n - pn AS DOUBLE) / CAST(pn AS DOUBLE) * 1e6 + 0.5)
+             |      / 1e6
+             |  END AS wow_growth
+             |FROM l ORDER BY event_type, week""".stripMargin)),
   )
 }

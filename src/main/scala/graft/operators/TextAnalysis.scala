@@ -238,6 +238,37 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Per-document keyword extraction — TF-IDF's ranking with the idf
+    * replaced by the raw tf/df ratio, which preserves the ORDER tf·idf
+    * induces per document for fixed tf (idf is monotone-decreasing in
+    * df) while keeping every score a single IEEE division of two exact
+    * integers — no ln() near a rank boundary (the transcendental-replay
+    * rule). One corpus explode into a materialized (doc, token) tf
+    * census; the df census derives from it (a token with hot df joins
+    * 1:1 against census rows — fan never multiplies); the per-doc top-k
+    * is WindowGroupLimit-pruned. `minDf` suppresses hapax typos. */
+  def docKeywords(docs: DataFrame, topK: Int = 3,
+      minDf: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Lineage.CutOps
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .cutLineage()
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df.filter(col("df") >= minDf), Seq("tok"))
+      .withColumn("score",
+        floor(col("tf").cast("double") / col("df").cast("double") * 1e6
+          + lit(0.5)) / 1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Zipf power-law fit — the corpus-health diagnostic on the token
     * frequency spectrum: least-squares slope of ln(freq) against ln(rank)
     * over the top-`topK` tokens (natural text sits near −1; a synthetic
@@ -376,6 +407,33 @@ object TextAnalysis {
              |SELECT source, CAST(rank AS BIGINT) AS rank, tok,
              |  CAST(c_st AS BIGINT) AS c_st, lift
              |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
+
+    // ---- q176: per-document keyword extraction -----------------------------
+    // tf/df ranking (order-equivalent to tf-idf per doc, transcendental-
+    // free), WindowGroupLimit top-3; the oracle replays both censuses and
+    // the quantized rank.
+    QueryDef(
+      "q176_doc_keywords",
+      (s, d) => docKeywords(Tables.documents(s, d)),
+      Some("""WITH tf AS MATERIALIZED (
+             |  SELECT doc_id, tok, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             |    floor(CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) * 1e6 + 0.5)
+             |      / 1e6 AS score
+             |  FROM tf JOIN df ON df.tok = tf.tok AND df.df >= 2),
+             |r AS (
+             |  SELECT doc_id, tok, tf, df, score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, tok) AS rank
+             |  FROM sc)
+             |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+             |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
     // ---- q129: collocations (PMI lift, ratio form) -------------------------
     // Top-30 adjacent pairs by lift with a count-5 floor; the oracle

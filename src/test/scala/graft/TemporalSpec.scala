@@ -381,4 +381,18 @@ class TemporalSpec extends SparkSpec {
     assert(out("A") == ((4L, 4L, 1.0)), s"got ${out("A")}")
     assert(out("B") == ((2L, 2L, 0.0)), s"got ${out("B")}")
   }
+
+  test("weeklyGrowth: contiguous weeks score, gaps yield NULL") {
+    val weekUs = 7L * 86400000000L
+    // weeks 0 (2 events), 1 (3 events), 3 (6 events) — week 3 follows a gap
+    val rows = (0 until 2).map(i => 0L * weekUs + i) ++
+      (0 until 3).map(i => 1L * weekUs + i) ++
+      (0 until 6).map(i => 3L * weekUs + i)
+    val ev = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("event_id", "t")
+      .select($"event_id", lit("A").as("event_type"), timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.weeklyGrowth(ev).collect()
+      .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map(0L -> None, 1L -> Some(0.5), 3L -> None), s"got $out")
+  }
 }

@@ -158,4 +158,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out("clean") == ((20L, 0L, 0.0)), s"got $out")
     assert(out("noisy") == ((40L, 20L, 0.5)), s"got $out")
   }
+
+  test("docKeywords: tf/df ranks per doc, minDf drops hapax, ties break on token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple rare shared"), (2L, "apple shared shared"),
+      (3L, "apple shared"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.docKeywords(docs, topK = 2, minDf = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getString(2), r.getDouble(5))))
+      .toMap
+    // df: apple 3, shared 3; 'rare' (df 1) never appears
+    assert(out((1L, 1)) == (("apple", 0.666667)), s"got $out")
+    assert(out((1L, 2)) == (("shared", 0.333333)), s"got $out")
+    // doc 3: equal scores -> alphabetical tie-break
+    assert(out((3L, 1))._1 == "apple" && out((3L, 2))._1 == "shared", s"got $out")
+    assert(!out.values.exists(_._1 == "rare"))
+  }
 }
