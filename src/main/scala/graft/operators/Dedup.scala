@@ -740,6 +740,29 @@ object Dedup {
       .orderBy(col("rep_id"))
   }
 
+  /** Per-source dedup-rate report — the dataset-card provenance stat:
+    * for each source, how many documents sit in a near-dup cluster, how
+    * many survive a keep-the-representative dedup, and the duplicate
+    * share. Rides the q66 component labeling (candidate-bounded pairs →
+    * pointer-doubling components); the per-source numbers are one
+    * left-join + partial-agg census — the corpus never self-joins here.
+    * Rates are floor-quantized exact rationals. */
+  def dedupRateBySource(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs.select(col("a_id"), col("b_id")))
+      .select(col("node").as("doc_id"), col("label").as("rep_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rep_id").isNotNull, 1L).otherwise(0L)).as("n_dup_members"),
+        sum(when(col("rep_id").isNull || col("rep_id") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_dup_members"), col("n_kept"),
+        (floor(col("n_dup_members").cast("double") / col("n_docs").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q154: cross-source passage overlap matrix -------------------------
@@ -1218,5 +1241,52 @@ object Dedup {
              |SELECT rep_id, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS keep_chars,
              |  CAST(nm AS BIGINT) AS n_members
              |FROM sel WHERE rk = 1 ORDER BY rep_id""".stripMargin)),
+
+    // ---- q177: per-source dedup-rate report --------------------------------
+    // Dataset-card provenance stat over q66's clusters; the oracle chains
+    // the exact reachability CTE into a per-source census.
+    QueryDef(
+      "q177_dedup_rate_by_source",
+      (s, d) => {
+        val pairs = minhashLshPairs(Tables.documents(s, d), 4, 5)
+          .select(col("a_id"), col("b_id"))
+        dedupRateBySource(Tables.documents(s, d), pairs)
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |cd AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+             |pairs AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cd c
+             |  JOIN sz sa ON sa.doc_id = c.a_id
+             |  JOIN sz sb ON sb.doc_id = c.b_id
+             |  WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4),
+             |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+             |      UNION ALL SELECT b_id, a_id FROM pairs),
+             |reach(src, node) AS (
+             |  SELECT u, u FROM e
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+             |comp AS (SELECT src AS doc_id, min(node) AS rep_id
+             |         FROM reach GROUP BY src)
+             |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN c.rep_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dup_members,
+             |  CAST(sum(CASE WHEN c.rep_id IS NULL OR c.rep_id = d.doc_id
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  floor(CAST(sum(CASE WHEN c.rep_id IS NOT NULL THEN 1 ELSE 0 END)
+             |          AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS dup_rate
+             |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

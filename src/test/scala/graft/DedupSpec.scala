@@ -388,4 +388,16 @@ class DedupSpec extends SparkSpec {
     // cluster {7,8}: keep the longer 7
     assert(out == Map(1L -> ((2L, 10L, 3L)), 7L -> ((7L, 4L, 2L))), s"got $out")
   }
+
+  test("dedupRateBySource: cluster members count against their source, reps survive") {
+    val docs = Seq((1L, "sa"), (2L, "sa"), (4L, "sa"), (3L, "sb"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.dedupRateBySource(docs, pairs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // sa: docs {1,2,4}, members {1,2}, kept = rep 1 + unpaired 4
+    assert(out("sa") == ((3L, 2L, 2L, 0.666667)), s"got ${out("sa")}")
+    assert(out("sb") == ((1L, 0L, 1L, 0.0)), s"got ${out("sb")}")
+  }
 }
