@@ -285,4 +285,49 @@ class PropertiesSpec extends SparkSpec {
       assert(got == exp, s"keys=${keys.size} thr=$thr")
     }
   }
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("property: skewAudit matches the sort-based reference on ANY keyed input") {
+    val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+    forAll(keysGen, minSuccessful = 6) { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (k, i) }.toDF("uid", "pad")
+      val r = graft.operators.Sketches.skewAudit(df, "uid", topK = 3).collect().head
+      val counts = keys.groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+      def kth(q: Double) = counts(math.ceil(q * counts.size).toInt - 1)
+      val topN = counts.sorted(Ordering[Long].reverse).take(3).sum
+      assert(r.getLong(0) == counts.size && r.getLong(1) == keys.size.toLong)
+      assert(r.getLong(2) == counts.max && r.getLong(3) == kth(0.5) &&
+        r.getLong(4) == kth(0.99), s"quantiles: $r vs $counts")
+      assert(r.getDouble(5) == q6(topN.toDouble / keys.size) &&
+        r.getDouble(6) == q6(counts.max.toDouble / kth(0.5)), s"ratios: $r")
+    }
+  }
+
+  test("property: basketRules equals the brute-force rule table on ANY baskets") {
+    val liGen = Gen.nonEmptyListOf(for {
+      o <- Gen.choose(1L, 8L); p <- Gen.choose(1L, 6L)
+    } yield (o, p))
+    forAll(liGen, minSuccessful = 6) { li =>
+      val got = graft.operators.RelationalExt
+        .basketRules(li.toDF("l_orderkey", "l_partkey"), minSupport = 2)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+      val baskets = li.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val n = baskets.size.toLong
+      val item = baskets.values.toSeq.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong)
+      val exp = baskets.values.toSeq
+        .flatMap(s => s.toSeq.sorted.combinations(2).map(c => (c(0), c(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2)
+        .map { case ((a, b), nb) =>
+          (a, b) -> ((nb, q6(nb.toDouble / n), q6(nb.toDouble / item(a)),
+            q6(nb.toDouble / item(b)),
+            q6(nb.toDouble * n / (item(a).toDouble * item(b))))) }
+        .toMap
+      assert(got == exp, s"got $got\nexp $exp")
+    }
+  }
 }
