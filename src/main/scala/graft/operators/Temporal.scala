@@ -703,6 +703,51 @@ object Temporal {
       .orderBy(col("event_type"), col("week"))
   }
 
+  /** Multi-touch attribution — q167's sibling for the linear model: each
+    * purchase's credit splits EVENLY across every distinct touch event
+    * in the window, allocated in integer MICRO-CREDITS (10⁶ per
+    * purchase, `10⁶ div n` per touch with the remainder to the LAST
+    * touch) so per-purchase credit conserves EXACTLY — Σ census =
+    * 10⁶ · purchases as a checkable long identity, where a double 1/n
+    * weighting would drift in the sum order (the q157 cents rule applied
+    * to credit). One user-partitioned window pass carries the ordered
+    * running touch list; state per user is its in-window touch history
+    * (bounded by the attribution window), and purchases with no touch
+    * credit 'none'. */
+  def multiTouchAttribution(events: org.apache.spark.sql.DataFrame,
+      windowDays: Int = 7): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizonUs = windowDays * 86400000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val credited = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("tl", collect_list(
+        when(col("event_type") =!= "purchase",
+          struct(col("t").as("tt"), col("event_type").as("ty")))).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("tl2", expr(s"filter(tl, x -> t - x.tt <= ${horizonUs}L)"))
+      .withColumn("n", size(col("tl2")).cast("long"))
+      .select(col("n"), posexplode_outer(col("tl2")).as(Seq("pos", "x")))
+      .select(
+        when(col("x").isNull, lit("none")).otherwise(col("x.ty")).as("touch"),
+        when(col("x").isNull, lit(1000000L))
+          .otherwise(expr("cast(1000000 as bigint) div n") +
+            when(col("pos").cast("long") === col("n") - 1L,
+              expr("cast(1000000 as bigint) % n")).otherwise(lit(0L)))
+          .as("credit"))
+    val census = credited.groupBy(col("touch"))
+      .agg(sum(col("credit")).as("credit_micro"))
+    val tot = census.agg(sum(col("credit_micro")).as("c_tot"))
+    census.crossJoin(broadcast(tot))
+      .select(col("touch"), col("credit_micro"),
+        (floor(col("credit_micro").cast("double") / col("c_tot").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("share"))
+      .orderBy(col("touch"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -1614,5 +1659,44 @@ object Temporal {
              |      / 1e6
              |  END AS wow_growth
              |FROM l ORDER BY event_type, week""".stripMargin)),
+
+    // ---- q178: multi-touch attribution (integer micro-credits) ------------
+    // Even split across in-window touches with the remainder on the last
+    // touch — per-purchase credit conserves exactly; the oracle replays
+    // the ordered touch-list window, the split, and the census.
+    QueryDef(
+      "q178_multitouch_attribution",
+      (s, d) => multiTouchAttribution(Tables.events(s, d)),
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |tr AS (
+             |  SELECT event_type, t,
+             |    list(CASE WHEN event_type <> 'purchase'
+             |              THEN {'tt': t, 'ty': event_type} END)
+             |      OVER (PARTITION BY user_id ORDER BY t, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tl
+             |  FROM ev),
+             |p AS (
+             |  SELECT t, list_filter(coalesce(tl, []),
+             |    x -> x IS NOT NULL AND t - x.tt <= 604800000000) AS tl2
+             |  FROM tr WHERE event_type = 'purchase'),
+             |cr AS (
+             |  SELECT tl2[i].ty AS touch,
+             |    1000000 // len(tl2) +
+             |      CASE WHEN i = len(tl2) THEN 1000000 % len(tl2) ELSE 0 END
+             |      AS credit
+             |  FROM p, unnest(range(1, len(tl2) + 1)) AS r(i)
+             |  WHERE len(tl2) > 0
+             |  UNION ALL
+             |  SELECT 'none', 1000000 FROM p WHERE len(tl2) = 0),
+             |c AS (SELECT touch, CAST(sum(credit) AS BIGINT) AS credit_micro
+             |      FROM cr GROUP BY 1)
+             |SELECT touch, credit_micro,
+             |  floor(CAST(credit_micro AS DOUBLE) /
+             |        CAST((SELECT sum(credit_micro) FROM c) AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS share
+             |FROM c ORDER BY touch""".stripMargin)),
   )
 }

@@ -395,4 +395,22 @@ class TemporalSpec extends SparkSpec {
       .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
     assert(out == Map(0L -> None, 1L -> Some(0.5), 3L -> None), s"got $out")
   }
+
+  test("multiTouchAttribution: even micro-credit split, remainder to the last touch, exact conservation") {
+    // u1 view+click -> 500000 each; u2 bare purchase -> none 1e6;
+    // u3 error,error,view -> 333333/333333/333334 (remainder on the last)
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      (2L, "purchase", 0L),
+      (3L, "error", 0L), (3L, "error", 1L), (3L, "view", 2L), (3L, "purchase", 3L))
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.multiTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("view" -> 833334L, "click" -> 500000L,
+      "error" -> 666666L, "none" -> 1000000L), s"got $out")
+    // per-purchase conservation: 3 purchases * 1e6 micro-credits
+    assert(out.values.sum == 3000000L)
+  }
 }
