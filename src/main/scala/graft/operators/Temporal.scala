@@ -748,6 +748,28 @@ object Temporal {
       .orderBy(col("touch"))
   }
 
+  /** Per-user engagement diversity — Gini–Simpson 1 − Σpᵢ² over each
+    * user's event-type mix, spelled with an INTEGER-EXACT numerator:
+    * D = (n² − Σnᵢ²) / n², so the only IEEE op is one division of two
+    * exact longs (entropy would need Σ p·ln p — the transcendental-replay
+    * hazard — for the same "how one-dimensional is this user" signal).
+    * Two partial-agg censuses on the user key: (user, type) counts, then
+    * per-user Σnᵢ²; no window, no per-user sort. */
+  def userDiversity(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("ni"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ni")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("ni") * col("ni")).as("ss"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (floor((col("n_events") * col("n_events") - col("ss")).cast("double") /
+          (col("n_events") * col("n_events")).cast("double") * 1e6 + lit(0.5))
+          / 1e6).as("diversity"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -1698,5 +1720,25 @@ object Temporal {
              |        CAST((SELECT sum(credit_micro) FROM c) AS DOUBLE)
              |        * 1e6 + 0.5) / 1e6 AS share
              |FROM c ORDER BY touch""".stripMargin)),
+
+    // ---- q179: per-user engagement diversity (Gini-Simpson) ----------------
+    // Integer-exact numerator (n² − Σnᵢ²) over n², one IEEE division; the
+    // oracle replays both censuses and the same rational.
+    QueryDef(
+      "q179_user_diversity",
+      (s, d) => userDiversity(Tables.events(s, d)),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS ni
+             |  FROM events GROUP BY 1, 2),
+             |u AS (
+             |  SELECT user_id, CAST(sum(ni) AS BIGINT) AS n_events,
+             |    CAST(count(*) AS BIGINT) AS n_types,
+             |    CAST(sum(ni * ni) AS BIGINT) AS ss
+             |  FROM c GROUP BY 1)
+             |SELECT user_id, n_events, n_types,
+             |  floor(CAST(n_events * n_events - ss AS DOUBLE) /
+             |        CAST(n_events * n_events AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS diversity
+             |FROM u ORDER BY user_id""".stripMargin)),
   )
 }

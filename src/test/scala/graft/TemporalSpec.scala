@@ -413,4 +413,23 @@ class TemporalSpec extends SparkSpec {
     // per-purchase conservation: 3 purchases * 1e6 micro-credits
     assert(out.values.sum == 3000000L)
   }
+
+  test("userDiversity: exact Gini-Simpson from integer censuses") {
+    // u1: 2+2 of two types -> 1 - (4+4)/16 = 0.5; u2: single-type -> 0;
+    // u3: 1+1+2 -> 1 - (1+1+4)/16 = 0.625
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a"),
+      (3L, "a"), (3L, "b"), (3L, "c"), (3L, "c"))
+    val ev = rows.zipWithIndex.map { case ((u, ty), i) => (i.toLong, u, ty) }
+      .toDF("event_id", "user_id", "event_type")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros($"event_id").as("ts"))
+    val out = graft.operators.Temporal.userDiversity(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 0.5)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, 0.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((4L, 3L, 0.625)), s"got ${out(3L)}")
+  }
 }
