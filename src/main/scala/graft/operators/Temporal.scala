@@ -770,6 +770,61 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Time-decay attribution — the third of the attribution family (last
+    * touch q167, linear q178): each in-window touch weighted by
+    * freshness with the q122 halving-per-day trick, W = 2^(windowDays −
+    * age_days) — an exact power-of-two LONG, never pow()/exp() — and the
+    * purchase's 10⁶ micro-credits split ∝ W with the remainder on the
+    * LAST touch, so per-purchase credit conserves exactly (the q178
+    * identity). Age is bounded by the window, so W fits comfortably;
+    * the weight sum and remainder are HOF folds over the in-window
+    * touch list (bounded), all integer arithmetic. Same single user
+    * exchange as q167/q178. */
+  def timeDecayAttribution(events: org.apache.spark.sql.DataFrame,
+      windowDays: Int = 7): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val horizonUs = windowDays * dayUs
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wExpr = s"shiftleft(cast(1 as bigint), " +
+      s"cast($windowDays - (t - x.tt) div $dayUs as int))"
+    val credited = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("tl", collect_list(
+        when(col("event_type") =!= "purchase",
+          struct(col("t").as("tt"), col("event_type").as("ty")))).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("tl2", expr(s"filter(tl, x -> t - x.tt <= ${horizonUs}L)"))
+      .withColumn("sw",
+        expr(s"aggregate(tl2, cast(0 as bigint), (acc, x) -> acc + $wExpr)"))
+      .withColumn("rem", expr(
+        s"cast(1000000 as bigint) - aggregate(tl2, cast(0 as bigint), " +
+          s"(acc, x) -> acc + (cast(1000000 as bigint) * ($wExpr)) div sw)"))
+      .withColumn("n", size(col("tl2")).cast("long"))
+      .select(col("t"), col("sw"), col("rem"), col("n"),
+        posexplode_outer(col("tl2")).as(Seq("pos", "x")))
+      .select(
+        when(col("x").isNull, lit("none")).otherwise(col("x.ty")).as("touch"),
+        when(col("x").isNull, lit(1000000L))
+          .otherwise(
+            expr(s"(cast(1000000 as bigint) * shiftleft(cast(1 as bigint), " +
+              s"cast($windowDays - (t - x.tt) div $dayUs as int))) div sw") +
+            when(col("pos").cast("long") === col("n") - 1L, col("rem"))
+              .otherwise(lit(0L)))
+          .as("credit"))
+    val census = credited.groupBy(col("touch"))
+      .agg(sum(col("credit")).as("credit_micro"))
+    val tot = census.agg(sum(col("credit_micro")).as("c_tot"))
+    census.crossJoin(broadcast(tot))
+      .select(col("touch"), col("credit_micro"),
+        (floor(col("credit_micro").cast("double") / col("c_tot").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("share"))
+      .orderBy(col("touch"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -1740,5 +1795,55 @@ object Temporal {
              |        CAST(n_events * n_events AS DOUBLE) * 1e6 + 0.5) / 1e6
              |    AS diversity
              |FROM u ORDER BY user_id""".stripMargin)),
+
+    // ---- q180: time-decay attribution (exact halving weights) --------------
+    // W = 2^(window - age_days) per touch, micro-credits split ∝ W with
+    // the remainder on the last touch; the oracle replays the list
+    // window, the shift weights, both folds, and the census.
+    QueryDef(
+      "q180_decay_attribution",
+      (s, d) => timeDecayAttribution(Tables.events(s, d)),
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |tr AS (
+             |  SELECT event_type, t,
+             |    list(CASE WHEN event_type <> 'purchase'
+             |              THEN {'tt': t, 'ty': event_type} END)
+             |      OVER (PARTITION BY user_id ORDER BY t, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tl
+             |  FROM ev),
+             |p1 AS (
+             |  SELECT t, list_filter(coalesce(tl, []),
+             |    x -> x IS NOT NULL AND t - x.tt <= 604800000000) AS tl2
+             |  FROM tr WHERE event_type = 'purchase'),
+             |p2 AS (
+             |  SELECT t, tl2,
+             |    list_sum(list_transform(tl2, x -> CAST(1 AS BIGINT) <<
+             |      CAST(7 - (t - x.tt) // 86400000000 AS INT))) AS sw
+             |  FROM p1),
+             |p3 AS (
+             |  SELECT t, tl2, sw,
+             |    1000000 - list_sum(list_transform(tl2,
+             |      x -> (1000000 * (CAST(1 AS BIGINT) <<
+             |        CAST(7 - (t - x.tt) // 86400000000 AS INT))) // sw)) AS rem
+             |  FROM p2),
+             |cr AS (
+             |  SELECT tl2[i].ty AS touch,
+             |    (1000000 * (CAST(1 AS BIGINT) <<
+             |       CAST(7 - (t - tl2[i].tt) // 86400000000 AS INT))) // sw +
+             |      CASE WHEN i = len(tl2) THEN rem ELSE 0 END AS credit
+             |  FROM p3, unnest(range(1, len(tl2) + 1)) AS r(i)
+             |  WHERE len(tl2) > 0
+             |  UNION ALL
+             |  SELECT 'none', 1000000 FROM p3 WHERE len(tl2) = 0),
+             |c AS (SELECT touch, CAST(sum(credit) AS BIGINT) AS credit_micro
+             |      FROM cr GROUP BY 1)
+             |SELECT touch, credit_micro,
+             |  floor(CAST(credit_micro AS DOUBLE) /
+             |        CAST((SELECT sum(credit_micro) FROM c) AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS share
+             |FROM c ORDER BY touch""".stripMargin)),
   )
 }

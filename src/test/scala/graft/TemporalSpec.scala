@@ -432,4 +432,21 @@ class TemporalSpec extends SparkSpec {
     assert(out(2L) == ((3L, 1L, 0.0)), s"got ${out(2L)}")
     assert(out(3L) == ((4L, 3L, 0.625)), s"got ${out(3L)}")
   }
+
+  test("timeDecayAttribution: fresher touches weigh 2x per day, credit conserves") {
+    val dayUs = 86400000000L
+    // u1: click 1 day old (W 2^6=64), view fresh (W 2^7=128), SW 192:
+    // click 333333, view 666666 + remainder 1 (last touch); u2: none
+    val rows = Seq(
+      (1L, "click", 0L), (1L, "view", dayUs - 1), (1L, "purchase", dayUs),
+      (2L, "purchase", 0L))
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.timeDecayAttribution(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("click" -> 333333L, "view" -> 666667L, "none" -> 1000000L),
+      s"got $out")
+    assert(out.values.sum == 2000000L)
+  }
 }
