@@ -100,6 +100,32 @@ object RelationalExt {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Item-to-item "also bought" recommendations — the retail CF
+    * primitive, derived from [[basketRules]]' rule table (which is
+    * output-sized after the support cut, so it's materialized once and
+    * the symmetrize-union doubles CHEAP rows, not the corpus lineage —
+    * the q100 hazard the cut prevents). Ranking is confidence-first
+    * (then lift, then item id) on ALREADY-QUANTIZED values, so the
+    * per-part top-k is deterministic cross-engine and
+    * WindowGroupLimit-pruned on the part key. */
+  def alsoBought(lineitem: org.apache.spark.sql.DataFrame,
+      minSupport: Long = 3, topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Lineage.CutOps
+    val r = basketRules(lineitem, minSupport).cutLineage()
+    val directed = r.select(col("part_a").as("part"), col("part_b").as("rec"),
+        col("conf_a_b").as("confidence"), col("lift"))
+      .unionAll(r.select(col("part_b").as("part"), col("part_a").as("rec"),
+        col("conf_b_a").as("confidence"), col("lift")))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("confidence").desc, col("lift").desc, col("rec"))
+    directed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("part"), col("rank"), col("rec"), col("confidence"), col("lift"))
+      .orderBy(col("part"), col("rank"))
+  }
+
   /** Benford first-digit audit over order totals — the accounting
     * anomaly screen: the leading digit of each total (exact integer
     * cents, so digit extraction is string-exact and engine-neutral)
@@ -397,6 +423,46 @@ object RelationalExt {
              |CROSS JOIN tot
              |ORDER BY p.part_a, p.part_b""".stripMargin),
       headline = true),
+
+    // ---- q181: item-to-item "also bought" recommendations ------------------
+    // Symmetrized q165 rule table ranked confidence-first per part; the
+    // oracle replays the rule CTEs, the symmetrize union, and the rank.
+    QueryDef(
+      "q181_also_bought",
+      (s, d) => alsoBought(Tables.lineitem(s, d)),
+      Some("""WITH b AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+             |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM b),
+             |it AS (SELECT pk, count(*) AS n_i FROM b GROUP BY 1),
+             |p AS (
+             |  SELECT a.pk AS part_a, b2.pk AS part_b, count(*) AS n_both
+             |  FROM b a JOIN b b2 ON a.okey = b2.okey AND a.pk < b2.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 3),
+             |rules AS MATERIALIZED (
+             |  SELECT p.part_a, p.part_b,
+             |    floor(CAST(p.n_both AS DOUBLE) / CAST(ia.n_i AS DOUBLE)
+             |          * 1e6 + 0.5) / 1e6 AS conf_a_b,
+             |    floor(CAST(p.n_both AS DOUBLE) / CAST(ib.n_i AS DOUBLE)
+             |          * 1e6 + 0.5) / 1e6 AS conf_b_a,
+             |    floor(CAST(p.n_both AS DOUBLE) * CAST(tot.n_orders AS DOUBLE)
+             |          / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE))
+             |          * 1e6 + 0.5) / 1e6 AS lift
+             |  FROM p
+             |  JOIN it ia ON ia.pk = p.part_a
+             |  JOIN it ib ON ib.pk = p.part_b
+             |  CROSS JOIN tot),
+             |d AS (
+             |  SELECT part_a AS part, part_b AS rec, conf_a_b AS confidence, lift
+             |  FROM rules
+             |  UNION ALL
+             |  SELECT part_b, part_a, conf_b_a, lift FROM rules),
+             |r AS (
+             |  SELECT part, rec, confidence, lift,
+             |    row_number() OVER (PARTITION BY part
+             |      ORDER BY confidence DESC, lift DESC, rec) AS rank
+             |  FROM d)
+             |SELECT part, CAST(rank AS BIGINT) AS rank, rec, confidence, lift
+             |FROM r WHERE rank <= 3 ORDER BY part, rank""".stripMargin)),
 
     // ---- q168: Benford first-digit audit -----------------------------------
     // Leading-digit census of order totals vs the hard-literal Benford

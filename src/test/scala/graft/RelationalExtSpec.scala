@@ -161,6 +161,20 @@ class RelationalExtSpec extends SparkSpec {
       s"got ${uncapped.toSeq}")
   }
 
+  test("alsoBought: both directions of a rule recommend with their own confidence") {
+    import spark.implicits._
+    val A = 10L; val B = 20L; val C = 30L
+    val li = Seq(
+      (1L, A), (1L, B), (2L, A), (2L, B), (3L, A), (3L, B),
+      (4L, A), (4L, C), (5L, B))
+      .toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.RelationalExt.alsoBought(li).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // one rule (A,B): A recommends B at conf 3/4 and vice versa
+    assert(out == Map((A, 1) -> ((B, 0.75)), (B, 1) -> ((A, 0.75))), s"got $out")
+  }
+
   test("benfordAudit: digit census from exact cents, literal expectations") {
     import spark.implicits._
     val df = Seq(1.00, 19.99, 2.50, 0.30, 9000.00).toDF("o_totalprice")
