@@ -126,6 +126,45 @@ object RelationalExt {
       .orderBy(col("part"), col("rank"))
   }
 
+  /** Supplier-concentration audit per part — Herfindahl–Hirschman index
+    * over each part's supplier mix, the procurement-risk census: HHI =
+    * Σ(nᵢ/n)² spelled with the q179 integer-exact numerator Σnᵢ²/n², so
+    * the only IEEE op is one division of exact longs. Two partial-agg
+    * censuses on the part key; HHI = 1 means single-sourced. */
+  def supplierConcentration(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("ni"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("ni")).as("n_lines"),
+        count(lit(1)).as("n_suppliers"),
+        sum(col("ni") * col("ni")).as("ss"))
+      .select(col("l_partkey"), col("n_lines"), col("n_suppliers"),
+        (floor(col("ss").cast("double") /
+          (col("n_lines") * col("n_lines")).cast("double") * 1e6 + lit(0.5))
+          / 1e6).as("hhi"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Worst-supplier return ranking — return share per supplier with a
+    * volume floor (a 1-line supplier with one return is noise, not
+    * signal), top-k by rate via TakeOrdered — never a global sort of the
+    * supplier census. Rates are floor-quantized exact rationals; the
+    * (rate, suppkey) order is total. */
+  def supplierReturnRates(lineitem: org.apache.spark.sql.DataFrame,
+      minLines: Long = 10, topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      .filter(col("n_lines") >= minLines)
+      .select(col("l_suppkey"), col("n_lines"), col("n_returned"),
+        (floor(col("n_returned").cast("double") / col("n_lines").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("return_rate"))
+      .orderBy(col("return_rate").desc, col("l_suppkey"))
+      .limit(topK)
+  }
+
   /** Benford first-digit audit over order totals — the accounting
     * anomaly screen: the leading digit of each total (exact integer
     * cents, so digit extraction is string-exact and engine-neutral)
@@ -463,6 +502,40 @@ object RelationalExt {
              |  FROM d)
              |SELECT part, CAST(rank AS BIGINT) AS rank, rec, confidence, lift
              |FROM r WHERE rank <= 3 ORDER BY part, rank""".stripMargin)),
+
+    // ---- q182: supplier-concentration audit (HHI) --------------------------
+    // Integer-exact Σnᵢ²/n² per part; the oracle replays both censuses.
+    QueryDef(
+      "q182_supplier_hhi",
+      (s, d) => supplierConcentration(Tables.lineitem(s, d)),
+      Some("""WITH c AS (
+             |  SELECT l_partkey, l_suppkey, count(*) AS ni
+             |  FROM lineitem GROUP BY 1, 2),
+             |u AS (
+             |  SELECT l_partkey, CAST(sum(ni) AS BIGINT) AS n_lines,
+             |    CAST(count(*) AS BIGINT) AS n_suppliers,
+             |    CAST(sum(ni * ni) AS BIGINT) AS ss
+             |  FROM c GROUP BY 1)
+             |SELECT l_partkey, n_lines, n_suppliers,
+             |  floor(CAST(ss AS DOUBLE) / CAST(n_lines * n_lines AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS hhi
+             |FROM u ORDER BY l_partkey""".stripMargin)),
+
+    // ---- q183: worst-supplier return ranking -------------------------------
+    // Volume-floored return share, top-10 by rate (TakeOrdered); the
+    // oracle replays census, floor, quantized rate, and the total order.
+    QueryDef(
+      "q183_supplier_returns",
+      (s, d) => supplierReturnRates(Tables.lineitem(s, d)),
+      Some("""WITH c AS (
+             |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+             |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_returned
+             |  FROM lineitem GROUP BY 1 HAVING count(*) >= 10)
+             |SELECT l_suppkey, n_lines, n_returned,
+             |  floor(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             |        * 1e6 + 0.5) / 1e6 AS return_rate
+             |FROM c ORDER BY return_rate DESC, l_suppkey LIMIT 10""".stripMargin)),
 
     // ---- q168: Benford first-digit audit -----------------------------------
     // Leading-digit census of order totals vs the hard-literal Benford

@@ -175,6 +175,31 @@ class RelationalExtSpec extends SparkSpec {
     assert(out == Map((A, 1) -> ((B, 0.75)), (B, 1) -> ((A, 0.75))), s"got $out")
   }
 
+  test("supplierConcentration: single-sourced part scores HHI 1, even split 0.5") {
+    import spark.implicits._
+    val li = Seq((1L, 100L), (1L, 100L), (1L, 100L),
+      (2L, 100L), (2L, 200L), (2L, 100L), (2L, 200L))
+      .toDF("l_partkey", "l_suppkey")
+    val out = graft.operators.RelationalExt.supplierConcentration(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 1.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 2L, 0.5)), s"got ${out(2L)}")
+  }
+
+  test("supplierReturnRates: volume floor drops noise, rate ranks the rest") {
+    import spark.implicits._
+    // supplier 1: 10 lines, 5 returns (0.5); supplier 2: 10 lines, 2
+    // returns (0.2); supplier 3: 2 lines 2 returns — below the floor
+    val li = ((0 until 10).map(i => (1L, if (i < 5) "R" else "N")) ++
+      (0 until 10).map(i => (2L, if (i < 2) "R" else "N")) ++
+      Seq((3L, "R"), (3L, "R")))
+      .toDF("l_suppkey", "l_returnflag")
+    val out = graft.operators.RelationalExt.supplierReturnRates(li).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 0.5), (2L, 0.2)), s"got ${out.toSeq}")
+  }
+
   test("benfordAudit: digit census from exact cents, literal expectations") {
     import spark.implicits._
     val df = Seq(1.00, 19.99, 2.50, 0.30, 9000.00).toDF("o_totalprice")
