@@ -825,6 +825,37 @@ object Temporal {
       .orderBy(col("touch"))
   }
 
+  /** Cohort lifetime-value curves — q111's retention grid with money on
+    * it: users cohorted by first-active week, per-(cohort, age) spend
+    * summed in EXACT INTEGER CENTS (q157 rule), cumulated by a running
+    * sum over the CENSUS (cohorts × ages rows — the q142 bounded-window
+    * discipline, never events), and per-user LTV as integer division of
+    * exact longs. One user-keyed shuffle builds the cohort map; one
+    * (cohort, age) census carries everything else. */
+  def cohortLtv(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Lineage.CutOps
+    val weekUs = 7L * 86400000000L
+    val base = events
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("week"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .cutLineage()
+    val cohorts = base.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val cells = base.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("age"))
+      .agg(sum(col("cents")).as("week_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("week_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_users"), col("week_cents"),
+        col("cum_cents"),
+        expr("cum_cents div n_users").as("ltv_cents"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -1845,5 +1876,78 @@ object Temporal {
              |        CAST((SELECT sum(credit_micro) FROM c) AS DOUBLE)
              |        * 1e6 + 0.5) / 1e6 AS share
              |FROM c ORDER BY touch""".stripMargin)),
+
+    // ---- q184: cohort lifetime-value curves --------------------------------
+    // First-active-week cohorts, integer-cents spend grid, census running
+    // sum, integer-division per-user LTV; the oracle replays every stage.
+    QueryDef(
+      "q184_cohort_ltv",
+      (s, d) => cohortLtv(Tables.events(s, d)),
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+             |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             |  FROM events),
+             |co AS (SELECT user_id, min(week) AS cohort FROM base GROUP BY 1),
+             |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+             |       FROM co GROUP BY 1),
+             |cells AS (
+             |  SELECT co.cohort, b.week - co.cohort AS age,
+             |    CAST(sum(b.cents) AS BIGINT) AS week_cents
+             |  FROM base b JOIN co ON co.user_id = b.user_id
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT cohort, age, week_cents,
+             |    CAST(sum(week_cents) OVER (PARTITION BY cohort ORDER BY age
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_cents
+             |  FROM cells)
+             |SELECT c.cohort, c.age, sz.n_users, c.week_cents, c.cum_cents,
+             |  CAST(c.cum_cents // sz.n_users AS BIGINT) AS ltv_cents
+             |FROM cum c JOIN sz USING (cohort)
+             |ORDER BY c.cohort, c.age""".stripMargin)),
+
+    // ---- q185: fulfillment-lag quantiles per priority ----------------------
+    // Integer-day order→ship gaps through the bounded-state bisection;
+    // the oracle replays the join, the day grid, and the k-th smallest.
+    QueryDef(
+      "q185_ship_lag_quantiles",
+      (s, d) => {
+        val dayUs = 86400000000L
+        import graft.core.Lineage.CutOps
+        val gaps = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          // orderdate/shipdate ship as TIMESTAMP_NTZ parquet — cast to
+          // TimestampType first (identity under the UTC session; the
+          // events.ts rule from the project notes)
+          .select(col("o_orderpriority"),
+            expr(s"(unix_micros(cast(l_shipdate as timestamp)) - " +
+              s"unix_micros(cast(o_orderdate as timestamp))) div $dayUs")
+              .as("lag_days"))
+          .cutLineage()
+        Sketches.bisectQuantiles(gaps, "lag_days", "o_orderpriority",
+          Seq(0.5, 0.9), scale = 1)
+          .orderBy(col("grp"), col("q"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o.o_orderpriority AS grp,
+             |    (epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+             |     - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) // 86400000000
+             |      AS iv
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+             |r AS (
+             |  SELECT grp, iv,
+             |    row_number() OVER (PARTITION BY grp ORDER BY iv) AS rk,
+             |    count(*) OVER (PARTITION BY grp) AS n
+             |  FROM g),
+             |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+             |sel AS (
+             |  SELECT r.grp, qs.q, min(r.iv) AS iv
+             |  FROM r, qs
+             |  WHERE r.rk = CAST(ceil(qs.q * r.n) AS BIGINT)
+             |  GROUP BY 1, 2)
+             |SELECT CAST(grp AS VARCHAR) AS grp, q, iv / CAST(1 AS DOUBLE) AS val
+             |FROM sel ORDER BY grp, q""".stripMargin)),
   )
 }

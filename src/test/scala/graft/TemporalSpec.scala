@@ -449,4 +449,41 @@ class TemporalSpec extends SparkSpec {
       s"got $out")
     assert(out.values.sum == 2000000L)
   }
+
+  test("cohortLtv: per-cohort cumulative cents and integer-division LTV") {
+    val weekUs = 7L * 86400000000L
+    // cohort 0: u1 (1.00 wk0, 2.00 wk1) + u2 (3.00 wk0); cohort 1: u3 (5.00)
+    val rows = Seq(
+      (1L, 0L, 1.00), (1L, 1L, 2.00), (2L, 0L, 3.00), (3L, 1L, 5.00))
+    val ev = rows.zipWithIndex.map { case ((u, w, v), i) => (i.toLong, u, w, v) }
+      .toDF("event_id", "user_id", "w", "value")
+      .select($"event_id", $"user_id", $"value",
+        timestamp_micros($"w" * weekUs + $"event_id").as("ts"))
+    val out = graft.operators.Temporal.cohortLtv(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out((0L, 0L)) == ((2L, 400L, 400L, 200L)), s"got $out")
+    assert(out((0L, 1L)) == ((2L, 200L, 600L, 300L)), s"got $out")
+    assert(out((1L, 0L)) == ((1L, 500L, 500L, 500L)), s"got $out")
+  }
+
+  test("shipLagQuantiles: exact day-gap order statistics per priority") {
+    val dayUs = 86400000000L
+    val orders = Seq((1L, 0L, "1-URGENT"))
+      .toDF("o_orderkey", "t", "o_orderpriority")
+      .select($"o_orderkey", timestamp_micros($"t").as("o_orderdate"),
+        $"o_orderpriority")
+    val li = (1L to 9L).map(d => (1L, d * dayUs)).toDF("l_orderkey", "t")
+      .select($"l_orderkey", timestamp_micros($"t").as("l_shipdate"))
+    import graft.core.Lineage.CutOps
+    val gaps = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderpriority",
+        expr(s"(unix_micros(cast(l_shipdate as timestamp)) - " +
+          s"unix_micros(cast(o_orderdate as timestamp))) div $dayUs").as("lag_days"))
+      .cutLineage()
+    val out = graft.operators.Sketches
+      .bisectQuantiles(gaps, "lag_days", "o_orderpriority", Seq(0.5, 0.9), scale = 1)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(out == Map(0.5 -> 5.0, 0.9 -> 9.0), s"got $out")
+  }
 }
