@@ -165,6 +165,48 @@ object RelationalExt {
       .limit(topK)
   }
 
+  /** Discount-effectiveness census — quantity and net revenue by integer
+    * discount band (floor(discount·100): string-free, grid-exact), the
+    * pricing-analytics staple. Net revenue quantizes to exact integer
+    * cents PER ROW before summing (q157 rule — the extendedprice ×
+    * (1−discount) product is IEEE but identical per row cross-engine;
+    * only the SUM order varies, and integer cents make it order-free).
+    * One partial-agg census; averages are integer divisions. */
+  def discountBands(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    lineitem
+      .select(floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("band"),
+        col("l_quantity"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("net_cents"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("net_cents")).as("net_cents"))
+      .select(col("band"), col("n_lines"), col("sum_qty"), col("net_cents"),
+        expr("sum_qty div n_lines").as("avg_qty"),
+        expr("net_cents div n_lines").as("avg_net_cents"))
+      .orderBy(col("band"))
+  }
+
+  /** Revenue by part category — net revenue cents per leading p_type
+    * word, the dimension-join census: the bounded part catalog projects
+    * to (key, category) and BROADCASTS against the fact scan (no fact
+    * shuffle before aggregation — the q03/q05 dimension discipline);
+    * per-row cents quantization keeps the sums order-free. */
+  def revenueByPartType(lineitem: org.apache.spark.sql.DataFrame,
+      part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dim = part.select(col("p_partkey"),
+      substring_index(col("p_type"), " ", 1).as("category"))
+    lineitem
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("net_cents"))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("net_cents")).as("net_cents"))
+      .orderBy(col("category"))
+  }
+
   /** Benford first-digit audit over order totals — the accounting
     * anomaly screen: the leading digit of each total (exact integer
     * cents, so digit extraction is string-exact and engine-neutral)
@@ -536,6 +578,48 @@ object RelationalExt {
              |  floor(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
              |        * 1e6 + 0.5) / 1e6 AS return_rate
              |FROM c ORDER BY return_rate DESC, l_suppkey LIMIT 10""".stripMargin)),
+
+    // ---- q186: discount-effectiveness census -------------------------------
+    // Integer discount bands, per-row cents quantization, integer-division
+    // averages; the oracle replays band grid, cents, and divisions.
+    QueryDef(
+      "q186_discount_bands",
+      (s, d) => discountBands(Tables.lineitem(s, d)),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE))
+             |    AS BIGINT) AS band,
+             |    CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(floor(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+             |      * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS net_cents
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT band, CAST(count(*) AS BIGINT) AS n_lines,
+             |    CAST(sum(qty) AS BIGINT) AS sum_qty,
+             |    CAST(sum(net_cents) AS BIGINT) AS net_cents
+             |  FROM b GROUP BY 1)
+             |SELECT band, n_lines, sum_qty, net_cents,
+             |  CAST(sum_qty // n_lines AS BIGINT) AS avg_qty,
+             |  CAST(net_cents // n_lines AS BIGINT) AS avg_net_cents
+             |FROM c ORDER BY band""".stripMargin)),
+
+    // ---- q187: revenue by part category ------------------------------------
+    // Broadcast part-dim join (no fact shuffle before the census); the
+    // oracle replays the first-word category and the cents census.
+    QueryDef(
+      "q187_parttype_revenue",
+      (s, d) => revenueByPartType(Tables.lineitem(s, d), Tables.part(s, d)),
+      Some("""WITH dim AS (
+             |  SELECT p_partkey, split_part(p_type, ' ', 1) AS category
+             |  FROM part),
+             |f AS (
+             |  SELECT l_partkey,
+             |    CAST(floor(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+             |      * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS net_cents
+             |  FROM lineitem)
+             |SELECT dim.category, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(f.net_cents) AS BIGINT) AS net_cents
+             |FROM f JOIN dim ON dim.p_partkey = f.l_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- q168: Benford first-digit audit -----------------------------------
     // Leading-digit census of order totals vs the hard-literal Benford

@@ -200,6 +200,31 @@ class RelationalExtSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0.5), (2L, 0.2)), s"got ${out.toSeq}")
   }
 
+  test("discountBands: exact cents per band, integer-division averages") {
+    import spark.implicits._
+    val li = Seq((4.0, 100.00, 0.05), (6.0, 200.00, 0.05), (10.0, 50.00, 0.00))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val out = graft.operators.RelationalExt.discountBands(li).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // band 5: net 95.00 + 190.00 = 285.00 -> 28500 cents, avg 14250
+    assert(out(5L) == ((2L, 10L, 28500L, 5L, 14250L)), s"got ${out(5L)}")
+    assert(out(0L) == ((1L, 10L, 5000L, 10L, 5000L)), s"got ${out(0L)}")
+  }
+
+  test("revenueByPartType: first p_type word buckets the broadcast dim join") {
+    import spark.implicits._
+    val part = Seq((1L, "ECONOMY ANODIZED STEEL"), (2L, "STANDARD BURNISHED TIN"))
+      .toDF("p_partkey", "p_type")
+    val li = Seq((1L, 10.00, 0.0), (2L, 5.00, 0.0), (2L, 5.00, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = graft.operators.RelationalExt.revenueByPartType(li, part).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("ECONOMY" -> ((1L, 1000L)), "STANDARD" -> ((2L, 1000L))),
+      s"got $out")
+  }
+
   test("benfordAudit: digit census from exact cents, literal expectations") {
     import spark.implicits._
     val df = Seq(1.00, 19.99, 2.50, 0.30, 9000.00).toDF("o_totalprice")
