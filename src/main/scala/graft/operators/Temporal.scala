@@ -703,39 +703,79 @@ object Temporal {
       .orderBy(col("event_type"), col("week"))
   }
 
+  /** Shared touch-list builder for the q178/q180 attribution family.
+    * The frame ITSELF is the attribution horizon —
+    * `orderBy(t).rangeBetween(-horizonUs, -1)` — so per-row window state
+    * is the touch history WITHIN the window, never the user's entire
+    * past (the r7-verdict scale-killer: the old
+    * `rowsBetween(unboundedPreceding, -1)` + post-filter shape carried a
+    * bot user's full history per purchase — O(history) state,
+    * O(history²) work). The range frame orders by `t` alone, so a touch
+    * at EXACTLY the purchase's timestamp is outside the window (the
+    * `-1` upper bound), and in-list order among equal-t touches is not
+    * relied on: the remainder recipient is the MAX (tt, tid) element —
+    * event_id is unique, so exactly one element matches and tie handling
+    * lives in the credit arithmetic, not the frame order.
+    *
+    * `maxDailyTouches` (0 = off, the gate default) is the promised
+    * per-user touch cap for IN-horizon bots: a user emitting unbounded
+    * events inside one window still yields bounded lists because only
+    * the `cap` most-recent touches per (user, UTC-day bucket) survive —
+    * list length ≤ cap·(windowDays+1). The rank window is an incremental
+    * O(1)-state frame (row_number), so the cap never recreates the
+    * hazard it removes. */
+  private def touchLists(events: org.apache.spark.sql.DataFrame,
+      windowDays: Int, maxDailyTouches: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val horizonUs = windowDays * dayUs
+    val base = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val capped =
+      if (maxDailyTouches <= 0) base
+      else {
+        val byDay = Window
+          .partitionBy(col("user_id"), expr(s"t div $dayUs"),
+            col("event_type") === "purchase")
+          .orderBy(col("t").desc, col("event_id").desc)
+        base.withColumn("rk", row_number().over(byDay))
+          .filter(col("event_type") === "purchase" ||
+            col("rk") <= maxDailyTouches)
+          .drop("rk")
+      }
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-horizonUs, -1)
+    capped
+      .withColumn("tl", collect_list(
+        when(col("event_type") =!= "purchase",
+          struct(col("t").as("tt"), col("event_id").as("tid"),
+            col("event_type").as("ty")))).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("mx", expr("array_max(transform(tl, x -> struct(x.tt, x.tid)))"))
+      .withColumn("n", size(col("tl")).cast("long"))
+  }
+
   /** Multi-touch attribution — q167's sibling for the linear model: each
-    * purchase's credit splits EVENLY across every distinct touch event
-    * in the window, allocated in integer MICRO-CREDITS (10⁶ per
-    * purchase, `10⁶ div n` per touch with the remainder to the LAST
+    * purchase's credit splits EVENLY across every touch event in the
+    * window, allocated in integer MICRO-CREDITS (10⁶ per purchase,
+    * `10⁶ div n` per touch with the remainder to the max-(tt, event_id)
     * touch) so per-purchase credit conserves EXACTLY — Σ census =
     * 10⁶ · purchases as a checkable long identity, where a double 1/n
     * weighting would drift in the sum order (the q157 cents rule applied
-    * to credit). One user-partitioned window pass carries the ordered
-    * running touch list; state per user is its in-window touch history
-    * (bounded by the attribution window), and purchases with no touch
-    * credit 'none'. */
+    * to credit). One user-partitioned window pass with a RANGE frame
+    * bounded to the horizon (see [[touchLists]]); purchases with no
+    * touch credit 'none'. */
   def multiTouchAttribution(events: org.apache.spark.sql.DataFrame,
-      windowDays: Int = 7): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val horizonUs = windowDays * 86400000000L
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("t"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val credited = events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("t"))
-      .withColumn("tl", collect_list(
-        when(col("event_type") =!= "purchase",
-          struct(col("t").as("tt"), col("event_type").as("ty")))).over(byUser))
-      .filter(col("event_type") === "purchase")
-      .withColumn("tl2", expr(s"filter(tl, x -> t - x.tt <= ${horizonUs}L)"))
-      .withColumn("n", size(col("tl2")).cast("long"))
-      .select(col("n"), posexplode_outer(col("tl2")).as(Seq("pos", "x")))
+      windowDays: Int = 7,
+      maxDailyTouches: Int = 0): org.apache.spark.sql.DataFrame = {
+    val credited = touchLists(events, windowDays, maxDailyTouches)
+      .select(col("n"), col("mx"), posexplode_outer(col("tl")).as(Seq("pos", "x")))
       .select(
         when(col("x").isNull, lit("none")).otherwise(col("x.ty")).as("touch"),
         when(col("x").isNull, lit(1000000L))
           .otherwise(expr("cast(1000000 as bigint) div n") +
-            when(col("pos").cast("long") === col("n") - 1L,
+            when(col("x.tt") === col("mx.tt") && col("x.tid") === col("mx.tid"),
               expr("cast(1000000 as bigint) % n")).otherwise(lit(0L)))
           .as("credit"))
     val census = credited.groupBy(col("touch"))
@@ -775,45 +815,38 @@ object Temporal {
     * freshness with the q122 halving-per-day trick, W = 2^(windowDays −
     * age_days) — an exact power-of-two LONG, never pow()/exp() — and the
     * purchase's 10⁶ micro-credits split ∝ W with the remainder on the
-    * LAST touch, so per-purchase credit conserves exactly (the q178
-    * identity). Age is bounded by the window, so W fits comfortably;
-    * the weight sum and remainder are HOF folds over the in-window
-    * touch list (bounded), all integer arithmetic. Same single user
-    * exchange as q167/q178. */
+    * max-(tt, event_id) touch, so per-purchase credit conserves exactly
+    * (the q178 identity). The RANGE frame bounds both the age (so the
+    * exponent sits in [0, windowDays] — `require(windowDays <= 62)`
+    * keeps shiftleft out of the JVM's 6-bit mask-wrap regime) and the
+    * window state (see [[touchLists]]); the weight sum and remainder
+    * are HOF folds over the in-window list, all integer arithmetic.
+    * Same single user exchange as q167/q178. */
   def timeDecayAttribution(events: org.apache.spark.sql.DataFrame,
-      windowDays: Int = 7): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      windowDays: Int = 7,
+      maxDailyTouches: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(windowDays >= 1 && windowDays <= 62,
+      s"windowDays must be in [1, 62] (got $windowDays): shiftleft masks the " +
+        "shift amount to 6 bits, so 2^(windowDays - age) would silently wrap")
     val dayUs = 86400000000L
-    val horizonUs = windowDays * dayUs
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("t"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val wExpr = s"shiftleft(cast(1 as bigint), " +
       s"cast($windowDays - (t - x.tt) div $dayUs as int))"
-    val credited = events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("t"))
-      .withColumn("tl", collect_list(
-        when(col("event_type") =!= "purchase",
-          struct(col("t").as("tt"), col("event_type").as("ty")))).over(byUser))
-      .filter(col("event_type") === "purchase")
-      .withColumn("tl2", expr(s"filter(tl, x -> t - x.tt <= ${horizonUs}L)"))
+    val credited = touchLists(events, windowDays, maxDailyTouches)
       .withColumn("sw",
-        expr(s"aggregate(tl2, cast(0 as bigint), (acc, x) -> acc + $wExpr)"))
+        expr(s"aggregate(tl, cast(0 as bigint), (acc, x) -> acc + $wExpr)"))
       .withColumn("rem", expr(
-        s"cast(1000000 as bigint) - aggregate(tl2, cast(0 as bigint), " +
+        s"cast(1000000 as bigint) - aggregate(tl, cast(0 as bigint), " +
           s"(acc, x) -> acc + (cast(1000000 as bigint) * ($wExpr)) div sw)"))
-      .withColumn("n", size(col("tl2")).cast("long"))
-      .select(col("t"), col("sw"), col("rem"), col("n"),
-        posexplode_outer(col("tl2")).as(Seq("pos", "x")))
+      .select(col("t"), col("sw"), col("rem"), col("mx"),
+        posexplode_outer(col("tl")).as(Seq("pos", "x")))
       .select(
         when(col("x").isNull, lit("none")).otherwise(col("x.ty")).as("touch"),
         when(col("x").isNull, lit(1000000L))
           .otherwise(
             expr(s"(cast(1000000 as bigint) * shiftleft(cast(1 as bigint), " +
               s"cast($windowDays - (t - x.tt) div $dayUs as int))) div sw") +
-            when(col("pos").cast("long") === col("n") - 1L, col("rem"))
-              .otherwise(lit(0L)))
+            when(col("x.tt") === col("mx.tt") && col("x.tid") === col("mx.tid"),
+              col("rem")).otherwise(lit(0L)))
           .as("credit"))
     val census = credited.groupBy(col("touch"))
       .agg(sum(col("credit")).as("credit_micro"))
@@ -1782,23 +1815,28 @@ object Temporal {
              |tr AS (
              |  SELECT event_type, t,
              |    list(CASE WHEN event_type <> 'purchase'
-             |              THEN {'tt': t, 'ty': event_type} END)
-             |      OVER (PARTITION BY user_id ORDER BY t, event_id
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tl
+             |              THEN {'tt': t, 'tid': event_id, 'ty': event_type} END)
+             |      OVER (PARTITION BY user_id ORDER BY t
+             |            RANGE BETWEEN 604800000000 PRECEDING
+             |                  AND 1 PRECEDING) AS tl0
              |  FROM ev),
              |p AS (
-             |  SELECT t, list_filter(coalesce(tl, []),
-             |    x -> x IS NOT NULL AND t - x.tt <= 604800000000) AS tl2
+             |  SELECT t, list_filter(coalesce(tl0, []), x -> x IS NOT NULL) AS tl2
              |  FROM tr WHERE event_type = 'purchase'),
+             |p2 AS (
+             |  SELECT t, tl2, list_aggregate(list_transform(tl2,
+             |    x -> {'tt': x.tt, 'tid': x.tid}), 'max') AS mx
+             |  FROM p),
              |cr AS (
              |  SELECT tl2[i].ty AS touch,
              |    1000000 // len(tl2) +
-             |      CASE WHEN i = len(tl2) THEN 1000000 % len(tl2) ELSE 0 END
+             |      CASE WHEN tl2[i].tt = mx.tt AND tl2[i].tid = mx.tid
+             |           THEN 1000000 % len(tl2) ELSE 0 END
              |      AS credit
-             |  FROM p, unnest(range(1, len(tl2) + 1)) AS r(i)
+             |  FROM p2, unnest(range(1, len(tl2) + 1)) AS r(i)
              |  WHERE len(tl2) > 0
              |  UNION ALL
-             |  SELECT 'none', 1000000 FROM p WHERE len(tl2) = 0),
+             |  SELECT 'none', 1000000 FROM p2 WHERE len(tl2) = 0),
              |c AS (SELECT touch, CAST(sum(credit) AS BIGINT) AS credit_micro
              |      FROM cr GROUP BY 1)
              |SELECT touch, credit_micro,
@@ -1841,21 +1879,23 @@ object Temporal {
              |tr AS (
              |  SELECT event_type, t,
              |    list(CASE WHEN event_type <> 'purchase'
-             |              THEN {'tt': t, 'ty': event_type} END)
-             |      OVER (PARTITION BY user_id ORDER BY t, event_id
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tl
+             |              THEN {'tt': t, 'tid': event_id, 'ty': event_type} END)
+             |      OVER (PARTITION BY user_id ORDER BY t
+             |            RANGE BETWEEN 604800000000 PRECEDING
+             |                  AND 1 PRECEDING) AS tl0
              |  FROM ev),
              |p1 AS (
-             |  SELECT t, list_filter(coalesce(tl, []),
-             |    x -> x IS NOT NULL AND t - x.tt <= 604800000000) AS tl2
+             |  SELECT t, list_filter(coalesce(tl0, []), x -> x IS NOT NULL) AS tl2
              |  FROM tr WHERE event_type = 'purchase'),
              |p2 AS (
              |  SELECT t, tl2,
+             |    list_aggregate(list_transform(tl2,
+             |      x -> {'tt': x.tt, 'tid': x.tid}), 'max') AS mx,
              |    list_sum(list_transform(tl2, x -> CAST(1 AS BIGINT) <<
              |      CAST(7 - (t - x.tt) // 86400000000 AS INT))) AS sw
              |  FROM p1),
              |p3 AS (
-             |  SELECT t, tl2, sw,
+             |  SELECT t, tl2, mx, sw,
              |    1000000 - list_sum(list_transform(tl2,
              |      x -> (1000000 * (CAST(1 AS BIGINT) <<
              |        CAST(7 - (t - x.tt) // 86400000000 AS INT))) // sw)) AS rem
@@ -1864,7 +1904,8 @@ object Temporal {
              |  SELECT tl2[i].ty AS touch,
              |    (1000000 * (CAST(1 AS BIGINT) <<
              |       CAST(7 - (t - tl2[i].tt) // 86400000000 AS INT))) // sw +
-             |      CASE WHEN i = len(tl2) THEN rem ELSE 0 END AS credit
+             |      CASE WHEN tl2[i].tt = mx.tt AND tl2[i].tid = mx.tid
+             |           THEN rem ELSE 0 END AS credit
              |  FROM p3, unnest(range(1, len(tl2) + 1)) AS r(i)
              |  WHERE len(tl2) > 0
              |  UNION ALL

@@ -353,6 +353,18 @@ class PlanSpec extends SparkSpec {
       s"the running-last fold is a window pass:\n$p")
   }
 
+  test("q178: the attribution touch list runs over a RANGE frame, not an unbounded one") {
+    val p = physicalPlan("q178_multitouch_attribution")
+    // the r7 verdict's scale-killer: an unbounded-preceding collect_list
+    // carries the user's ENTIRE history as per-row state. The fix pins the
+    // frame to the attribution horizon — specifiedwindowframe(RangeFrame,
+    // -horizonUs, -1) — so state is the in-window touch list.
+    assert(p.contains("RangeFrame"),
+      s"the touch-list frame must be range-bounded to the horizon:\n$p")
+    assert(!p.contains("unboundedpreceding"),
+      s"no unbounded-preceding frame may touch event rows:\n$p")
+  }
+
   test("q169: canonical pick is a partial max-struct agg, no member window") {
     val p = physicalPlan("q169_canonical_pick")
     assert(p.contains("partial_max") || p.contains("partial_count"),

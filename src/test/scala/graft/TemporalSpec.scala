@@ -450,6 +450,73 @@ class TemporalSpec extends SparkSpec {
     assert(out.values.sum == 2000000L)
   }
 
+  test("attribution: a 100k-event bot user stays window-bounded (RANGE frame)") {
+    // One user owns 100k events spread over ~1000 days — under the old
+    // unbounded rowsBetween frame every late purchase materialized the
+    // FULL history (O(history²) work); the RANGE frame keeps each list
+    // to the ~700 touches inside the 7-day horizon. The assertion is
+    // correctness (conservation + per-window counts); the wall-clock
+    // proof lives in tools/AuditScale bot mode.
+    val minuteUs = 60000000L
+    val spacing = 864 * minuteUs / 60 // one event every 14.4 min -> 100/day
+    val n = 100000
+    val rows = (0 until n).map { i =>
+      val ty = if (i % 1000 == 999) "purchase" else if (i % 2 == 0) "view" else "click"
+      (i.toLong, 1L, ty, i * spacing)
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+      .repartition(8)
+    val out = graft.operators.Temporal.multiTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 100 purchases, exact conservation of 10^6 micro-credits each
+    assert(out.values.sum == 100L * 1000000L, s"got $out")
+    assert(!out.contains("none"))
+    val decay = graft.operators.Temporal.timeDecayAttribution(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(decay.values.sum == 100L * 1000000L, s"got $decay")
+  }
+
+  test("attribution: maxDailyTouches caps an in-horizon bot burst") {
+    val dayUs = 86400000000L
+    // u1 fires 1000 touches inside one day, then purchases: uncapped the
+    // split is across 1000; capped at 3/day only the 3 MOST RECENT
+    // touches survive, so the split is 333333/333333/333334.
+    val rows = (0 until 1000).map(i => (i.toLong, 1L, "view", i * 1000L)) :+
+      (1000L, 1L, "purchase", dayUs - 1)
+    val ev = rows.toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val uncapped = graft.operators.Temporal.multiTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uncapped == Map("view" -> 1000000L), s"got $uncapped")
+    val capped = graft.operators.Temporal
+      .multiTouchAttribution(ev, maxDailyTouches = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("view" -> 1000000L), s"got $capped")
+    // the cap is visible through decay weights: with 3 survivors all
+    // age-0 the decay census equals the even split; with 1000 it also
+    // does (same type) — so assert via a mixed-type burst instead
+    val rows2 = (0 until 10).map(i =>
+      (i.toLong, 2L, if (i < 9) "view" else "click", i * 1000L)) :+
+      (10L, 2L, "purchase", 20000L)
+    val ev2 = rows2.toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val capped2 = graft.operators.Temporal
+      .multiTouchAttribution(ev2, maxDailyTouches = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // survivors = 2 most recent touches: click(id9), view(id8) -> 500000 each
+    assert(capped2 == Map("view" -> 500000L, "click" -> 500000L), s"got $capped2")
+  }
+
+  test("timeDecayAttribution: oversized window fails loudly, not wrapped") {
+    val ev = Seq((0L, 1L, "purchase", 0L))
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Temporal.timeDecayAttribution(ev, windowDays = 63)
+    }
+  }
+
   test("cohortLtv: per-cohort cumulative cents and integer-division LTV") {
     val weekUs = 7L * 86400000000L
     // cohort 0: u1 (1.00 wk0, 2.00 wk1) + u2 (3.00 wk0); cohort 1: u3 (5.00)
