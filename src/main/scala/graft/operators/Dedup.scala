@@ -731,10 +731,18 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("rep_id"))
     comp
       .join(docs.select(col("doc_id"),
+        // rank on the micro-quantized grid so FRACTIONAL scores (e.g. a
+        // quality score in [0,1]) order correctly — a bare long cast
+        // truncated them all to 0, degenerating keep-best to keep-min-id;
+        // for integer scores the x1e6 map is order-identical. Scores must
+        // sit under ~9.2e12 (long overflow on the grid, ANSI throws).
+        floor(col(scoreCol).cast("double") * 1e6 + lit(0.5)).cast("long")
+          .as("s_rank"),
         col(scoreCol).cast("long").as("score")), Seq("doc_id"))
       .groupBy(col("rep_id"))
       .agg(count(lit(1)).as("n_members"),
-        max(struct(col("score").as("s"), (-col("doc_id")).as("nid"))).as("best"))
+        max(struct(col("s_rank").as("r"), (-col("doc_id")).as("nid"),
+          col("score").as("s"))).as("best"))
       .select(col("rep_id"), (-col("best.nid")).as("keep_id"),
         col("best.s").as("keep_chars"), col("n_members"))
       .orderBy(col("rep_id"))

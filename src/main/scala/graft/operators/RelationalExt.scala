@@ -215,7 +215,11 @@ object RelationalExt {
     * engine log() (the transcendental-replay rule); observed shares are
     * floor-quantized rationals; the excess column is plain IEEE
     * subtraction of two already-identical doubles. One census pass, a
-    * nine-row broadcast join, bounded output. */
+    * nine-row broadcast join, bounded output. The report drives from the
+    * EXPECTED table (left join + zero-fill), so a digit with zero
+    * observations — the most anomalous Benford outcome — still surfaces
+    * as obs_share 0 against its expectation instead of silently
+    * vanishing from the audit. */
   def benfordAudit(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
@@ -230,8 +234,10 @@ object RelationalExt {
         .cast("long").cast("string"), 1, 1).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val tot = census.agg(sum(col("n")).as("n_tot"))
-    census.crossJoin(broadcast(tot))
-      .join(broadcast(expected), Seq("digit"))
+    expected
+      .join(census, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
         (floor(col("n").cast("double") / col("n_tot").cast("double") * 1e6
           + lit(0.5)) / 1e6).as("obs_share"),
@@ -641,12 +647,12 @@ object RelationalExt {
              |    ('7', CAST(0.057992 AS DOUBLE)), ('8', CAST(0.051153 AS DOUBLE)),
              |    ('9', CAST(0.045757 AS DOUBLE))) AS t(digit, exp_share)),
              |o AS (
-             |  SELECT c.digit, CAST(c.n AS BIGINT) AS n,
-             |    floor(CAST(c.n AS DOUBLE) /
+             |  SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+             |    floor(CAST(coalesce(c.n, 0) AS DOUBLE) /
              |      CAST((SELECT sum(n) FROM c) AS DOUBLE) * 1e6 + 0.5) / 1e6
              |      AS obs_share,
              |    e.exp_share
-             |  FROM c JOIN e USING (digit))
+             |  FROM e LEFT JOIN c USING (digit))
              |SELECT digit, n, obs_share, exp_share,
              |  obs_share - exp_share AS excess
              |FROM o ORDER BY digit""".stripMargin)),

@@ -389,6 +389,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 10L, 3L)), 7L -> ((7L, 4L, 2L))), s"got $out")
   }
 
+  test("canonicalPick: FRACTIONAL scores rank on the micro grid, not a truncating cast") {
+    // quality scores in [0,1] — a bare long cast sent all of these to 0
+    // and the pick degenerated to keep-min-id; the micro-grid rank keeps
+    // the best-quality member (id 3 at 0.90) as the canonical doc
+    val docs = Seq((1L, 0.25), (2L, 0.70), (3L, 0.90), (7L, 0.10), (8L, 0.40))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val out = Dedup.canonicalPick(docs, pairs, scoreCol = "quality").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 7L -> 8L), s"got $out")
+  }
+
   test("dedupRateBySource: cluster members count against their source, reps survive") {
     val docs = Seq((1L, "sa"), (2L, "sa"), (4L, "sa"), (3L, "sb"))
       .toDF("doc_id", "source")

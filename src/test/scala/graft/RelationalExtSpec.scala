@@ -231,11 +231,14 @@ class RelationalExtSpec extends SparkSpec {
     val out = graft.operators.RelationalExt.benfordAudit(df).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
       .toMap
-    // cents 100, 1999, 250, 30, 900000 -> digits 1,1,2,3,9
-    assert(out.keySet == Set("1", "2", "3", "9"))
+    // cents 100, 1999, 250, 30, 900000 -> digits 1,1,2,3,9; the report
+    // drives from the expected table, so unobserved digits SURFACE with
+    // obs_share 0 — the most anomalous Benford outcome, not a dropped row
+    assert(out.keySet == Set("1", "2", "3", "4", "5", "6", "7", "8", "9"))
     assert(out("1") == ((2L, 0.4, 0.301030)), s"got ${out("1")}")
     assert(out("2")._1 == 1L && out("2")._2 == 0.2)
     assert(out("9")._3 == 0.045757)
+    assert(out("4") == ((0L, 0.0, 0.096910)), s"got ${out("4")}")
   }
 
   test("integrityAudit: planted orphans and duplicate keys are counted") {
