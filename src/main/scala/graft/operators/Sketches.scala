@@ -147,7 +147,8 @@ object Sketches {
     * as a LITERAL broadcast frame, so pass 2 carries a single corpus
     * lineage: probe → per-group filter → (grp, key) partial-agg recount. */
   def groupedHeavyHitters(rows: DataFrame, grpCol: String, keyCol: String,
-      k: Int, w: Int = 1024, d: Int = 4, seed: Long = 137): DataFrame = {
+      k: Int, w: Int = 1024, d: Int = 4, seed: Long = 137,
+      maxGroups: Int = 100000): DataFrame = {
     require(k >= 2 && w >= 2 && d >= 2, s"invalid params k=$k w=$w d=$d")
     val spark = rows.sparkSession
     import spark.implicits._
@@ -158,9 +159,19 @@ object Sketches {
     val tables = Array.fill(d)(new Array[Long](w))
     cells.foreach(r => tables(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
     // bounded per-group thresholds, re-issued as a literal frame (no
-    // lineage back to the corpus — a derived-frame join would re-scan)
-    val thr = keyed.groupBy(col(grpCol))
-      .agg(expr(s"count(1) div $k").as("thr")).collect()
+    // lineage back to the corpus — a derived-frame join would re-scan).
+    // The bounded-groups CONTRACT is enforced, not assumed: the collect is
+    // limit-capped so a violation fails with a pointed message instead of
+    // silently OOMing the driver at scale.
+    val thrRows = keyed.groupBy(col(grpCol))
+      .agg(expr(s"count(1) div $k").as("thr"))
+      .limit(maxGroups + 1).collect()
+    require(thrRows.length <= maxGroups,
+      s"groupedHeavyHitters: >$maxGroups distinct '$grpCol' groups — the " +
+        "per-group threshold table is driver state and this group column " +
+        "violates the bounded-groups contract; raise maxGroups only if the " +
+        "driver can hold that many rows, or sketch per group (q102) instead")
+    val thr = thrRows
       .map(r => (r.getString(0), r.getLong(1))).toSeq
       .toDF(grpCol, "thr")
     val est = least(params.zipWithIndex.map { case ((a, b), j) =>
@@ -255,19 +266,30 @@ object Sketches {
     * shuffle; the rank arithmetic is pure integers; the one division at
     * the end (iv/scale) exact-rounds the same rational in any engine.
     *
-    * Group cardinality must be bounded (brackets broadcast); for
-    * unbounded groups use q102's sketch per group instead. */
+    * Group cardinality must be bounded (brackets broadcast) — ENFORCED:
+    * the pass-0 collect is limit-capped at `maxGroups` and fails loudly
+    * on violation; for unbounded groups use q102's sketch per group
+    * instead. */
   def bisectQuantiles(df: DataFrame, valCol: String, groupCol: String,
-      qs: Seq[Double], scale: Int = 100, bins: Int = 4096): DataFrame = {
+      qs: Seq[Double], scale: Int = 100, bins: Int = 4096,
+      maxGroups: Int = 100000): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"bad quantiles $qs")
     val spark = df.sparkSession
     import spark.implicits._
     val iv = floor(col(valCol) * scale + lit(0.5)).cast("long")
     val vals = df.select(col(groupCol).cast("string").as("grp"), iv.as("iv"))
-    // pass 0: per-group count + range
-    val stats = vals.groupBy($"grp")
+    // pass 0: per-group count + range (limit-capped — a violated
+    // bounded-groups contract fails pointedly, never OOMs the driver)
+    val statRows = vals.groupBy($"grp")
       .agg(count(lit(1)).as("n"), min($"iv").as("lo"), max($"iv").as("hi"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .limit(maxGroups + 1).collect()
+    require(statRows.length <= maxGroups,
+      s"bisectQuantiles: >$maxGroups distinct '$groupCol' groups — bracket " +
+        "state is groups x qs rows on the driver and this group column " +
+        "violates the bounded-groups contract; raise maxGroups only if the " +
+        "driver can hold it, or use histogramQuantiles (q102) per group")
+    val stats = statRows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // bracket state: (grp, q, lo, hi, k) — answer = k-th smallest in [lo, hi]
     var state = (for ((g, n, lo, hi) <- stats; q <- qs)
       yield (g, q, lo, hi, math.ceil(q * n).toLong)).toSeq

@@ -179,7 +179,7 @@ object EventStream {
     * read. The watchlist is a plan literal; the cell table is the only
     * data input. */
   def probeWindowedSketch(cells: DataFrame, watch: Seq[String], w: Int,
-      params: Seq[(Long, Long)]): DataFrame = {
+      params: Seq[(Long, Long)], maxWindows: Int = 100000): DataFrame = {
     val watchDf = cells.sparkSession.createDataFrame(
       watch.map(Tuple1(_))).toDF("term")
     val hk = pmod(xxhash64(col("term")), lit(graft.operators.Sketches.P))
@@ -192,8 +192,16 @@ object EventStream {
     // failure on memory-sink views (the recorded driftPerWindow lesson);
     // the window list is bounded by the monitoring horizon, so a driver
     // materialization is the q128-bracket kind of bounded state, not a
-    // corpus collect.
-    val wins = cells.select(col("win_start")).distinct().collect().map(_.getLong(0))
+    // corpus collect — and the contract is ENFORCED: the collect is
+    // limit-capped so an unboundedly-retained cell table fails loudly
+    // instead of OOMing the driver.
+    val winRows = cells.select(col("win_start")).distinct()
+      .limit(maxWindows + 1).collect()
+    require(winRows.length <= maxWindows,
+      s"probeWindowedSketch: >$maxWindows distinct windows in the cell " +
+        "table — the window list is driver state bounded by the monitoring " +
+        "horizon; compact or time-bound the cell table (or raise maxWindows)")
+    val wins = winRows.map(_.getLong(0))
     cells.sparkSession.createDataFrame(wins.map(Tuple1(_)).toSeq).toDF("win_start")
       .crossJoin(broadcast(watchDf))
       .select(col("win_start"), col("term"), explode(array(probes: _*)).as("r"))

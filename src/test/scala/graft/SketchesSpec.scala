@@ -212,6 +212,25 @@ class SketchesSpec extends SparkSpec {
     assert(out.toSet == exp.toSet)
   }
 
+  test("bounded-driver-state contracts fail LOUDLY when violated, never OOM") {
+    // 50 distinct groups against a maxGroups of 10: both collect sites
+    // must refuse with a pointed message (the limit-capped collect also
+    // bounds what the driver pulls even in the failure path)
+    val many = (0 until 50).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Sketches.bisectQuantiles(many, "v", "g", Seq(0.5), maxGroups = 10)
+    }
+    assert(e1.getMessage.contains("bounded-groups contract"), e1.getMessage)
+    val kv = (0 until 50).map(i => (s"g$i", "k")).toDF("grp", "key")
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.groupedHeavyHitters(kv, "grp", "key", k = 2, maxGroups = 10)
+    }
+    assert(e2.getMessage.contains("bounded-groups contract"), e2.getMessage)
+    // within contract: identical results whatever the ceiling
+    val ok = Sketches.bisectQuantiles(many, "v", "g", Seq(0.5), maxGroups = 50)
+    assert(ok.count() == 50)
+  }
+
   test("heavyHitters: output is exact even when the sketch is saturated (w = 8)") {
     // with 2003 keys in 8 buckets every estimate is inflated — the filter
     // passes nearly everything, and the exact recount must still discard

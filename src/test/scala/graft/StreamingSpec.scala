@@ -470,5 +470,10 @@ class StreamingSpec extends SparkSpec {
     assert(exact.nonEmpty)
     exact.foreach { case (k, n) => assert(est(k) >= n, s"$k: est ${est(k)} < exact $n") }
     assert(est.keys.count(_._2 == "no_such_term") == wins.length)
+    // the bounded-windows contract fails loudly, never an unbounded collect
+    val e = intercept[IllegalArgumentException] {
+      EventStream.probeWindowedSketch(cells, watch, w, params, maxWindows = 1)
+    }
+    assert(e.getMessage.contains("monitoring horizon"), e.getMessage)
   }
 }
