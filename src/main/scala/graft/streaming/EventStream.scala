@@ -411,6 +411,75 @@ object EventStream {
       .toDF()
   }
 
+  final case class Touch(tt: Long, tid: Long, ty: String)
+  final case class TouchListState(touches: Seq[Touch])
+  final case class TouchCredit(user_id: Long, purchase_t: Long,
+      purchase_id: Long, touch: String, credit: Long)
+
+  /** Streaming multi-touch / time-decay attribution — the incremental
+    * twin of [[graft.operators.Temporal.multiTouchAttribution]] (q178)
+    * and [[graft.operators.Temporal.timeDecayAttribution]] (q180),
+    * enabled by r8's horizon-bounded frame: per-user state is exactly
+    * the IN-WINDOW touch list (touches older than `windowDays` behind
+    * the newest processed event are pruned on every fold step), so
+    * state is O(horizon density) per user — the same bound the batch
+    * RANGE frame carries, never the user's history. Each purchase emits
+    * its per-touch micro-credit rows exactly once with the batch
+    * arithmetic verbatim: even split (or 2^(windowDays − age_days)
+    * weights when `decay`) in integer micro-credits, remainder to the
+    * max-(tt, event_id) touch, 'none' rows for untouched purchases —
+    * summing emissions by touch replays the batch census exactly
+    * (StreamingSpec pins the parity). Rows are (t, event_id)-sorted
+    * within each micro-batch; across batches the fold advances in
+    * arrival order (the streamingFunnel time-monotone contract). */
+  def streamingMultiTouch(spark: SparkSession, events: DataFrame,
+      windowDays: Int = 7, decay: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(windowDays >= 1 && windowDays <= 62,
+      s"windowDays must be in [1, 62] (got $windowDays)")
+    val dayUs = 86400000000L
+    val horizonUs = windowDays * dayUs
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .as[AttrEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[AttrEv], state: GroupState[TouchListState]) => {
+          var touches = state.getOption.map(_.touches.toVector)
+            .getOrElse(Vector.empty[Touch])
+          val out = Seq.newBuilder[TouchCredit]
+          rows.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
+            // horizon prune: t is nondecreasing in fold order, so a touch
+            // outside [t - horizon, t - 1] can never credit a later purchase
+            touches = touches.dropWhile(_.tt < e.t - horizonUs)
+            if (e.event_type == "purchase") {
+              val inWin = touches.filter(x => x.tt <= e.t - 1)
+              if (inWin.isEmpty)
+                out += TouchCredit(uid, e.t, e.event_id, "none", 1000000L)
+              else {
+                val mx = inWin.maxBy(x => (x.tt, x.tid))
+                val weights =
+                  if (decay) inWin.map(x =>
+                    1L << (windowDays - (e.t - x.tt) / dayUs).toInt)
+                  else inWin.map(_ => 1L)
+                val sw = weights.sum
+                val base = weights.map(w => 1000000L * w / sw)
+                val rem = 1000000L - base.sum
+                inWin.zip(base).foreach { case (x, b) =>
+                  val credit =
+                    if (x.tt == mx.tt && x.tid == mx.tid) b + rem else b
+                  out += TouchCredit(uid, e.t, e.event_id, x.ty, credit)
+                }
+              }
+            } else touches = touches :+ Touch(e.t, e.event_id, e.event_type)
+          }
+          state.update(TouchListState(touches))
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Custom keyed state (the reference has none; this is the
     * mapGroupsWithState escape hatch for semantics windows can't express):
     * running per-user event count + value total, updated per micro-batch. */

@@ -285,6 +285,24 @@ class StreamingSpec extends SparkSpec {
       s"stream $streamCensus vs batch $batch")
   }
 
+  test("streaming multi-touch and decay emissions equal the q178/q180 batch censuses") {
+    for ((decay, qname) <- Seq(false -> "q178_multitouch_attribution",
+        true -> "q180_decay_attribution")) {
+      val stream = EventStream.streamingMultiTouch(spark,
+        EventStream.readEvents(spark, eventsPath), decay = decay)
+      val got = EventStream.runToMemory(spark, stream,
+        s"mt_attr_$decay", OutputMode.Update())
+      // each purchase emits its credit rows exactly once, so summing ALL
+      // emissions by touch replays the batch micro-credit census
+      val streamCensus = got.groupBy($"touch").agg(sum($"credit").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = SparkEntry.queries(qname)(spark, sf0001)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamCensus == batch && streamCensus.values.sum > 0,
+        s"$qname: stream $streamCensus vs batch $batch")
+    }
+  }
+
   test("streaming funnel across restarts: in-order batches advance the state machine") {
     import java.nio.file._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
