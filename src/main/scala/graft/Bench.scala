@@ -64,12 +64,21 @@ object Bench {
     val failed = results.collect { case (n, ts) if ts.isEmpty => n }
     val qs = (ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
       failed.map(n => "\"" + n + "\":\"failed\"")).mkString("{", ",", "}")
+    // Per-query iteration stddev alongside best-of-n: a delta between
+    // rounds is only a regression when it clears the jitter band — sd
+    // makes noise (the r7 q05/q23 "+5-9%" wobble) separable from real
+    // slowdowns without re-running the bench.
+    val sds = results.collect { case (n, ts) if ts.nonEmpty =>
+      val mean = ts.sum / ts.length
+      val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.length)
+      "\"" + n + f"\":$sd%.3f"
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val loadEnd = load1
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"iters":$iters,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_sd":$sds$failedJson,"iters":$iters,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

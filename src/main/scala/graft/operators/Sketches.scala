@@ -963,6 +963,25 @@ object Sketches {
              |ORDER BY freq DESC, bigram""".stripMargin),
       headline = true),
 
+    // ---- q124z: heavy hitters in the PRUNING regime (bench-only) -----------
+    // The sf0.1 corpus is near-uniform, so the q124 bench row measures
+    // scan cost, not the sketch's value (97% candidate fraction —
+    // SCALING.md). This row plants a deterministic hot/tail split over
+    // lineitem — 5% of rows on 3 hot keys, 95% on a ~150k-key tail —
+    // so the CMS pre-screen sheds >90% of rows before the exact recount
+    // and the pruning path is regression-visible where it matters.
+    // Correctness of the identical operator is the q124 gate; the
+    // candidate fraction on THIS shape is pinned in SketchesSpec.
+    QueryDef(
+      "q124z_heavy_hitters_zipf",
+      (s, dir) => heavyHitters(
+        Tables.lineitem(s, dir).select(
+          when(col("l_orderkey") % 20 === 0,
+            concat(lit("hot_"), col("l_orderkey") % 3))
+            .otherwise(concat(lit("t"), col("l_orderkey"))).as("key")),
+        "key", k = 100, w = 4096, d = 4, seed = 124),
+      None, headline = true, gate = false),
+
     // ---- q170: key-skew audit ----------------------------------------------
     // Per-user-id count census summarized to exact p50/p99/max, top-10
     // share, and the max/p50 straggler ratio; the oracle replays the

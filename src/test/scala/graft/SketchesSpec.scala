@@ -212,6 +212,26 @@ class SketchesSpec extends SparkSpec {
     assert(out.toSet == exp.toSet)
   }
 
+  test("q124z bench shape: the CMS pre-screen sheds >90% of rows before the recount") {
+    // replay the q124z key construction (5% of rows on 3 hot keys, the
+    // rest a per-row tail) on a synthetic orderkey column and pin the
+    // candidate-row fraction the bench row exists to watch
+    val keys = (1 to 6000).flatMap(ok => Seq.fill(4)(ok)).toDF("l_orderkey")
+      .select(when($"l_orderkey" % 20 === 0,
+          concat(lit("hot_"), $"l_orderkey" % 3))
+        .otherwise(concat(lit("t"), $"l_orderkey")).as("key"))
+    val n = keys.count()
+    val (cand, thr) = Sketches.hhCandidates(keys, "key", k = 100,
+      w = 4096, d = 4, seed = 124)
+    assert(thr == n / 100)
+    val c = cand.count()
+    assert(c.toDouble / n < 0.10, s"candidate fraction ${c.toDouble / n} not <10%")
+    // and the answer itself is the three hot keys, exact
+    val out = Sketches.heavyHitters(keys, "key", k = 100, w = 4096, d = 4,
+      seed = 124).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("hot_0", 400L), ("hot_1", 400L), ("hot_2", 400L)), s"got $out")
+  }
+
   test("bounded-driver-state contracts fail LOUDLY when violated, never OOM") {
     // 50 distinct groups against a maxGroups of 10: both collect sites
     // must refuse with a pointed message (the limit-capped collect also
