@@ -289,14 +289,14 @@ object RootBinary {
     out.values.toSeq
   }
 
-  private def primWidth(t: Char): Int = t match {
+  private[sources] def primWidth(t: Char): Int = t match {
     case 'D' | 'L' => 8
     case 'F' | 'I' => 4
     case 'S' => 2
     case _ => 1 // O, B
   }
 
-  private def readPrim(t: Char, b: Array[Byte], off: Int): Any = t match {
+  private[sources] def readPrim(t: Char, b: Array[Byte], off: Int): Any = t match {
     case 'F' => java.lang.Float.intBitsToFloat(i4(b, off))
     case 'I' => i4(b, off)
     case 'D' => java.lang.Double.longBitsToDouble(i8(b, off))
@@ -304,6 +304,115 @@ object RootBinary {
     case 'S' => ((u1(b, off) << 8) | u1(b, off + 1)).toShort
     case 'O' => b(off) != 0
     case 'B' => b(off)
+  }
+
+  // --------------------------------------------------------------------------
+  // Pread planning layer — the r7-verdict finish for OVERSIZED files.
+  //
+  // Everything above reads a whole-file byte array; a multi-GB ntuple must
+  // never land on the driver. The planning functions below walk the SAME
+  // structures through a positioned-read callback, touching only headers:
+  // the key chain costs two small preads per record (18-byte length/keyLen
+  // probe, then the keyLen region), the TTree record is read once (small),
+  // and each basket contributes its key region only. The result is a
+  // per-branch basket map with ENTRY OFFSETS (prefix sums of fNevBuf) —
+  // baskets are entry-aligned and self-delimiting, so any [e0, e1) entry
+  // range can later be decoded from just the basket records overlapping
+  // it, which is what RootIngest's executor-side decode does.
+  // --------------------------------------------------------------------------
+
+  /** One basket's file location + the entry range it holds. */
+  final case class BasketRange(seek: Long, nBytes: Int, e0: Long, e1: Long)
+
+  /** One branch's decode plan: the leaf declaration + its baskets in
+    * entry order. */
+  final case class BranchPlan(spec: LeafSpec, baskets: Seq[BasketRange])
+
+  /** Walk the key chain via positioned reads (headers only — never the
+    * payloads). `read(off, len)` must return exactly `len` bytes. */
+  def listKeysPread(read: (Long, Int) => Array[Byte], fileLen: Long): Seq[KeyRecord] = {
+    readHeader(read(0L, math.min(512L, fileLen).toInt)) match {
+      case None => Seq.empty
+      case Some(h) =>
+        val out = Seq.newBuilder[KeyRecord]
+        var at = h.begin
+        val end = math.min(h.end, fileLen)
+        while (at < end && at + 18 < fileLen) {
+          val probe = read(at, 18)
+          val nBytes = i4(probe, 0)
+          if (nBytes < 0) at += -nBytes // gap record
+          else if (nBytes == 0) at = end // corrupt, stop
+          else {
+            val keyLen = u2(probe, 14)
+            require(keyLen >= 18 && keyLen <= 65535, s"implausible keyLen $keyLen")
+            val region = read(at, math.min(keyLen.toLong, fileLen - at).toInt)
+            readKey(region, 0) match {
+              case Right(k) =>
+                out += k.copy(seek = at, dataOffset = at + k.keyLen)
+                at += k.nBytes
+              case Left(_) => at = end
+            }
+          }
+        }
+        out.result()
+    }
+  }
+
+  /** Build the flat-ntuple decode plan via positioned reads: branch →
+    * baskets with entry offsets, plus the total entry count. None when
+    * the tree is absent or outside the flat subset (same rules as
+    * [[decodeFlatTree]]: counters must be declared scalar branches,
+    * scalar branches must agree on the entry total). The per-basket
+    * value/counter-sum consistency checks run at DECODE time (executor
+    * side) — they need payloads a header walk must not touch — and fail
+    * the read loudly there rather than falling back. */
+  def planFlatTree(read: (Long, Int) => Array[Byte], fileLen: Long,
+      tree: String): Option[(Seq[BranchPlan], Long)] = {
+    val treeName = tree.split('/').last
+    try {
+      val keys = listKeysPread(read, fileLen)
+      val tk = keys.find(k => k.className.startsWith("TTree") && k.name == treeName)
+        .getOrElse(return None)
+      val treeRec = read(tk.seek, tk.nBytes)
+      val declared = scanLeafSpecs(
+        payload(treeRec, tk.copy(seek = 0, dataOffset = tk.keyLen)))
+      val baskets = keys
+        .filter(k => k.className == "TBasket" && k.title == treeName)
+        .groupBy(_.name)
+      val leaves = declared.filter(l => baskets.contains(l.branch))
+      if (leaves.isEmpty) return None
+      val counters = leaves.flatMap(_.counter).toSet
+      if (!counters.forall(c => leaves.exists(l => l.branch == c && l.counter.isEmpty)))
+        return None
+      val plans = leaves.map { l =>
+        var e = 0L
+        val bs = baskets(l.branch).sortBy(_.seek).map { k =>
+          val region = read(k.seek, k.keyLen)
+          val bh = readBasketHeader(region, k.copy(seek = 0))
+            .getOrElse(throw new IllegalArgumentException("short basket key"))
+          val br = BasketRange(k.seek, k.nBytes, e, e + bh.nevBuf)
+          e += bh.nevBuf
+          br
+        }
+        BranchPlan(l, bs)
+      }
+      val totals = plans.filter(_.spec.counter.isEmpty)
+        .map(_.baskets.lastOption.map(_.e1).getOrElse(0L)).toSet
+      if (totals.size != 1) None else Some((plans, totals.head))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode one basket record's value bytes (`rec` = the full record,
+    * [seek, seek+nBytes) of the file): (values area, border, nevBuf). */
+  def decodeBasketRecord(rec: Array[Byte]): (Array[Byte], Int, Int) = {
+    val k = readKey(rec, 0).toOption
+      .getOrElse(throw new IllegalArgumentException("bad basket record"))
+    val bh = readBasketHeader(rec, k)
+      .getOrElse(throw new IllegalArgumentException("short basket key"))
+    val data = payload(rec, k)
+    val border = bh.last - k.keyLen
+    require(border >= 0 && border <= data.length, s"basket border $border invalid")
+    (data, border, bh.nevBuf)
   }
 
   /** Decode the flat ntuple `tree` ("dir/name" paths match on the last

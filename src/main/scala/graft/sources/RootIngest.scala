@@ -30,9 +30,11 @@ object RootIngest {
   def convertedPath(rootPath: String): String = rootPath + ".parquet"
 
   /** Largest `.root` file the native decoder will read whole on the driver.
-    * Flat-ntuple samples (the reference's inputs) are file-per-sample at
-    * this scale; anything bigger goes through the streaming converter —
-    * the decode is a ONE-TIME bootstrap, not the scan path. */
+    * Above this, [[fromRoot]] switches to the EXECUTOR-SIDE range decode
+    * ([[distributedDecode]]): baskets are self-delimiting and entry-
+    * aligned, so the file splits at basket boundaries and each task
+    * decodes one contiguous entry range via positioned reads — the driver
+    * only ever holds headers. */
   val MaxNativeBytes: Long = 1L << 30
 
   /** Read the events of `tree` inside `rootPath`.
@@ -49,26 +51,174 @@ object RootIngest {
     *  3. otherwise fail with the converter recipe plus the container-layer
     *     census of what the file actually holds.
     *
-    * Step 2 is driver-side and capped at [[MaxNativeBytes]] per file: the
-    * basket chain of one file is inherently sequential (self-delimiting
-    * records), and the 100 TB answer is the sidecar it writes, not a
-    * distributed decoder that would re-read row-cluster blobs per query.
+    * Step 2 reads whole files on the driver only up to `maxDriverBytes`
+    * ([[MaxNativeBytes]] by default); larger flat ntuples decode on the
+    * EXECUTORS ([[distributedDecode]]) — per-task entry ranges over
+    * positioned reads, the driver holding headers only. Either way the
+    * result is the sidecar: the decode is a ONE-TIME bootstrap and every
+    * later read is the pruned/pushed-down Parquet scan.
     */
   def fromRoot(spark: SparkSession, rootPath: String,
       tree: String = "myana/mytree",
-      converted: Option[String] = None): DataFrame = {
+      converted: Option[String] = None,
+      maxDriverBytes: Long = MaxNativeBytes): DataFrame = {
     val sidecar = converted.getOrElse(convertedPath(rootPath))
     val p = new Path(sidecar)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) return spark.read.parquet(sidecar)
-    nativeDecode(spark, conf, rootPath, tree) match {
+    val rp = new Path(rootPath)
+    val rfs = rp.getFileSystem(conf)
+    val decoded =
+      if (rfs.exists(rp) && rfs.getFileStatus(rp).getLen > maxDriverBytes)
+        distributedDecode(spark, rootPath, tree)
+      else nativeDecode(spark, conf, rootPath, tree)
+    decoded match {
       case Some(df) =>
         df.write.mode("overwrite").parquet(sidecar)
         spark.read.parquet(sidecar)
       case None => throw new UnsupportedOperationException(
         conversionInstructions(rootPath, tree, sidecar) + census(conf, rootPath))
     }
+  }
+
+  private def prim(t: Char): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case 'F' => FloatType
+      case 'I' => IntegerType
+      case 'D' => DoubleType
+      case 'L' => LongType
+      case 'S' => ShortType
+      case 'O' => BooleanType
+      case 'B' => ByteType
+    }
+  }
+
+  private def flatSchema(specs: Seq[RootBinary.LeafSpec]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(specs.map { s =>
+      val base = prim(s.typ)
+      StructField(s.branch,
+        if (s.counter.isDefined) ArrayType(base, containsNull = false) else base,
+        nullable = false)
+    })
+  }
+
+  /** EXECUTOR-SIDE flat-ntuple decode for files above the driver cap.
+    *
+    * The driver walks only HEADERS ([[RootBinary.planFlatTree]]: key
+    * chain, TTree record, basket key regions — O(records) small preads)
+    * to build the branch → basket map with entry offsets, then splits
+    * [0, n) into contiguous entry ranges, one task each. A task decodes,
+    * for every branch, exactly the baskets overlapping its range via
+    * positioned reads — baskets are self-delimiting records, so the
+    * split needs no byte-level coordination — and jagged regrouping is
+    * BASKET-LOCAL: a jagged basket's values correspond exactly to its
+    * entry range, so the task preads the counter baskets covering that
+    * range (cached per task) and never aligns across tasks. Per-task
+    * memory is O(range entries + one basket); the driver holds the plan.
+    *
+    * Consistency checks (scalar length vs nevBuf, jagged value count vs
+    * counter sum) run per basket inside the task and fail the job loudly
+    * — a distributed decode must never silently fall back after partial
+    * work. `entriesPerTask` defaults to n / (2·defaultParallelism). */
+  private[graft] def distributedDecode(spark: SparkSession, rootPath: String,
+      tree: String, entriesPerTask: Option[Long] = None): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rp = new Path(rootPath)
+    val rfs = rp.getFileSystem(conf)
+    if (!rfs.exists(rp)) return None
+    val fileLen = rfs.getFileStatus(rp).getLen
+    val in = rfs.open(rp)
+    val planned = try {
+      RootBinary.planFlatTree((off, len) => {
+        val b = new Array[Byte](len); in.readFully(off, b); b
+      }, fileLen, tree)
+    } finally in.close()
+    planned.map { case (plans, n) =>
+      val schema = flatSchema(plans.map(_.spec))
+      val ept = entriesPerTask.getOrElse(
+        math.max(1L, n / math.max(1, 2 * spark.sparkContext.defaultParallelism)))
+      val ranges = (0L until n by ept).map(s => (s, math.min(s + ept, n)))
+      val rows = spark.sparkContext
+        .parallelize(ranges, math.max(1, ranges.length))
+        .flatMap { case (r0, r1) => decodeRange(rootPath, plans, r0, r1) }
+      spark.createDataFrame(rows, schema)
+    }
+  }
+
+  /** One task's work: rows for entries [r0, r1) of every branch. */
+  private[graft] def decodeRange(rootPath: String,
+      plans: Seq[RootBinary.BranchPlan], r0: Long,
+      r1: Long): Iterator[org.apache.spark.sql.Row] = {
+    import RootBinary.{BasketRange, BranchPlan}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new Path(rootPath)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      // decoded (values, border) per basket seek — counter baskets are
+      // shared across jagged branches, decode each at most once per task
+      val cache = scala.collection.mutable.Map.empty[Long, (Array[Byte], Int)]
+      def basketData(b: BasketRange): (Array[Byte], Int) =
+        cache.getOrElseUpdate(b.seek, {
+          val rec = new Array[Byte](b.nBytes)
+          in.readFully(b.seek, rec)
+          val (data, border, nevBuf) = RootBinary.decodeBasketRecord(rec)
+          require(nevBuf.toLong == b.e1 - b.e0,
+            s"basket at ${b.seek}: nevBuf $nevBuf vs planned ${b.e1 - b.e0}")
+          (data, border)
+        })
+      // scalar values for entries [from, until) of `plan`
+      def scalarSlice(plan: BranchPlan, from: Long, until: Long): Array[Any] = {
+        val w = RootBinary.primWidth(plan.spec.typ)
+        plan.baskets.iterator
+          .filter(b => b.e1 > from && b.e0 < until)
+          .flatMap { b =>
+            val (data, border) = basketData(b)
+            require(border.toLong == (b.e1 - b.e0) * w,
+              s"scalar ${plan.spec.branch}: border $border for ${b.e1 - b.e0} entries")
+            val lo = math.max(from, b.e0)
+            val hi = math.min(until, b.e1)
+            (lo until hi).iterator.map(e =>
+              RootBinary.readPrim(plan.spec.typ, data, ((e - b.e0) * w).toInt))
+          }.toArray
+      }
+      val byName = plans.map(pl => pl.spec.branch -> pl).toMap
+      def jaggedSlice(plan: BranchPlan, from: Long, until: Long): Array[Any] = {
+        val w = RootBinary.primWidth(plan.spec.typ)
+        val cPlan = byName(plan.spec.counter.get)
+        plan.baskets.iterator
+          .filter(b => b.e1 > from && b.e0 < until)
+          .flatMap { b =>
+            val (data, border) = basketData(b)
+            // counters for THIS basket's whole entry range: offsets within
+            // the basket need the counts of its leading entries too
+            val counts = scalarSlice(cPlan, b.e0, b.e1).map(_.asInstanceOf[Int])
+            require(counts.forall(_ >= 0) &&
+              counts.map(_.toLong).sum * w == border.toLong,
+              s"jagged ${plan.spec.branch}: counter sum vs $border value bytes")
+            val offsets = counts.scanLeft(0L)(_ + _)
+            val lo = math.max(from, b.e0)
+            val hi = math.min(until, b.e1)
+            (lo until hi).iterator.map { e =>
+              val i = (e - b.e0).toInt
+              val at = offsets(i) * w
+              Seq.tabulate(counts(i))(j =>
+                RootBinary.readPrim(plan.spec.typ, data, (at + j.toLong * w).toInt))
+            }
+          }.toArray
+      }
+      val cols: Seq[Array[Any]] = plans.map { pl =>
+        if (pl.spec.counter.isEmpty) scalarSlice(pl, r0, r1)
+        else jaggedSlice(pl, r0, r1)
+      }
+      val m = (r1 - r0).toInt
+      cols.foreach(c => require(c.length == m, s"column length ${c.length} vs $m"))
+      (0 until m).iterator
+        .map(i => org.apache.spark.sql.Row.fromSeq(cols.map(_(i))))
+    } finally in.close()
   }
 
   /** Native flat-ntuple decode of `rootPath` → DataFrame (None when the

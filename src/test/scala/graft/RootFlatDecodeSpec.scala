@@ -175,6 +175,63 @@ class RootFlatDecodeSpec extends SparkSpec {
     assert(again.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
   }
 
+  test("executor-side range decode: oversized files, byte-equal to the driver path") {
+    // 100 entries in 7-entry baskets (15 baskets/branch), jagged counts
+    // cycling 0..3 so ranges cross basket AND empty-entry boundaries;
+    // entriesPerTask = 9 forces ranges that straddle baskets both ways
+    val nEntries = 100
+    val per = 7
+    val counts = (0 until nEntries).map(i => i % 4)
+    val jagged = counts.zipWithIndex.map { case (c, i) =>
+      (0 until c).map(j => (i * 10 + j).toFloat)
+    }
+    val groups = (0 until nEntries).grouped(per).toSeq
+    val records = Seq(
+      keyRecord("TTree", "mytree", "mytree", treeBlob.length, zlEnvelope(treeBlob))) ++
+      groups.zipWithIndex.flatMap { case (es, gi) =>
+        Seq(
+          basketRecord("evt", "mytree", es.length,
+            longs(es.map(e => 1000L + e): _*), compress = gi % 2 == 0),
+          basketRecord("met", "mytree", es.length,
+            floats(es.map(e => e / 2.0f): _*), compress = gi % 3 == 0),
+          basketRecord("nJet", "mytree", es.length,
+            ints(es.map(counts): _*), compress = gi % 2 == 1),
+          basketRecord("Jet_pt", "mytree", es.length,
+            floats(es.flatMap(jagged): _*), compress = true))
+      }
+    val big = file(records: _*)
+    val dir = java.nio.file.Files.createTempDirectory("rootbig").toString
+    val rootPath = s"$dir/big.root"
+    java.nio.file.Files.write(java.nio.file.Paths.get(rootPath), big)
+    // plan layer: entry offsets per branch from headers only
+    def pread(off: Long, len: Int) =
+      java.util.Arrays.copyOfRange(big, off.toInt, off.toInt + len)
+    val (plans, n) = RootBinary.planFlatTree(pread, big.length.toLong, "myana/mytree").get
+    assert(n == nEntries)
+    assert(plans.map(_.spec.branch) == Seq("evt", "met", "nJet", "Jet_pt"))
+    assert(plans.forall(_.baskets.size == groups.size))
+    assert(plans.head.baskets.map(_.e0) == groups.map(_.head.toLong))
+    // executor path == driver whole-file path, row for row
+    val dist = RootIngest.distributedDecode(spark, rootPath, "myana/mytree",
+      entriesPerTask = Some(9L)).get
+    val driver = RootBinary.decodeFlatTree(big, "myana/mytree").get
+    val got = dist.orderBy("evt").collect()
+    assert(got.length == nEntries)
+    val evts = driver.find(_.spec.branch == "evt").get.perEntry
+    val jags = driver.find(_.spec.branch == "Jet_pt").get.perEntry
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == evts(i).asInstanceOf[Long])
+      assert(r.getFloat(1) == i / 2.0f)
+      assert(r.getInt(2) == counts(i))
+      assert(r.getSeq[Float](3) == jags(i).asInstanceOf[Seq[Float]])
+    }
+    // fromRoot routes oversized files to the executor path and still
+    // writes the sidecar (convert-on-first-read)
+    val viaIngest = RootIngest.fromRoot(spark, rootPath, maxDriverBytes = 64L)
+    assert(viaIngest.count() == nEntries)
+    assert(new java.io.File(RootIngest.convertedPath(rootPath)).exists())
+  }
+
   test("non-flat ROOT file still fails informed, with the converter recipe") {
     val junkTree = Array.fill[Byte](120)(0x15.toByte) // no leaflist strings
     val dir = java.nio.file.Files.createTempDirectory("rootflat2").toString
