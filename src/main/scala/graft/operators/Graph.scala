@@ -283,7 +283,122 @@ object Graph {
       (s, d) => graphStats(gateKnnEdges(s, d), "qid", "nid")
         .orderBy(col("vec_id")),
       Some(KnnGraph.oracle)),
+
+    // ---- q188: degree-distribution census ----------------------------------
+    // Degrees of the capped knn graph censused to (deg, n_nodes, share,
+    // cum_share); the oracle replays both censuses and the running share.
+    QueryDef(
+      "q188_degree_census",
+      (s, d) => degreeCensus(gateKnnEdges(s, d), "qid", "nid"),
+      Some(s"""WITH ${KnnGraph.undCte},
+             |degn AS (
+             |  SELECT node, count(*) AS deg FROM
+             |    (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY node),
+             |dist AS (SELECT deg, count(*) AS n_nodes FROM degn GROUP BY deg),
+             |tot AS (SELECT sum(n_nodes) AS n_tot FROM dist)
+             |SELECT CAST(deg AS BIGINT) AS deg, CAST(n_nodes AS BIGINT) AS n_nodes,
+             |  floor(CAST(n_nodes AS DOUBLE) / CAST((SELECT n_tot FROM tot) AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS share,
+             |  floor(CAST(sum(n_nodes) OVER (ORDER BY deg
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / CAST((SELECT n_tot FROM tot) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS cum_share
+             |FROM dist ORDER BY deg""".stripMargin)),
+
+    // ---- q189: degree assortativity ----------------------------------------
+    // Newman's r over symmetrized endpoint degrees: five integer moment
+    // sums, one covariance/variance division, one sqrt; the oracle
+    // replays the identical moments and the same rational.
+    QueryDef(
+      "q189_assortativity",
+      (s, d) => assortativity(gateKnnEdges(s, d), "qid", "nid"),
+      Some(s"""WITH ${KnnGraph.undCte},
+             |degn AS (
+             |  SELECT node, count(*) AS deg FROM
+             |    (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY node),
+             |sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+             |pr AS (
+             |  SELECT da.deg AS da, db.deg AS db
+             |  FROM sym JOIN degn da ON da.node = sym.a
+             |           JOIN degn db ON db.node = sym.b),
+             |mo AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(da) AS BIGINT) AS sx, CAST(sum(db) AS BIGINT) AS sy,
+             |    CAST(sum(da * da) AS BIGINT) AS sxx,
+             |    CAST(sum(db * db) AS BIGINT) AS syy,
+             |    CAST(sum(da * db) AS BIGINT) AS sxy
+             |  FROM pr)
+             |SELECT m,
+             |  floor(CAST(m * sxy - sx * sy AS DOUBLE) /
+             |    nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+             |                CAST(m * syy - sy * sy AS DOUBLE)), CAST(0 AS DOUBLE))
+             |    * 1e6 + 0.5) / 1e6 AS assortativity
+             |FROM mo""".stripMargin)),
+
+    // ---- q190: k-core decomposition ----------------------------------------
+    // 6 fixed peeling rounds at k = 8 over the STRONG-trade nation graph:
+    // the q97 edge census thresholded at 1.1x the mean pair weight
+    // (integer arithmetic — sum(w)*11 div 6250 — so the cut is engine-
+    // exact and scale-relative; the knn-5 graph is degree-regular and
+    // its cores are all-or-nothing, probed r8). The oracle replays the
+    // census, the threshold, and every round as a materialized CTE
+    // chain; the multi-round cascade itself is pinned by a planted-chain
+    // spec (GraphSpec).
+    QueryDef(
+      "q190_kcore",
+      (s, d) => {
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey").as("src")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val thr = pairs.agg(expr("(sum(w) * 11) div 6250").as("thr"))
+        val strong = pairs.crossJoin(broadcast(thr))
+          .filter(col("w") > col("thr"))
+          .select(col("src"), col("dst"))
+        kCore(strong, "src", "dst", k = 8, rounds = 6)
+      },
+      Some(kCoreOracle(8, 6))),
   ) :+ lpaDef :+ seedDistDef :+ lpaBenchDef
+
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    def round(i: Int): String =
+      s"""kp$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, count(*) AS c FROM
+         |      (SELECT a AS node FROM u${i - 1} UNION ALL SELECT b FROM u${i - 1})
+         |    GROUP BY node) WHERE c >= $k),
+         |u$i AS MATERIALIZED (
+         |  SELECT a, b FROM u${i - 1}
+         |  WHERE a IN (SELECT node FROM kp$i) AND b IN (SELECT node FROM kp$i))"""
+        .stripMargin
+    s"""WITH pw AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  GROUP BY 1, 2),
+       |thr AS (SELECT (sum(w) * 11) // 6250 AS thr FROM pw),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM pw WHERE w > (SELECT thr FROM thr) AND src != dst),
+       |u0 AS MATERIALIZED (SELECT a, b FROM und),""".stripMargin +
+      (1 to rounds).map(round).mkString(",") + s"""
+       |SELECT node, CAST(c AS BIGINT) AS deg FROM (
+       |  SELECT node, count(*) AS c FROM
+       |    (SELECT a AS node FROM u$rounds UNION ALL SELECT b FROM u$rounds)
+       |  GROUP BY node) WHERE c >= $k
+       |ORDER BY node""".stripMargin
+  }
 
   /** Bench twin of q120: LPA over the SCALE-PATH edge set — LSH-cell
     * candidate pairs (the [[Similarity.semanticDedup]] shape: cell
@@ -346,6 +461,106 @@ object Graph {
       .withColumn("cc", when(col("deg") >= 2,
         floor(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)) * 1e6 + 0.5) / 1e6)
         .otherwise(lit(0.0)))
+  }
+
+  /** Degree-distribution census of the undirected graph: (deg, n_nodes,
+    * share, cum_share) ordered by degree. Two partial-agg censuses (node
+    * degrees, then nodes-per-degree) — edges shuffle once on their node
+    * key and the distribution itself is ≤ max-degree rows, so the running
+    * share window is census-sized (the q142 discipline). Shares are
+    * floor-quantized exact rationals. */
+  def degreeCensus(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("deg"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = dist.agg(sum(col("n_nodes")).as("n_tot"))
+    dist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n_nodes")).over(w))
+      .select(col("deg"), col("n_nodes"),
+        (floor(col("n_nodes").cast("double") / col("n_tot").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("share"),
+        (floor(col("cum").cast("double") / col("n_tot").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("cum_share"))
+      .orderBy(col("deg"))
+  }
+
+  /** Degree assortativity — Pearson correlation of endpoint degrees over
+    * the SYMMETRIZED edge list (each undirected edge contributes both
+    * (da, db) and (db, da), the standard Newman definition): positive =
+    * hubs link hubs, negative = hubs link leaves (a disassortative knn
+    * graph usually means a hub-and-spokes embedding collapse). All five
+    * moment sums are exact integers (degree products; one partial agg
+    * over the degree-joined edge list); the only IEEE ops are the final
+    * covariance/variance divisions and one sqrt — correctly rounded,
+    * engine-identical. Output is one row; NULL when a variance is zero
+    * (regular graph — assortativity undefined). */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val sym = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+    val pairs = sym
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    pairs.agg(
+        count(lit(1)).as("m"),
+        sum(col("da")).as("sx"), sum(col("db")).as("sy"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("db") * col("db")).as("syy"),
+        sum(col("da") * col("db")).as("sxy"))
+      .select(col("m"),
+        (floor((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0))
+          * 1e6 + lit(0.5)) / 1e6).as("assortativity"))
+  }
+
+  /** k-core decomposition (bounded peeling): repeatedly drop nodes of
+    * degree < k until the remaining subgraph is the k-core. Each round is
+    * one degree census (partial agg) + two broadcast-semi-join filters on
+    * the edge set, lineage-cut per round (the iterative-graph contract —
+    * reliable checkpoints under `spark.graft.checkpointDir`). Rounds are
+    * FIXED at `rounds` with no early-exit branching: a converged round is
+    * a no-op on a census-sized frame (and equality lets the oracle replay
+    * the exact same chain); real deployments size `rounds` ≥ the peeling
+    * depth, which is ≤ max-degree and in practice tiny — the spec plants
+    * a chain whose peeling cascades to prove multi-round progress.
+    * Returns the k-core's nodes with their in-core degree. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad k=$k rounds=$rounds")
+    var und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .cutLineage()
+    var r = 0
+    while (r < rounds) {
+      val keep = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      und = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .cutLineage()
+      r += 1
+    }
+    und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .orderBy(col("node"))
   }
 
   /** Generated DuckDB oracles for q119/q120 (cosine spelling shared with

@@ -889,6 +889,96 @@ object Temporal {
       .orderBy(col("cohort"), col("age"))
   }
 
+  /** Truncated exponentially-weighted hourly trend, α = ½ — the q122/q180
+    * halving trick applied to smoothing: ŝ_t = Σ_{j=0..K-1} n_{t-j}/2^{j+1},
+    * whose numerator Σ n_{t-j}·2^{K-1-j} is an EXACT long (never pow()),
+    * divided once by the constant 2^K. The per-type hourly census is the
+    * only event-sized shuffle; the smoothing window is a RANGE frame over
+    * census rows bounded to K hours (the r8 attribution frame discipline),
+    * so a missing hour contributes exactly zero and state per row is ≤ K
+    * structs. */
+  def ewmaTrend(events: org.apache.spark.sql.DataFrame,
+      lags: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lags >= 1 && lags <= 62, s"lags must be in [1, 62] (got $lags)")
+    val hourUs = 3600000000L
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rangeBetween(-(lags - 1L), 0)
+    events
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tl", collect_list(struct(col("h").as("hh"), col("n")))
+        .over(byType))
+      .select(col("event_type"), col("h"), col("n"),
+        (expr(s"aggregate(tl, cast(0 as bigint), (acc, x) -> acc + x.n * " +
+          s"shiftleft(cast(1 as bigint), cast(${lags - 1} - (h - x.hh) as int)))")
+          .cast("double") / lit(math.pow(2.0, lags))).as("ewma"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  /** Burstiness audit — the Fano factor Var/Mean of per-hour counts per
+    * event type over the GLOBAL hour grid (missing hours are real zeros:
+    * m comes from the global [min, max] span, so a type that fires once
+    * an hour scores ~0 and a type that fires in bursts scores ≫ 1 — a
+    * Poisson stream scores ~1). Spelled integer-exact:
+    * F = (m·Σc² − (Σc)²) / (m·Σc) — the zero hours change neither Σc nor
+    * Σc², only m, so the censuses never materialize the grid. One hourly
+    * census + one per-type partial agg + a one-row broadcast span. */
+  def fanoBurstiness(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hourUs = 3600000000L
+    val cells = events
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val span = cells.agg(
+      (max(col("h")) - min(col("h")) + 1L).as("m"))
+    cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_active_hours"),
+        sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("n_active_hours"),
+        (floor((col("m") * col("scc") - col("sc") * col("sc")).cast("double") /
+          (col("m") * col("sc")).cast("double") * 1e6 + lit(0.5)) / 1e6)
+          .as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CUSUM change-point scan per event type: over the type's ACTIVE-hour
+    * census (ordered by hour), the cumulative deviation from the
+    * first-half mean, scaled by the first-half count m1 so every partial
+    * sum T_k = m1·Σ_{i≤k}c_i − k·s1 stays an exact long; the reported
+    * change-point is the hour maximizing |T_k| (ties → earliest hour,
+    * via a max on (|T|, −h) — deterministic without a sort). A stable
+    * series scores ~0; a level shift scores ~shift·hours. The windows
+    * run over census rows (types × active hours — the q142 bound), one
+    * event-sized shuffle total. */
+  def cusumChangePoint(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val run = byType.rowsBetween(Window.unboundedPreceding, 0)
+    val cells = events
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("k", row_number().over(byType).cast("long"))
+      .withColumn("runsum", sum(col("c")).over(run))
+    val firstHalf = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        expr("(count(1) + 1) div 2").as("m1"))
+    val s1 = cells.join(broadcast(firstHalf), Seq("event_type"))
+      .filter(col("k") <= col("m1"))
+      .groupBy(col("event_type")).agg(sum(col("c")).as("s1"))
+    cells.join(broadcast(firstHalf), Seq("event_type"))
+      .join(broadcast(s1), Seq("event_type"))
+      .withColumn("t", col("m1") * col("runsum") - col("k") * col("s1"))
+      .groupBy(col("event_type"), col("n_hours"), col("m1"))
+      .agg(max(struct(abs(col("t")).as("a"), (-col("h")).as("nh"))).as("best"))
+      .select(col("event_type"), col("n_hours"),
+        (-col("best.nh")).as("cp_hour"),
+        (floor(col("best.a").cast("double") / col("m1").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("cusum"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -1990,5 +2080,92 @@ object Temporal {
              |  GROUP BY 1, 2)
              |SELECT CAST(grp AS VARCHAR) AS grp, q, iv / CAST(1 AS DOUBLE) AS val
              |FROM sel ORDER BY grp, q""".stripMargin)),
+
+    // ---- q191: truncated EWMA hourly trend (exact halving weights) ---------
+    // Per-type hourly census smoothed over an 8-hour RANGE frame with
+    // 2^-j weights; the oracle replays the census, the frame, the HOF
+    // fold, and the single /256 division.
+    QueryDef(
+      "q191_ewma_trend",
+      (s, d) => ewmaTrend(Tables.events(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT event_type, h, CAST(n AS BIGINT) AS n,
+             |    list({'hh': h, 'n': n})
+             |      OVER (PARTITION BY event_type ORDER BY h
+             |            RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS tl
+             |  FROM cells)
+             |SELECT event_type, h, n,
+             |  CAST(list_sum(list_transform(tl,
+             |    x -> x.n * (CAST(1 AS BIGINT) << CAST(7 - (h - x.hh) AS INT))))
+             |    AS DOUBLE) / 256.0 AS ewma
+             |FROM tr ORDER BY event_type, h""".stripMargin)),
+
+    // ---- q192: Fano-factor burstiness audit --------------------------------
+    // Var/Mean of per-hour counts over the global hour grid, integer-
+    // exact numerator; the oracle replays the census, the span, and the
+    // same rational.
+    QueryDef(
+      "q192_fano_burstiness",
+      (s, d) => fanoBurstiness(Tables.events(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT max(h) - min(h) + 1 AS m FROM cells),
+             |agg AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_active_hours,
+             |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+             |  FROM cells GROUP BY 1)
+             |SELECT event_type, n_active_hours,
+             |  floor(CAST((SELECT m FROM span) * scc - sc * sc AS DOUBLE) /
+             |        CAST((SELECT m FROM span) * sc AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS fano
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // ---- q193: CUSUM change-point scan -------------------------------------
+    // Max |m1*runsum_k - k*s1| over each type's active-hour census, tie
+    // to the earliest hour; the oracle replays the census, both halves,
+    // the integer partial sums, and the (|T|, -h) argmax.
+    QueryDef(
+      "q193_cusum_changepoint",
+      (s, d) => cusumChangePoint(Tables.events(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT event_type, h, c,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS k,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum
+             |  FROM cells),
+             |fh AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |    (count(*) + 1) // 2 AS m1
+             |  FROM rk GROUP BY 1),
+             |s1 AS (
+             |  SELECT rk.event_type, CAST(sum(c) AS BIGINT) AS s1
+             |  FROM rk JOIN fh ON fh.event_type = rk.event_type
+             |  WHERE rk.k <= fh.m1 GROUP BY 1),
+             |t AS (
+             |  SELECT rk.event_type, fh.n_hours, fh.m1, rk.h,
+             |    abs(fh.m1 * rk.runsum - rk.k * s1.s1) AS a
+             |  FROM rk JOIN fh ON fh.event_type = rk.event_type
+             |          JOIN s1 ON s1.event_type = rk.event_type),
+             |best AS (
+             |  SELECT event_type, n_hours, m1,
+             |    max({'a': a, 'nh': -h}) AS best
+             |  FROM t GROUP BY 1, 2, 3)
+             |SELECT event_type, n_hours, CAST(-(best.nh) AS BIGINT) AS cp_hour,
+             |  floor(CAST(best.a AS DOUBLE) / CAST(m1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS cusum
+             |FROM best ORDER BY event_type""".stripMargin)),
   )
 }

@@ -326,6 +326,63 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing census: how much of
+    * the corpus the top-r token types cover, reported at power-of-two
+    * ranks. The token census shuffles once; the head is TakeOrdered-
+    * bounded to `maxRank` rows (the zipfFit discipline — the ranking
+    * window never sees the open vocabulary), and the corpus total is a
+    * one-row broadcast. Shares are floor-quantized exact rationals. */
+  def vocabCoverage(docs: DataFrame, maxRank: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val tot = census.agg(sum(col("freq")).as("n_tot"))
+    val head = census.orderBy(col("freq").desc, col("tok")).limit(maxRank)
+    val w = Window.orderBy(col("freq").desc, col("tok")) // maxRank rows only
+    head
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      // power-of-two rank points: rank & (rank-1) == 0
+      .filter(expr("(rank & (rank - 1)) = 0"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("cum_n"),
+        (floor(col("cum_n").cast("double") / col("n_tot").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  /** Per-source quality-decile census — the dataset-card quality profile:
+    * GLOBAL decile cutoffs of the q41 quality score, found exactly with
+    * bounded state by [[Sketches.bisectQuantiles]] (k-th order statistics
+    * on the 1e-6 grid the score already lives on), then one census pass
+    * assigning each document the count of cutoffs strictly below its
+    * score (0..9). The cutoffs are nine driver-collected literals (the
+    * q128 bracket kind of bounded state), so the census pass is a single
+    * broadcast-free partial agg; shares are per-source floor-quantized
+    * rationals. A source whose mass pools in low deciles is the one to
+    * re-crawl or down-sample. */
+  def qualityDecileCensus(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("source"),
+      TextOps.qualityScore(col("text")).as("score"))
+    val cuts = Sketches.bisectQuantiles(
+        scored.select(lit("all").as("g"), col("score")),
+        "score", "g", (1 to 9).map(_ / 10.0), scale = 1000000)
+      .collect().sortBy(_.getDouble(1)).map(_.getDouble(2))
+    val decile = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("score") > lit(c), 1).otherwise(0)
+    }
+    val census = scored
+      .select(col("source"), decile.cast("long").as("decile"))
+      .groupBy(col("source"), col("decile")).agg(count(lit(1)).as("n_docs"))
+    val totals = census.groupBy(col("source")).agg(sum(col("n_docs")).as("n_src"))
+    census.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("decile"), col("n_docs"),
+        (floor(col("n_docs").cast("double") / col("n_src").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("share"))
+      .orderBy(col("source"), col("decile"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q155: out-of-vocabulary rate per source ---------------------------
@@ -640,6 +697,81 @@ object TextAnalysis {
       (s, d) => linearQualityFilter(Tables.documents(s, d),
         LQ.weights, LQ.Bias, LQ.Tau).orderBy(col("doc_id")),
       Some(LQ.oracle)),
+
+    // ---- q194: vocabulary coverage curve -----------------------------------
+    // Cumulative corpus share of the top-r token types at power-of-two
+    // ranks; the oracle replays the census, the (freq desc, tok) rank,
+    // the running sum, and the rank-point filter.
+    QueryDef(
+      "q194_vocab_coverage",
+      (s, d) => vocabCoverage(Tables.documents(s, d)),
+      Some("""WITH c AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |census AS (SELECT tok, count(*) AS freq FROM c GROUP BY 1),
+             |tot AS (SELECT sum(freq) AS n_tot FROM census),
+             |rk AS (
+             |  SELECT freq,
+             |    row_number() OVER (ORDER BY freq DESC, tok) AS rank,
+             |    sum(freq) OVER (ORDER BY freq DESC, tok
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+             |  FROM census QUALIFY rank <= 65536)
+             |SELECT CAST(rank AS BIGINT) AS rank, CAST(cum_n AS BIGINT) AS cum_n,
+             |  floor(CAST(cum_n AS DOUBLE) / CAST((SELECT n_tot FROM tot) AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS cum_share
+             |FROM rk WHERE (rank & (rank - 1)) = 0
+             |ORDER BY rank""".stripMargin)),
+
+    // ---- q195: per-source quality-decile census ----------------------------
+    // Global exact decile cutoffs (k-th order statistics on the 1e-6
+    // quality grid — the bisection contract) then a per-source decile
+    // census; the oracle computes the same order statistics by ranking
+    // and replays the strict-greater decile assignment.
+    QueryDef(
+      "q195_quality_deciles",
+      (s, d) => qualityDecileCensus(Tables.documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+             |    CAST(length(text) AS DOUBLE) AS nc
+             |  FROM documents),
+             |q AS (
+             |  SELECT source,
+             |    floor((0.4 * least(n / 100.0, 1.0)
+             |        + 0.4 * (nd / n)
+             |        + 0.2 * least(((nc - (n - 1)) / n) / 8.0, 1.0)) * 1e6 + 0.5) / 1e6
+             |      AS score
+             |  FROM t),
+             |iv AS (
+             |  SELECT source, score,
+             |    CAST(floor(score * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS g
+             |  FROM q),
+             |r AS (
+             |  SELECT g, row_number() OVER (ORDER BY g) AS rk,
+             |    count(*) OVER () AS cnt
+             |  FROM iv),
+             |cuts AS (
+             |  SELECT qq.q, min(r.g) / CAST(1000000 AS DOUBLE) AS cut
+             |  FROM r, (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
+             |    CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE),
+             |    CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+             |    CAST(0.9 AS DOUBLE)]) AS q) qq
+             |  WHERE r.rk = CAST(ceil(qq.q * r.cnt) AS BIGINT)
+             |  GROUP BY 1),
+             |dec AS (
+             |  SELECT source,
+             |    (SELECT count(*) FROM cuts WHERE iv.score > cuts.cut) AS decile
+             |  FROM iv),
+             |census AS (
+             |  SELECT source, CAST(decile AS BIGINT) AS decile,
+             |    CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM dec GROUP BY 1, 2),
+             |st AS (SELECT source, sum(n_docs) AS n_src FROM census GROUP BY 1)
+             |SELECT c.source, c.decile, c.n_docs,
+             |  floor(CAST(c.n_docs AS DOUBLE) / CAST(st.n_src AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS share
+             |FROM census c JOIN st ON st.source = c.source
+             |ORDER BY c.source, c.decile""".stripMargin)),
   )
 
   /** Shared gate constants + DuckDB oracle for q109 (single source of

@@ -169,4 +169,42 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9)
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("degreeCensus: star graph census with exact shares") {
+    // S3: center 0 with leaves 1,2,3 -> degrees {0:3, 1:1, 2:1, 3:1}
+    val edges = Seq((0, 1), (0, 2), (0, 3)).toDF("src", "dst")
+    val out = Graph.degreeCensus(edges, "src", "dst").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(1L -> ((3L, 0.75, 0.75)), 3L -> ((1L, 0.25, 1.0))),
+      s"got $out")
+  }
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    val edges = Seq((0, 1), (0, 2), (0, 3)).toDF("src", "dst")
+    val r = Graph.assortativity(edges, "src", "dst").head()
+    assert(r.getLong(0) == 6L) // 3 undirected edges symmetrized
+    assert(r.getDouble(1) == -1.0, s"got $r")
+    // regular graph: variance 0 -> NULL, never a division blowup
+    val cyc = Seq((1, 2), (2, 3), (3, 1)).toDF("src", "dst")
+    assert(Graph.assortativity(cyc, "src", "dst").head().isNullAt(1))
+  }
+
+  test("kCore: peeling CASCADES down a planted chain into the core") {
+    // path 1-2-3-4-5 welded to triangle {5,6,7}: the 2-core is the
+    // triangle, reached only by peeling the path one node per round
+    // (round r removes node r) — proves multi-round progress, not a
+    // single-pass degree filter
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 5))
+      .toDF("src", "dst")
+    val out = Graph.kCore(edges, "src", "dst", k = 2, rounds = 6).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(5 -> 2L, 6 -> 2L, 7 -> 2L), s"got $out")
+    // too few rounds -> the chain is only partially peeled (cascade real):
+    // rounds 1-2 remove nodes 1 and 2; the final census filter sheds the
+    // new degree-1 end 3, leaving 4 still in
+    val partial = Graph.kCore(edges, "src", "dst", k = 2, rounds = 2).collect()
+      .map(_.getInt(0)).toSet
+    assert(partial == Set(4, 5, 6, 7), s"got $partial")
+  }
 }

@@ -534,6 +534,56 @@ class TemporalSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 500L, 500L, 500L)), s"got $out")
   }
 
+  test("ewmaTrend: exact halving weights, gaps contribute zero") {
+    val hourUs = 3600000000L
+    // type A: 2 events @h0, 4 @h1, 8 @h3 (h2 missing)
+    val rows = Seq.fill(2)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(8)(3L)
+    val ev = rows.zipWithIndex.map { case (h, i) => (i.toLong, h * hourUs) }
+      .toDF("event_id", "t")
+      .select($"event_id", lit("A").as("event_type"), timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.ewmaTrend(ev).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // h0: 2*128/256 = 1.0; h1: (4*128 + 2*64)/256 = 2.5;
+    // h3: (8*128 + 4*32 + 2*16)/256 = 4.625 (the h2 hole adds nothing)
+    assert(out == Map(0L -> 1.0, 1L -> 2.5, 3L -> 4.625), s"got $out")
+  }
+
+  test("fanoBurstiness: bursty types score high, steady types near zero") {
+    val hourUs = 3600000000L
+    // global grid hours 0..3 (m=4). A: counts 2,4,0,8 -> F = 2.5;
+    // B: 1 per hour -> F = 0
+    val rows =
+      Seq.fill(2)(("A", 0L)) ++ Seq.fill(4)(("A", 1L)) ++ Seq.fill(8)(("A", 3L)) ++
+        (0L to 3L).map(h => ("B", h))
+    val ev = rows.zipWithIndex.map { case ((ty, h), i) => (i.toLong, ty, h * hourUs) }
+      .toDF("event_id", "event_type", "t")
+      .select($"event_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.fanoBurstiness(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // A: m=4, sc=14, scc=84 -> (336-196)/56 = 2.5
+    assert(out("A") == ((3L, 2.5)), s"got $out")
+    assert(out("B") == ((4L, 0.0)), s"got $out")
+  }
+
+  test("cusumChangePoint: a level shift scores at the shift's far edge, stable series ~0") {
+    val hourUs = 3600000000L
+    // A: counts 1,1,1,5,5,5 -> m1=3, s1=3, T_k = 3*run_k - 3k peaks at
+    // k=6 (T=36) -> cusum 12.0 @ hour 5; B: constant 2 -> T=0, tie
+    // resolves to the EARLIEST hour
+    val rows =
+      (0L to 2L).map(h => ("A", h, 1)) ++ (3L to 5L).map(h => ("A", h, 5)) ++
+        (0L to 3L).map(h => ("B", h, 2))
+    val ev = rows.flatMap { case (ty, h, c) => Seq.fill(c)((ty, h)) }
+      .zipWithIndex.map { case ((ty, h), i) => (i.toLong, ty, h * hourUs) }
+      .toDF("event_id", "event_type", "t")
+      .select($"event_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.cusumChangePoint(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("A") == ((6L, 5L, 12.0)), s"got $out")
+    assert(out("B") == ((4L, 0L, 0.0)), s"got $out")
+  }
+
   test("shipLagQuantiles: exact day-gap order statistics per priority") {
     val dayUs = 86400000000L
     val orders = Seq((1L, 0L, "1-URGENT"))

@@ -176,4 +176,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out((3L, 1))._1 == "apple" && out((3L, 2))._1 == "shared", s"got $out")
     assert(!out.values.exists(_._1 == "rare"))
   }
+
+  test("vocabCoverage: cumulative shares at power-of-two ranks, exact") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.vocabCoverage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // census a:3 b:2 c:1, total 6; rank points 1 and 2 (4 > vocab)
+    assert(out == Map(
+      1L -> ((3L, 0.5)),
+      2L -> ((5L, math.floor(5.0 / 6.0 * 1e6 + 0.5) / 1e6))), s"got $out")
+  }
+
+  test("qualityDecileCensus: counts conserve, shares sum to 1, deciles ordered by score") {
+    // 40 docs over two sources with a quality gradient (token count drives
+    // the length term); exact decile values ride bisectQuantiles' own spec
+    val docs = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "sa" else "sb",
+        (1 to (i * 3)).map(j => s"w${j % (i + 2)}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.qualityDecileCensus(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._3).sum == 40L)
+    assert(out.forall(r => r._2 >= 0 && r._2 <= 9))
+    val bySrc = out.groupBy(_._1)
+    bySrc.foreach { case (s, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, s"$s shares: $rows")
+    }
+    // decile 9 is non-empty (top 10% of a 40-doc gradient exists)
+    assert(out.exists(_._2 == 9L), s"got ${out.toSeq}")
+  }
 }
