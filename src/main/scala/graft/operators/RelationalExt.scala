@@ -273,6 +273,66 @@ object RelationalExt {
       .crossJoin(broadcast(orphanOrd))
   }
 
+  /** Per-brand demand seasonality index — the retail planning census:
+    * quantity summed per (brand, 30-day period — integer epoch-day
+    * arithmetic, never an engine calendar), each cell indexed against the
+    * brand's own per-period mean, idx = qty·P/total as a floor-quantized
+    * exact rational (P = the brand's OBSERVED period count, so a brand
+    * that only sells in December indexes high without a zero-filled
+    * grid). One fact⋈orders co-partitioned join, one census; the brand
+    * totals derive from the census itself. */
+  def demandSeasonality(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dayUs = 86400000000L
+    val cells = lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("qty"))
+      .join(orders.select(col("o_orderkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div ${dayUs * 30}")
+          .as("period")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("period"))
+      .agg(sum(col("qty")).as("qty"))
+    val totals = cells.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_periods"), sum(col("qty")).as("tot_qty"))
+    cells.join(broadcast(totals), Seq("p_brand"))
+      .select(col("p_brand"), col("period"), col("qty"),
+        (floor((col("qty") * col("n_periods")).cast("double") /
+          col("tot_qty").cast("double") * 1e6 + lit(0.5)) / 1e6).as("idx"))
+      .orderBy(col("p_brand"), col("period"))
+  }
+
+  /** Per-brand discount elasticity — grouped OLS of quantity on the
+    * discount level with BOTH axes on integer grids (discount →
+    * floor(d·100+0.5) pennies, quantity already integral), so all five
+    * moment sums are exact longs and slope/intercept are floor-quantized
+    * exact rationals (the q163 discipline — no noise-dominated doubles).
+    * A positive slope says discounts move volume for that brand. One
+    * broadcast-dim join, one partial agg per brand; NULL slope on a
+    * degenerate (single-discount) brand. */
+  def discountElasticity(lineitem: org.apache.spark.sql.DataFrame,
+      part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pts = lineitem
+      .select(col("l_partkey"),
+        floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("y"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    pts.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("p_brand"), col("m"),
+        (floor((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            lit(0.0)) * 1e6 + lit(0.5)) / 1e6).as("slope"))
+      .orderBy(col("p_brand"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q152: single-pass correlation matrix ------------------------------
@@ -675,5 +735,54 @@ object RelationalExt {
              |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
              |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
              |    AS BIGINT) AS orphan_orders""".stripMargin)),
+
+    // ---- q196: per-brand demand seasonality index --------------------------
+    // 30-day-period quantity census indexed against the brand's observed-
+    // period mean; the oracle replays the integer period grid, both
+    // censuses, and the quantized index.
+    QueryDef(
+      "q196_demand_seasonality",
+      (s, d) => demandSeasonality(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT p.p_brand, epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+             |      // 2592000000000 AS period,
+             |    CAST(sum(CAST(floor(l.l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT))
+             |      AS BIGINT) AS qty
+             |  FROM lineitem l
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  JOIN part p ON p.p_partkey = l.l_partkey
+             |  GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_periods,
+             |    CAST(sum(qty) AS BIGINT) AS tot_qty
+             |  FROM cells GROUP BY 1)
+             |SELECT c.p_brand, c.period, c.qty,
+             |  floor(CAST(c.qty * t.n_periods AS DOUBLE) / CAST(t.tot_qty AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS idx
+             |FROM cells c JOIN tot t USING (p_brand)
+             |ORDER BY c.p_brand, c.period""".stripMargin)),
+
+    // ---- q197: per-brand discount elasticity (integer-grid OLS) ------------
+    // Slope of quantity against discount pennies from exact integer
+    // moment sums; the oracle replays the grids and the same rational.
+    QueryDef(
+      "q197_discount_elasticity",
+      (s, d) => discountElasticity(Tables.lineitem(s, d), Tables.part(s, d)),
+      Some("""WITH pts AS (
+             |  SELECT p.p_brand,
+             |    CAST(floor(l.l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x,
+             |    CAST(floor(l.l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+             |mo AS (
+             |  SELECT p_brand, CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM pts GROUP BY 1)
+             |SELECT p_brand, m,
+             |  floor(CAST(m * sxy - sx * sy AS DOUBLE) /
+             |    nullif(CAST(m * sxx - sx * sx AS DOUBLE), CAST(0 AS DOUBLE))
+             |    * 1e6 + 0.5) / 1e6 AS slope
+             |FROM mo ORDER BY p_brand""".stripMargin)),
   )
 }

@@ -1010,5 +1010,56 @@ object Sketches {
              |  floor(CAST(tot.max_n AS DOUBLE) / CAST(p50.v AS DOUBLE)
              |        * 1e6 + 0.5) / 1e6 AS skew_ratio
              |FROM tot, p50, p99, top""".stripMargin)),
+
+    // ---- q201: winsorized value moments ------------------------------------
+    // p01/p99 cents cutoffs via the bounded bisection, values clipped
+    // into [p01, p99], raw vs winsorized integer-division means; the
+    // oracle computes the same order statistics by ranking and replays
+    // the clip + divisions.
+    QueryDef(
+      "q201_winsorized_stats",
+      (s, d) => winsorizedStats(Tables.orders(s, d), "o_totalprice"),
+      Some("""WITH iv AS (
+             |  SELECT CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             |    AS cents
+             |  FROM orders),
+             |r AS (
+             |  SELECT cents, row_number() OVER (ORDER BY cents) AS rk,
+             |    count(*) OVER () AS n
+             |  FROM iv),
+             |p01 AS (SELECT min(cents) AS v FROM r
+             |  WHERE rk = CAST(ceil(CAST(0.01 AS DOUBLE) * n) AS BIGINT)),
+             |p99 AS (SELECT min(cents) AS v FROM r
+             |  WHERE rk = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT))
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+             |  CAST(sum(greatest((SELECT v FROM p01),
+             |    least((SELECT v FROM p99), cents))) // count(*) AS BIGINT)
+             |    AS wmean_cents,
+             |  CAST((SELECT v FROM p01) AS BIGINT) AS p01_cents,
+             |  CAST((SELECT v FROM p99) AS BIGINT) AS p99_cents
+             |FROM iv""".stripMargin)),
   )
+
+  /** Winsorized moments — the robust-mean audit: exact p01/p99 cutoffs
+    * on the integer-cents grid (bounded-state bisection, k = ⌈q·n⌉ k-th
+    * smallest), values clipped into [p01, p99], and raw vs winsorized
+    * integer-division means side by side. A wmean far under the mean
+    * means the tail owns the revenue figure. Cutoffs are two driver
+    * longs; the clip pass is one partial agg — rows never shuffle. */
+  def winsorizedStats(df: DataFrame, valCol: String): DataFrame = {
+    val cents = df.select(
+      floor(col(valCol) * 100 + lit(0.5)).cast("long").as("cents"))
+    val cuts = bisectQuantiles(
+        cents.select(lit("all").as("g"), col("cents").as("v")),
+        "v", "g", Seq(0.01, 0.99), scale = 1)
+      .collect().sortBy(_.getDouble(1))
+    val p01 = math.round(cuts(0).getDouble(2))
+    val p99 = math.round(cuts(1).getDouble(2))
+    cents.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(greatest(lit(p01), least(lit(p99), col("cents")))).as("ws"))
+      .select(col("n"), expr("s div n").as("mean_cents"),
+        expr("ws div n").as("wmean_cents"),
+        lit(p01).as("p01_cents"), lit(p99).as("p99_cents"))
+  }
 }

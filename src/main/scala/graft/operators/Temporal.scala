@@ -979,6 +979,51 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Customer segment migration — q157's value segmentation applied to
+    * BOTH halves of the horizon and joined per user: which users moved
+    * between the 2×2 (frequency, monetary) quadrants, which arrived,
+    * which went silent. The half split is the integer span midpoint
+    * (engine-exact); each half gets its OWN exact medians (k-th order
+    * statistics via the bounded bisection, per-half group rows — so the
+    * labels mean "high for that era", robust to global drift); monetary
+    * is exact integer cents. One user-keyed census per half, a full
+    * outer self-join on user (co-partitioned), and a ≤ 5×5 migration
+    * census. */
+  def segmentMigration(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
+    val dayUs = 86400000000L
+    val base = events
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .cutLineage()
+    val span = base.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val halves = base.crossJoin(broadcast(span))
+      .withColumn("half",
+        when(col("day") < expr("(dmin + dmax + 1) div 2"), "0").otherwise("1"))
+      .groupBy(col("half"), col("user_id"))
+      .agg(count(lit(1)).as("freq"), sum(col("cents")).as("mon"))
+      .cutLineage()
+    def med(metric: String) =
+      Sketches.bisectQuantiles(halves, metric, "half", Seq(0.5), scale = 1)
+        .select(col("grp").as("half"), col("val").cast("long").as(s"med_$metric"))
+    val labeled = halves
+      .join(broadcast(med("freq")), Seq("half"))
+      .join(broadcast(med("mon")), Seq("half"))
+      .select(col("half"), col("user_id"),
+        concat(
+          when(col("freq") > col("med_freq"), "F+").otherwise("F-"),
+          when(col("mon") > col("med_mon"), "M+").otherwise("M-")).as("seg"))
+    val h0 = labeled.filter(col("half") === "0")
+      .select(col("user_id"), col("seg").as("seg_from"))
+    val h1 = labeled.filter(col("half") === "1")
+      .select(col("user_id"), col("seg").as("seg_to"))
+    h0.join(h1, Seq("user_id"), "full_outer")
+      .groupBy(coalesce(col("seg_from"), lit("absent")).as("seg_from"),
+        coalesce(col("seg_to"), lit("absent")).as("seg_to"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("seg_from"), col("seg_to"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -2167,5 +2212,52 @@ object Temporal {
              |  floor(CAST(best.a AS DOUBLE) / CAST(m1 AS DOUBLE) * 1e6 + 0.5) / 1e6
              |    AS cusum
              |FROM best ORDER BY event_type""".stripMargin)),
+
+    // ---- q198: customer segment migration ----------------------------------
+    // Per-half (freq, monetary) quadrant labels against per-half exact
+    // medians, full-outer joined per user into a migration census; the
+    // oracle replays the span midpoint, per-half k-th-smallest medians,
+    // the labeling, and the census.
+    QueryDef(
+      "q198_segment_migration",
+      (s, d) => segmentMigration(Tables.events(s, d)),
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             |  FROM events),
+             |span AS (SELECT min(day) AS dmin, max(day) AS dmax FROM base),
+             |hv AS MATERIALIZED (
+             |  SELECT CASE WHEN day <
+             |      (SELECT (dmin + dmax + 1) // 2 FROM span) THEN '0' ELSE '1' END
+             |      AS half,
+             |    user_id, CAST(count(*) AS BIGINT) AS freq,
+             |    CAST(sum(cents) AS BIGINT) AS mon
+             |  FROM base GROUP BY 1, 2),
+             |mf AS (
+             |  SELECT half, min(freq) AS med_freq FROM (
+             |    SELECT half, freq,
+             |      row_number() OVER (PARTITION BY half ORDER BY freq) AS rk,
+             |      count(*) OVER (PARTITION BY half) AS n
+             |    FROM hv) WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+             |  GROUP BY half),
+             |mm AS (
+             |  SELECT half, min(mon) AS med_mon FROM (
+             |    SELECT half, mon,
+             |      row_number() OVER (PARTITION BY half ORDER BY mon) AS rk,
+             |      count(*) OVER (PARTITION BY half) AS n
+             |    FROM hv) WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+             |  GROUP BY half),
+             |lab AS (
+             |  SELECT hv.half, hv.user_id,
+             |    (CASE WHEN hv.freq > mf.med_freq THEN 'F+' ELSE 'F-' END) ||
+             |    (CASE WHEN hv.mon > mm.med_mon THEN 'M+' ELSE 'M-' END) AS seg
+             |  FROM hv JOIN mf USING (half) JOIN mm USING (half)),
+             |h0 AS (SELECT user_id, seg FROM lab WHERE half = '0'),
+             |h1 AS (SELECT user_id, seg FROM lab WHERE half = '1')
+             |SELECT coalesce(h0.seg, 'absent') AS seg_from,
+             |  coalesce(h1.seg, 'absent') AS seg_to,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM h0 FULL OUTER JOIN h1 USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

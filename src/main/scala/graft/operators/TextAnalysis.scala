@@ -383,6 +383,84 @@ object TextAnalysis {
       .orderBy(col("source"), col("decile"))
   }
 
+  /** Per-source character-class composition — the encoding/noise screen
+    * run before tokenization is trusted: digit, whitespace, and
+    * other-symbol shares of each source's character mass, measured by
+    * regex-strip length differences (both engines replace ALL matches —
+    * Spark by default, DuckDB via the 'g' flag the oracle passes). One
+    * scan, per-source partial agg of exact integer char counts; shares
+    * are floor-quantized rationals. A source with a digit share triple
+    * the corpus norm is usually tables/logs, not prose. */
+  def charsetCensus(docs: DataFrame): DataFrame = {
+    val total = length(col("text")).cast("long")
+    val digits = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+    val spaces = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", ""))).cast("long")
+    val alnum = (length(col("text")) -
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))).cast("long")
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(total).as("n_chars"),
+        sum(digits).as("n_digits"),
+        sum(spaces).as("n_spaces"),
+        sum(alnum).as("n_alnum_sp"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        (floor(col("n_digits").cast("double") / col("n_chars").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("digit_share"),
+        (floor(col("n_spaces").cast("double") / col("n_chars").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("space_share"),
+        (floor((col("n_chars") - col("n_alnum_sp")).cast("double") /
+          col("n_chars").cast("double") * 1e6 + lit(0.5)) / 1e6).as("symbol_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Pairwise length-distribution divergence — exact two-sample
+    * Kolmogorov–Smirnov over per-source document token counts, the
+    * "did this source's documents get truncated" audit. KS is computed
+    * WITHOUT materializing per-pair CDFs at all grid points: for each
+    * source pair, the merged (len, c1, c2) census is walked by ONE
+    * window ordered by len, and max |F1 − F2| is the integer argmax of
+    * |cum1·n2 − cum2·n1| (exact longs — the single division happens once
+    * per pair at the end). Every frame is census-sized: distinct lengths
+    * × source pairs; sources are bounded (the q154 pair discipline). */
+  def lengthKs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col("source"),
+      graft.functions.TextOps.tokenCount(col("text")).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+    val totals = lens.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = lens.select(col("source").as("sa"), col("len"), col("c"))
+    val b = lens.select(col("source").as("sb"), col("len"), col("c"))
+    // merged census per pair: every length observed by EITHER source
+    val pairs = a.select(col("sa")).distinct()
+      .join(b.select(col("sb")).distinct(), col("sa") < col("sb"))
+    val merged = pairs
+      .join(lens.select(col("source"), col("len")).distinct()
+        .select(col("source").as("ls"), col("len")),
+        col("ls") === col("sa") || col("ls") === col("sb"))
+      .select(col("sa"), col("sb"), col("len")).distinct()
+      .join(a.withColumnRenamed("c", "c1"), Seq("sa", "len"), "left")
+      .join(b.withColumnRenamed("c", "c2"), Seq("sb", "len"), "left")
+      .na.fill(0L, Seq("c1", "c2"))
+    val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    merged
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .join(broadcast(totals.select(col("source").as("sa"), col("n").as("n1"))),
+        Seq("sa"))
+      .join(broadcast(totals.select(col("source").as("sb"), col("n").as("n2"))),
+        Seq("sb"))
+      .groupBy(col("sa"), col("sb"), col("n1"), col("n2"))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("num"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n1"), col("n2"),
+        (floor(col("num").cast("double") /
+          (col("n1") * col("n2")).cast("double") * 1e6 + lit(0.5)) / 1e6).as("ks"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q155: out-of-vocabulary rate per source ---------------------------
@@ -772,6 +850,80 @@ object TextAnalysis {
              |    * 1e6 + 0.5) / 1e6 AS share
              |FROM census c JOIN st ON st.source = c.source
              |ORDER BY c.source, c.decile""".stripMargin)),
+
+    // ---- q199: per-source character-class composition ----------------------
+    // Digit/space/symbol shares from regex-strip length differences; the
+    // oracle strips the same classes with the 'g' flag and replays the
+    // quantized shares.
+    QueryDef(
+      "q199_charset_census",
+      (s, d) => charsetCensus(Tables.documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT source, CAST(length(text) AS BIGINT) AS tot,
+             |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |      AS BIGINT) AS dig,
+             |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+             |      AS BIGINT) AS sp,
+             |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             |      AS BIGINT) AS aln
+             |  FROM documents),
+             |agg AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(tot) AS BIGINT) AS n_chars,
+             |    CAST(sum(dig) AS BIGINT) AS n_digits,
+             |    CAST(sum(sp) AS BIGINT) AS n_spaces,
+             |    CAST(sum(aln) AS BIGINT) AS n_alnum_sp
+             |  FROM t GROUP BY 1)
+             |SELECT source, n_docs, n_chars,
+             |  floor(CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) * 1e6 + 0.5)
+             |    / 1e6 AS digit_share,
+             |  floor(CAST(n_spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) * 1e6 + 0.5)
+             |    / 1e6 AS space_share,
+             |  floor(CAST(n_chars - n_alnum_sp AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS symbol_share
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // ---- q200: pairwise length-distribution KS -----------------------------
+    // Exact two-sample KS from one merged-census window per source pair,
+    // integer argmax of |cum1*n2 - cum2*n1|; the oracle replays the
+    // merged census, the running sums, and the same rational.
+    QueryDef(
+      "q200_length_ks",
+      (s, d) => lengthKs(Tables.documents(s, d)),
+      Some("""WITH lens AS (
+             |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM lens GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.source AS sa, b.source AS sb
+             |  FROM tot a JOIN tot b ON a.source < b.source),
+             |pts AS (
+             |  SELECT DISTINCT p.sa, p.sb, l.len
+             |  FROM pairs p JOIN lens l ON l.source = p.sa OR l.source = p.sb),
+             |merged AS (
+             |  SELECT pts.sa, pts.sb, pts.len,
+             |    coalesce(a.c, 0) AS c1, coalesce(b.c, 0) AS c2
+             |  FROM pts
+             |  LEFT JOIN lens a ON a.source = pts.sa AND a.len = pts.len
+             |  LEFT JOIN lens b ON b.source = pts.sb AND b.len = pts.len),
+             |cum AS (
+             |  SELECT sa, sb, len,
+             |    sum(c1) OVER (PARTITION BY sa, sb ORDER BY len
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             |    sum(c2) OVER (PARTITION BY sa, sb ORDER BY len
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+             |  FROM merged),
+             |mx AS (
+             |  SELECT c.sa, c.sb, ta.n AS n1, tb.n AS n2,
+             |    CAST(max(abs(c.cum1 * tb.n - c.cum2 * ta.n)) AS BIGINT) AS num
+             |  FROM cum c JOIN tot ta ON ta.source = c.sa
+             |             JOIN tot tb ON tb.source = c.sb
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT sa AS source_a, sb AS source_b, n1, n2,
+             |  floor(CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS ks
+             |FROM mx ORDER BY source_a, source_b""".stripMargin)),
   )
 
   /** Shared gate constants + DuckDB oracle for q109 (single source of

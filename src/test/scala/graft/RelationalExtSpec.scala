@@ -241,6 +241,40 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("4") == ((0L, 0.0, 0.096910)), s"got ${out("4")}")
   }
 
+  test("demandSeasonality: index against the brand's own observed-period mean") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val li = Seq((1L, 10L, 10.0), (2L, 10L, 30.0), (3L, 20L, 5.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+    val ord = Seq((1L, 0L), (2L, 35L), (3L, 0L)).toDF("o_orderkey", "d")
+      .select($"o_orderkey", timestamp_micros($"d" * dayUs).as("o_orderdate"))
+    val part = Seq((10L, "BrandA"), (20L, "BrandB")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.RelationalExt.demandSeasonality(li, ord, part)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // BrandA: periods 0 (qty 10) and 1 (qty 30), mean 20 -> idx 0.5 / 1.5
+    assert(out(("BrandA", 0L)) == ((10L, 0.5)), s"got $out")
+    assert(out(("BrandA", 1L)) == ((30L, 1.5)), s"got $out")
+    assert(out(("BrandB", 0L)) == ((5L, 1.0)), s"got $out")
+  }
+
+  test("discountElasticity: a planted line recovers its exact slope") {
+    import spark.implicits._
+    // y = 2x + 1 on pennies x in {0, 5, 10} -> slope 2.0 exactly
+    val li = Seq((10L, 0.00, 1.0), (10L, 0.05, 11.0), (10L, 0.10, 21.0))
+      .toDF("l_partkey", "l_discount", "l_quantity")
+    val part = Seq((10L, "BrandA"), (20L, "BrandC")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.RelationalExt.discountElasticity(li, part)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(out("BrandA") == ((3L, Some(2.0))), s"got $out")
+    // single-discount brand -> NULL slope, never a divide-by-zero
+    val li2 = Seq((20L, 0.05, 7.0), (20L, 0.05, 9.0))
+      .toDF("l_partkey", "l_discount", "l_quantity")
+    val out2 = graft.operators.RelationalExt.discountElasticity(li2, part)
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(out2("BrandC").isEmpty, s"got $out2")
+  }
+
   test("integrityAudit: planted orphans and duplicate keys are counted") {
     import spark.implicits._
     // order 99 is referenced by a lineitem but missing; order 2 appears

@@ -232,6 +232,19 @@ class SketchesSpec extends SparkSpec {
     assert(out == Seq(("hot_0", 400L), ("hot_1", 400L), ("hot_2", 400L)), s"got $out")
   }
 
+  test("winsorizedStats: the clipped mean ignores both tails") {
+    // 100x $1.00 + one 1-cent + one $10,000 outlier: p01 = p99 = 100
+    // cents, wmean = 100 while the raw mean is dragged to 9901
+    // (1010001 div 102)
+    val vals = Seq.fill(100)(1.00) ++ Seq(0.01, 10000.00)
+    val df = vals.toDF("o_totalprice")
+    val r = Sketches.winsorizedStats(df, "o_totalprice").head()
+    assert(r.getLong(0) == 102L)
+    assert(r.getLong(1) == 9901L, s"raw mean: $r")
+    assert(r.getLong(2) == 100L, s"winsorized mean: $r")
+    assert(r.getLong(3) == 100L && r.getLong(4) == 100L, s"cutoffs: $r")
+  }
+
   test("bounded-driver-state contracts fail LOUDLY when violated, never OOM") {
     // 50 distinct groups against a maxGroups of 10: both collect sites
     // must refuse with a pointed message (the limit-capped collect also

@@ -584,6 +584,28 @@ class TemporalSpec extends SparkSpec {
     assert(out("B") == ((4L, 0L, 0.0)), s"got $out")
   }
 
+  test("segmentMigration: per-half medians, arrivals and churners as 'absent'") {
+    val dayUs = 86400000000L
+    // span days 0..9 -> mid 5. h0: u1 (1 ev, $1), u2 (3 ev, $3) -> med
+    // freq 1, med mon 100 -> u1 F-M-, u2 F+M+. h1: u2 (1 ev, $1),
+    // u3 (2 ev, $5) -> u2 F-M-, u3 F+M+. u1 churns, u3 arrives.
+    val rows = Seq(
+      (1L, 0L, 1.00),
+      (2L, 1L, 1.00), (2L, 2L, 1.00), (2L, 3L, 1.00),
+      (2L, 6L, 1.00),
+      (3L, 7L, 2.50), (3L, 9L, 2.50))
+    val ev = rows.zipWithIndex.map { case ((u, d, v), i) => (i.toLong, u, d, v) }
+      .toDF("event_id", "user_id", "d", "value")
+      .select($"event_id", $"user_id", $"value",
+        timestamp_micros($"d" * dayUs).as("ts"))
+    val out = graft.operators.Temporal.segmentMigration(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("F-M-", "absent") -> 1L,
+      ("F+M+", "F-M-") -> 1L,
+      ("absent", "F+M+") -> 1L), s"got $out")
+  }
+
   test("shipLagQuantiles: exact day-gap order statistics per priority") {
     val dayUs = 86400000000L
     val orders = Seq((1L, 0L, "1-URGENT"))

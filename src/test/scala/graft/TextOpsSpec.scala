@@ -187,6 +187,29 @@ class TextOpsSpec extends SparkSpec {
       2L -> ((5L, math.floor(5.0 / 6.0 * 1e6 + 0.5) / 1e6))), s"got $out")
   }
 
+  test("charsetCensus: digit/space/symbol shares from strip-length diffs") {
+    val docs = Seq((1L, "sa", "ab 12!")).toDF("doc_id", "source", "text")
+    val r = graft.operators.TextAnalysis.charsetCensus(docs).head()
+    // 6 chars: 2 digits, 1 space, 1 symbol ('!')
+    assert(r.getLong(1) == 1L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == math.floor(2.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(4) == math.floor(1.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(5) == math.floor(1.0 / 6.0 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("lengthKs: exact two-sample KS over merged length censuses") {
+    // sa token counts [1,1,2], sb [2,2]: F diverges most at len 1 ->
+    // |2*2 - 0*3| / 6 = 0.666667; identical distributions score 0
+    val docs = Seq(
+      (1L, "sa", "a"), (2L, "sa", "b"), (3L, "sa", "c d"),
+      (4L, "sb", "e f"), (5L, "sb", "g h"),
+      (6L, "sc", "x"), (7L, "sc", "y"), (8L, "sc", "z w")).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.lengthKs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out(("sa", "sb")) == math.floor(4.0 / 6.0 * 1e6 + 0.5) / 1e6, s"got $out")
+    assert(out(("sa", "sc")) == 0.0, s"got $out") // identical [1,1,2]
+  }
+
   test("qualityDecileCensus: counts conserve, shares sum to 1, deciles ordered by score") {
     // 40 docs over two sources with a quality gradient (token count drives
     // the length term); exact decile values ride bisectQuantiles' own spec
