@@ -1024,6 +1024,130 @@ object Temporal {
       .orderBy(col("seg_from"), col("seg_to"))
   }
 
+  /** Cross-type rate correlation — Pearson r of hourly count series per
+    * type pair over their CO-ACTIVE hours (an inner join on the hour
+    * grid: absent hours are not fabricated zeros — the q143 gap rule; a
+    * pair that never co-fires drops out). One hourly census is the only
+    * event-sized stage; the pair join and moment sums are census-sized
+    * (types² pairs). All five moments are exact longs; r is one division
+    * + IEEE sqrt, floor-quantized, NULL on zero variance or m < 3. */
+  def rateCorrelation(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hourUs = 3600000000L
+    val cells = events
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val a = cells.select(col("event_type").as("type_a"), col("h"), col("n").as("x"))
+    val b = cells.select(col("event_type").as("type_b"), col("h"), col("n").as("y"))
+    a.join(b, Seq("h")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("m") >= 3)
+      .select(col("type_a"), col("type_b"), col("m"),
+        (floor((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)) * 1e6 + lit(0.5)) / 1e6).as("r"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Peak-hour concentration — per type, the share of its traffic inside
+    * its top-3 hours: ~3/n_hours for steady streams, →1 for burst-driven
+    * ones (the capacity-planning twin of the Fano audit, in share form).
+    * The rank window runs over census rows partitioned by type (the
+    * q142 bound); ties break on the earlier hour. */
+  def peakConcentration(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("h"))
+    events
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(byType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("total"),
+        sum(when(col("rk") <= 3, col("n")).otherwise(0L)).as("top3"))
+      .select(col("event_type"), col("n_hours"),
+        (floor(col("top3").cast("double") / col("total").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("top3_share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned user ledger (the growth-team census behind every DAU
+    * chart): per (user, week) activity, a user is NEW in its first
+    * week, RETAINED when also active the previous week, RESURRECTED
+    * otherwise; it CHURNS in week w+1 when active in w but not w+1
+    * (counted while w+1 is inside the horizon). Identity: new +
+    * resurrected − churned telescopes to the active-count delta. One
+    * user-keyed shuffle carries the first/lag/lead windows (per-user
+    * week lists — bounded by the horizon); the ledger census is
+    * weeks-sized. */
+  def growthAccounting(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 7L * 86400000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val uw = events
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("week"))
+      .distinct()
+    val horizon = uw.agg(max(col("week")).as("wmax"))
+    val statusd = uw
+      .withColumn("first_w", min(col("week")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_w", lag(col("week"), 1).over(byUser))
+      .withColumn("next_w", lead(col("week"), 1).over(byUser))
+      .crossJoin(broadcast(horizon))
+    val ledger = statusd.groupBy(col("week"))
+      .agg(
+        sum(when(col("week") === col("first_w"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("week") =!= col("first_w") &&
+          col("prev_w") === col("week") - 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("week") =!= col("first_w") &&
+          (col("prev_w").isNull || col("prev_w") < col("week") - 1), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val churn = statusd
+      .filter((col("next_w").isNull || col("next_w") > col("week") + 1) &&
+        col("week") + 1 <= col("wmax"))
+      .groupBy((col("week") + 1).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    ledger.join(churn, Seq("week"), "full_outer")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+      .orderBy(col("week"))
+  }
+
+  /** Engagement inequality — the exact Gini coefficient of events per
+    * user, computed from the ACTIVITY DISTRIBUTION census (events-per-
+    * user level → user count), never a user-sized sort: users sharing a
+    * level occupy consecutive ranks, so the rank-weighted sum telescopes
+    * per level — S += c·(k·s + k(k−1)/2) with s the running rank start —
+    * and G = (2S − (n+1)T) / (nT) is a floor-quantized exact rational
+    * (T = total events). The distribution window is bounded by distinct
+    * activity levels. Rank-weighted sums fit longs through ~10⁹ users ×
+    * typical activity; beyond that, document says shard the census. */
+  def engagementGini(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("k"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dist
+      .withColumn("kcum", coalesce(sum(col("k")).over(w), lit(0L)))
+      .agg(
+        sum(col("k")).as("n_users"),
+        sum(col("c") * col("k")).as("total_events"),
+        sum(col("c") * (col("k") * (col("kcum") + 1L) +
+          expr("(k * (k - 1)) div 2"))).as("s"))
+      .select(col("n_users"), col("total_events"),
+        (floor((lit(2L) * col("s") - (col("n_users") + 1L) * col("total_events"))
+          .cast("double") /
+          (col("n_users") * col("total_events")).cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("gini"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -2259,5 +2383,122 @@ object Temporal {
              |  CAST(count(*) AS BIGINT) AS n_users
              |FROM h0 FULL OUTER JOIN h1 USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q202: cross-type rate correlation ---------------------------------
+    // Pearson r per type pair over co-active hours from exact integer
+    // moments; the oracle replays the census, the pair join, and the
+    // moment dag.
+    QueryDef(
+      "q202_rate_correlation",
+      (s, d) => rateCorrelation(Tables.events(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |pr AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    a.n AS x, b.n AS y
+             |  FROM cells a JOIN cells b ON a.h = b.h AND a.event_type < b.event_type),
+             |mo AS (
+             |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT type_a, type_b, m,
+             |  floor(CAST(m * sxy - sx * sy AS DOUBLE) /
+             |    nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+             |                CAST(m * syy - sy * sy AS DOUBLE)), CAST(0 AS DOUBLE))
+             |    * 1e6 + 0.5) / 1e6 AS r
+             |FROM mo ORDER BY type_a, type_b""".stripMargin)),
+
+    // ---- q203: peak-hour concentration -------------------------------------
+    // Top-3-hour traffic share per type, rank ties to the earlier hour;
+    // the oracle replays the census, the rank, and the share.
+    QueryDef(
+      "q203_peak_concentration",
+      (s, d) => peakConcentration(Tables.events(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT event_type, n,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, h) AS rk
+             |  FROM cells)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |  floor(CAST(sum(CASE WHEN rk <= 3 THEN n ELSE 0 END) AS DOUBLE) /
+             |        CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top3_share
+             |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q204: weekly growth accounting ------------------------------------
+    // New / retained / resurrected / churned per week from per-user week
+    // windows; the oracle replays the distinct grid, the three windows,
+    // the churn shift, and the full-outer ledger.
+    QueryDef(
+      "q204_growth_accounting",
+      (s, d) => growthAccounting(Tables.events(s, d)),
+      Some("""WITH uw AS MATERIALIZED (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+             |  FROM events),
+             |hz AS (SELECT max(week) AS wmax FROM uw),
+             |st AS MATERIALIZED (
+             |  SELECT user_id, week,
+             |    min(week) OVER (PARTITION BY user_id) AS first_w,
+             |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+             |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w
+             |  FROM uw),
+             |led AS (
+             |  SELECT week,
+             |    CAST(sum(CASE WHEN week = first_w THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_new,
+             |    CAST(sum(CASE WHEN week != first_w AND prev_w = week - 1
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             |    CAST(sum(CASE WHEN week != first_w
+             |      AND (prev_w IS NULL OR prev_w < week - 1)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+             |  FROM st GROUP BY 1),
+             |ch AS (
+             |  SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+             |  FROM st
+             |  WHERE (next_w IS NULL OR next_w > week + 1)
+             |    AND week + 1 <= (SELECT wmax FROM hz)
+             |  GROUP BY 1)
+             |SELECT coalesce(led.week, ch.week) AS week,
+             |  coalesce(n_new, 0) AS n_new,
+             |  coalesce(n_retained, 0) AS n_retained,
+             |  coalesce(n_resurrected, 0) AS n_resurrected,
+             |  coalesce(n_churned, 0) AS n_churned
+             |FROM led FULL OUTER JOIN ch ON led.week = ch.week
+             |ORDER BY week""".stripMargin)),
+
+    // ---- q205: engagement Gini ---------------------------------------------
+    // Exact Gini over events-per-user from the activity DISTRIBUTION
+    // census (rank-weighted sums telescoping per level); the oracle
+    // replays the two censuses, the running rank start, and the same
+    // rational.
+    QueryDef(
+      "q205_engagement_gini",
+      (s, d) => engagementGini(Tables.events(s, d)),
+      Some("""WITH uc AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |dist AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM uc GROUP BY 1),
+             |rked AS (
+             |  SELECT c, k,
+             |    coalesce(sum(k) OVER (ORDER BY c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kcum
+             |  FROM dist),
+             |agg AS (
+             |  SELECT CAST(sum(k) AS BIGINT) AS n_users,
+             |    CAST(sum(c * k) AS BIGINT) AS total_events,
+             |    CAST(sum(c * (k * (kcum + 1) + (k * (k - 1)) // 2)) AS BIGINT) AS s
+             |  FROM rked)
+             |SELECT n_users, total_events,
+             |  floor(CAST(2 * s - (n_users + 1) * total_events AS DOUBLE) /
+             |        CAST(n_users * total_events AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS gini
+             |FROM agg""".stripMargin)),
   )
 }

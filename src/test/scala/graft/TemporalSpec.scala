@@ -606,6 +606,76 @@ class TemporalSpec extends SparkSpec {
       ("absent", "F+M+") -> 1L), s"got $out")
   }
 
+  test("rateCorrelation: co-moving types score +1, opposing types -1, sparse pairs drop") {
+    val hourUs = 3600000000L
+    // A and B move together (1,2,3)/(2,4,6); C moves against A (3,2,1);
+    // D shares only 2 hours with anyone -> every D pair drops (m < 3)
+    def mk(ty: String, perHour: Seq[Int]) = perHour.zipWithIndex.flatMap {
+      case (c, h) => Seq.fill(c)((ty, h.toLong))
+    }
+    val rows = mk("A", Seq(1, 2, 3)) ++ mk("B", Seq(2, 4, 6)) ++
+      mk("C", Seq(3, 2, 1)) ++ mk("D", Seq(1, 1))
+    val ev = rows.zipWithIndex.map { case ((ty, h), i) => (i.toLong, ty, h * hourUs) }
+      .toDF("event_id", "event_type", "t")
+      .select($"event_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.rateCorrelation(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("A", "B")) == 1.0, s"got $out")
+    assert(out(("A", "C")) == -1.0, s"got $out")
+    assert(!out.keySet.exists(p => p._1 == "D" || p._2 == "D"), s"got $out")
+  }
+
+  test("peakConcentration: a burst type concentrates, a steady type spreads") {
+    val hourUs = 3600000000L
+    // A: 10 in one hour + 1 in each of 9 others -> top3 = 12/19;
+    // B: 1 per hour over 6 hours -> top3 = 3/6 = 0.5
+    val rows = Seq.fill(10)(("A", 0L)) ++ (1L to 9L).map(h => ("A", h)) ++
+      (0L to 5L).map(h => ("B", h))
+    val ev = rows.zipWithIndex.map { case ((ty, h), i) => (i.toLong, ty, h * hourUs) }
+      .toDF("event_id", "event_type", "t")
+      .select($"event_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.peakConcentration(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("A") == ((10L, math.floor(12.0 / 19.0 * 1e6 + 0.5) / 1e6)), s"got $out")
+    assert(out("B") == ((6L, 0.5)), s"got $out")
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned ledger telescopes") {
+    val weekUs = 7L * 86400000000L
+    // u1 active w0,w1,w3; u2 active w1; u3 active w3 (horizon w3)
+    // w0: u1 new. w1: u1 retained, u2 new. w2: u1+u2 churn (nobody
+    // active). w3: u1 resurrected, u3 new; no churn (w4 > horizon)
+    val rows = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L), (3L, 3L))
+    val ev = rows.zipWithIndex.map { case ((u, w), i) => (i.toLong, u, w * weekUs) }
+      .toDF("event_id", "user_id", "t")
+      .select($"event_id", $"user_id", lit("A").as("event_type"),
+        timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.growthAccounting(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((1L, 0L, 0L, 0L)), s"got $out")
+    assert(out(1L) == ((1L, 1L, 0L, 0L)), s"got $out")
+    assert(out(2L) == ((0L, 0L, 0L, 2L)), s"got $out")
+    assert(out(3L) == ((1L, 0L, 1L, 0L)), s"got $out")
+  }
+
+  test("engagementGini: equality scores 0, a planted concentration matches the closed form") {
+    val ev1 = (1L to 4L).flatMap(u => Seq.fill(3)(u)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "user_id")
+      .select($"event_id", $"user_id", timestamp_micros($"event_id").as("ts"))
+    val g1 = graft.operators.Temporal.engagementGini(ev1).head()
+    assert(g1.getLong(0) == 4L && g1.getLong(1) == 12L && g1.getDouble(2) == 0.0)
+    // counts (1,1,1,7): sorted ranks give S = 1+2+3+4*7 = 34;
+    // G = (2*34 - 5*10) / (4*10) = 18/40 = 0.45
+    val ev2 = (Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(1)(3L) ++
+      Seq.fill(7)(4L)).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "user_id")
+      .select($"event_id", $"user_id", timestamp_micros($"event_id").as("ts"))
+    val g2 = graft.operators.Temporal.engagementGini(ev2).head()
+    assert(g2.getDouble(2) == 0.45, s"got $g2")
+  }
+
   test("shipLagQuantiles: exact day-gap order statistics per priority") {
     val dayUs = 86400000000L
     val orders = Seq((1L, 0L, "1-URGENT"))
