@@ -708,6 +708,32 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Duplicate-rate threshold curve — the dedup-policy sizing census:
+    * how many near-dup pairs each Jaccard threshold would flag, so the
+    * 0.7-vs-0.8 decision is made on measured pair counts rather than
+    * folklore. One pair pass (the q45 capped O(n²) verification twin —
+    * at scale the SAME census runs over q104's lossless prefix-filter
+    * candidates or q46's LSH pairs) scored against every threshold by a
+    * broadcast threshold table; the integer test inter·10 ≥ uni·thr
+    * keeps the cut engine-exact. Thresholds with zero pairs still
+    * report (left join + zero-fill — the q168 lesson). */
+  def dupThresholdCurve(docs: DataFrame,
+      thresholdTenths: Seq[Int] = Seq(3, 5, 7, 9)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = withShingles(docs)
+    val (inter, uni) = jaccardCols(col("a.sh"), col("b.sh"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(inter.as("inter"), uni.as("uni"))
+    val thrDf = thresholdTenths.map(t => Tuple1(t.toLong)).toDF("thr_tenths")
+    val counts = pairs.crossJoin(broadcast(thrDf))
+      .filter(col("inter") * 10 >= col("uni") * col("thr_tenths"))
+      .groupBy(col("thr_tenths")).agg(count(lit(1)).as("n_pairs"))
+    thrDf.join(counts, Seq("thr_tenths"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .orderBy(col("thr_tenths"))
+  }
+
   /** q154 oracle helper: the q45 list-comprehension shingle spelling
     * generalized to n tokens. */
   private def shingleSql(n: Int): String = {
@@ -848,6 +874,38 @@ object Dedup {
              |FROM s a JOIN s b ON a.doc_id < b.doc_id
              |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(list_distinct(list_concat(a.sh, b.sh))) * 4
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- q208: duplicate-rate threshold curve ------------------------------
+    // Pair counts per Jaccard threshold over the capped pair census
+    // (doc_id < 2000 — the q45 twin bound); the oracle replays the
+    // shingles, the pair join, the integer threshold tests, and the
+    // zero-fill.
+    QueryDef(
+      "q208_dup_threshold_curve",
+      (s, d) => {
+        import s.implicits._
+        dupThresholdCurve(Tables.documents(s, d).filter($"doc_id" < 2000))
+      },
+      Some(s"""WITH s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |        WHERE doc_id < 2000)
+             |  WHERE len(t) >= 3),
+             |p AS (
+             |  SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+             |    len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+             |thr AS (SELECT unnest([3, 5, 7, 9]) AS thr_tenths),
+             |c AS (
+             |  SELECT t.thr_tenths, CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM p, thr t WHERE p.inter * 10 >= p.uni * t.thr_tenths
+             |  GROUP BY 1)
+             |SELECT CAST(t.thr_tenths AS BIGINT) AS thr_tenths,
+             |  CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs
+             |FROM thr t LEFT JOIN c USING (thr_tenths)
+             |ORDER BY thr_tenths""".stripMargin)),
 
     // ---- q104: prefix-filtered EXACT set-similarity join -------------------
     // Same truth as q45 (J ≥ 0.8 shingle pairs) through a completely

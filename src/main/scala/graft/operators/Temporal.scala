@@ -1148,6 +1148,102 @@ object Temporal {
           * 1e6 + lit(0.5)) / 1e6).as("gini"))
   }
 
+  /** Day-of-week-adjusted outlier days — the ops-calendar screen: each
+    * day's event count against ITS weekday's exact median (Mondays
+    * compare to Mondays — a quiet Sunday is not an outlier just for
+    * being Sunday). Weekday by pure integer arithmetic (the q159 rule),
+    * medians via the bounded bisection (7 driver rows), spike = the
+    * integer test 2·n > 3·med (n > 1.5×median without a float compare).
+    * One daily census; every later frame is days- or 7-sized. */
+  def dowOutlierDays(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dayUs = 86400000000L
+    val census = events
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("pmod(day + 4, 7)"))
+    val med = Sketches.bisectQuantiles(
+        census.select(col("dow").cast("string").as("g"), col("n")),
+        "n", "g", Seq(0.5), scale = 1)
+      .select(col("grp").cast("long").as("dow"), col("val").cast("long").as("med_dow"))
+    census.join(broadcast(med), Seq("dow"))
+      .select(col("day"), col("dow"), col("n"), col("med_dow"),
+        (col("n") * 2 > col("med_dow") * 3).as("spike"))
+      .orderBy(col("day"))
+  }
+
+  /** Period revenue decomposition — the "was it volume or price" ledger:
+    * per 30-day period, ΔR split into a volume effect ΔQ·p̄_prev and a
+    * price effect Δp̄·Q, which telescope to ΔR exactly in real
+    * arithmetic (both engines evaluate the identical IEEE dag; outputs
+    * floor-quantized to whole cents). Quantity and revenue are exact
+    * longs from per-row cents quantization; the lag window runs over the
+    * period census. */
+  def revenueDecomposition(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val w = Window.orderBy(col("period"))
+    val cells = lineitem
+      .select(col("l_orderkey"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("qty"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+          + lit(0.5)).cast("long").as("cents"))
+      .join(orders.select(col("o_orderkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div ${dayUs * 30}")
+          .as("period")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("period"))
+      .agg(sum(col("qty")).as("qty"), sum(col("cents")).as("rev_cents"))
+    val pbar = col("rev_cents").cast("double") / col("qty").cast("double")
+    val pbarP = col("rev_p").cast("double") / col("qty_p").cast("double")
+    cells
+      .withColumn("qty_p", lag(col("qty"), 1).over(w))
+      .withColumn("rev_p", lag(col("rev_cents"), 1).over(w))
+      .select(col("period"), col("qty"), col("rev_cents"),
+        (col("rev_cents") - col("rev_p")).as("d_rev_cents"),
+        floor((col("qty") - col("qty_p")).cast("double") * pbarP + lit(0.5))
+          .cast("long").as("vol_effect_cents"),
+        floor((pbar - pbarP) * col("qty").cast("double") + lit(0.5))
+          .cast("long").as("price_effect_cents"))
+      .orderBy(col("period"))
+  }
+
+  /** Touch-recency coverage — the attribution-window sizing curve: for
+    * each purchase, the age of the LAST preceding touch (the q167
+    * running-last fold — an incremental O(1)-state frame, never a touch
+    * list), bucketed into horizon bands. The band census answers "what
+    * share of conversions would a 1-hour / 1-day / 7-day window
+    * capture" BEFORE committing to an attribution horizon. One user
+    * exchange; the census is 4 rows. */
+  def touchCoverage(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aged = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("last_tt", last(
+        when(col("event_type") =!= "purchase", col("t")), ignoreNulls = true)
+        .over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("last_tt").isNull, "no_touch")
+          .when(col("t") - col("last_tt") <= hourUs, "within_1h")
+          .when(col("t") - col("last_tt") <= dayUs, "within_1d")
+          .when(col("t") - col("last_tt") <= 7 * dayUs, "within_7d")
+          .otherwise("older").as("band"))
+    val census = aged.groupBy(col("band")).agg(count(lit(1)).as("n_purchases"))
+    val tot = census.agg(sum(col("n_purchases")).as("n_tot"))
+    census.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_purchases"),
+        (floor(col("n_purchases").cast("double") / col("n_tot").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("share"))
+      .orderBy(col("band"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -2102,7 +2198,10 @@ object Temporal {
              |  floor(CAST(credit_micro AS DOUBLE) /
              |        CAST((SELECT sum(credit_micro) FROM c) AS DOUBLE)
              |        * 1e6 + 0.5) / 1e6 AS share
-             |FROM c ORDER BY touch""".stripMargin)),
+             |FROM c ORDER BY touch""".stripMargin),
+      // headline: the r8 RANGE-frame rewrite is the flagship attribution
+      // shape — regression-visible at bench SF from now on
+      headline = true),
 
     // ---- q179: per-user engagement diversity (Gini-Simpson) ----------------
     // Integer-exact numerator (n² − Σnᵢ²) over n², one IEEE division; the
@@ -2471,7 +2570,10 @@ object Temporal {
              |  coalesce(n_resurrected, 0) AS n_resurrected,
              |  coalesce(n_churned, 0) AS n_churned
              |FROM led FULL OUTER JOIN ch ON led.week = ch.week
-             |ORDER BY week""".stripMargin)),
+             |ORDER BY week""".stripMargin),
+      // headline: three user-partitioned windows over the distinct grid —
+      // the heaviest of the r8 analytics tier, benched at SF
+      headline = true),
 
     // ---- q205: engagement Gini ---------------------------------------------
     // Exact Gini over events-per-user from the activity DISTRIBUTION
@@ -2500,5 +2602,93 @@ object Temporal {
              |        CAST(n_users * total_events AS DOUBLE) * 1e6 + 0.5) / 1e6
              |    AS gini
              |FROM agg""".stripMargin)),
+
+    // ---- q206: day-of-week-adjusted outlier days ---------------------------
+    // Each day vs its weekday's exact median, integer spike test; the
+    // oracle computes the same per-dow order statistics by ranking.
+    QueryDef(
+      "q206_dow_outlier_days",
+      (s, d) => dowOutlierDays(Tables.events(s, d)),
+      Some("""WITH census AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |dc AS (SELECT day, n, (day + 4) % 7 AS dow FROM census),
+             |md AS (
+             |  SELECT dow, min(n) AS med_dow FROM (
+             |    SELECT dow, n,
+             |      row_number() OVER (PARTITION BY dow ORDER BY n) AS rk,
+             |      count(*) OVER (PARTITION BY dow) AS cnt
+             |    FROM dc) WHERE rk = CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT)
+             |  GROUP BY dow)
+             |SELECT dc.day, dc.dow, dc.n, md.med_dow,
+             |  dc.n * 2 > md.med_dow * 3 AS spike
+             |FROM dc JOIN md USING (dow) ORDER BY dc.day""".stripMargin)),
+
+    // ---- q207: period revenue decomposition --------------------------------
+    // Volume vs price effects per 30-day period; the oracle replays the
+    // cents census, the lag, and the identical IEEE effect dag.
+    QueryDef(
+      "q207_revenue_decomposition",
+      (s, d) => revenueDecomposition(Tables.lineitem(s, d), Tables.orders(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 2592000000000
+             |      AS period,
+             |    CAST(sum(CAST(floor(l.l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT))
+             |      AS BIGINT) AS qty,
+             |    CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100
+             |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  GROUP BY 1),
+             |lg AS (
+             |  SELECT period, qty, rev_cents,
+             |    lag(qty) OVER (ORDER BY period) AS qty_p,
+             |    lag(rev_cents) OVER (ORDER BY period) AS rev_p
+             |  FROM cells)
+             |SELECT period, qty, rev_cents,
+             |  rev_cents - rev_p AS d_rev_cents,
+             |  CAST(floor(CAST(qty - qty_p AS DOUBLE) *
+             |    (CAST(rev_p AS DOUBLE) / CAST(qty_p AS DOUBLE))
+             |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vol_effect_cents,
+             |  CAST(floor((CAST(rev_cents AS DOUBLE) / CAST(qty AS DOUBLE)
+             |    - CAST(rev_p AS DOUBLE) / CAST(qty_p AS DOUBLE))
+             |    * CAST(qty AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             |    AS price_effect_cents
+             |FROM lg ORDER BY period""".stripMargin)),
+
+    // ---- q209: touch-recency coverage curve --------------------------------
+    // Last-touch age per purchase (running-last fold) bucketed into
+    // horizon bands; the oracle replays the q167 window and the bands.
+    QueryDef(
+      "q209_touch_coverage",
+      (s, d) => touchCoverage(Tables.events(s, d)),
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |tr AS (
+             |  SELECT event_type, t,
+             |    last_value(CASE WHEN event_type <> 'purchase' THEN t END
+             |      IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY t, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS last_tt
+             |  FROM ev),
+             |bands AS (
+             |  SELECT CASE
+             |      WHEN last_tt IS NULL THEN 'no_touch'
+             |      WHEN t - last_tt <= 3600000000 THEN 'within_1h'
+             |      WHEN t - last_tt <= 86400000000 THEN 'within_1d'
+             |      WHEN t - last_tt <= 604800000000 THEN 'within_7d'
+             |      ELSE 'older' END AS band
+             |  FROM tr WHERE event_type = 'purchase'),
+             |census AS (
+             |  SELECT band, CAST(count(*) AS BIGINT) AS n_purchases
+             |  FROM bands GROUP BY 1)
+             |SELECT band, n_purchases,
+             |  floor(CAST(n_purchases AS DOUBLE) /
+             |    CAST((SELECT sum(n_purchases) FROM census) AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS share
+             |FROM census ORDER BY band""".stripMargin)),
   )
 }

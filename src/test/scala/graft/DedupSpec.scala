@@ -389,6 +389,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 10L, 3L)), 7L -> ((7L, 4L, 2L))), s"got $out")
   }
 
+  test("dupThresholdCurve: counts are monotone and zero thresholds still report") {
+    // two identical docs (J=1), one half-overlapping pair, one unrelated
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "a b c d x y"), (4L, "p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.dupThresholdCurve(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(9L) == 1L, s"got $out")  // only the identical pair
+    assert(out(3L) >= out(5L) && out(5L) >= out(7L) && out(7L) >= out(9L),
+      s"curve must be monotone: $out")
+    assert(out.keySet == Set(3L, 5L, 7L, 9L))
+  }
+
   test("canonicalPick: FRACTIONAL scores rank on the micro grid, not a truncating cast") {
     // quality scores in [0,1] — a bare long cast sent all of these to 0
     // and the pick degenerated to keep-min-id; the micro-grid rank keeps

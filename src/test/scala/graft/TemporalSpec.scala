@@ -676,6 +676,65 @@ class TemporalSpec extends SparkSpec {
     assert(g2.getDouble(2) == 0.45, s"got $g2")
   }
 
+  test("dowOutlierDays: a day is an outlier only against ITS weekday") {
+    val dayUs = 86400000000L
+    // Thursdays (epoch day 0, 7, 14): counts 10, 10, 16 -> median 10,
+    // spike iff 2n > 30: day 14 (32 > 30) spikes; Fridays (1, 8): 2, 2
+    // -> no spike even though Thursday counts dwarf them
+    val rows = Seq((0L, 10), (7L, 10), (14L, 16), (1L, 2), (8L, 2))
+    val ev = rows.flatMap { case (d, c) => Seq.fill(c)(d) }
+      .zipWithIndex.map { case (d, i) => (i.toLong, d * dayUs) }
+      .toDF("event_id", "t")
+      .select($"event_id", lit("A").as("event_type"),
+        timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.dowOutlierDays(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(0L) == ((10L, 10L, false)), s"got $out")
+    assert(out(14L) == ((16L, 10L, true)), s"got $out")
+    assert(out(1L) == ((2L, 2L, false)), s"got $out")
+  }
+
+  test("revenueDecomposition: volume and price effects telescope to the revenue delta") {
+    val dayUs = 86400000000L
+    // period 0: 10 units @ $1.00 = 1000c; period 1: 20 units @ $1.50 =
+    // 3000c. vol = (20-10)*100 = 1000c; price = (150-100)*20 = 1000c;
+    // d_rev = 2000c = vol + price exactly
+    val li = Seq(
+      (1L, 10.0, 10.00), (2L, 20.0, 30.00))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val ord = Seq((1L, 0L), (2L, 35L)).toDF("o_orderkey", "d")
+      .select($"o_orderkey", timestamp_micros($"d" * dayUs).as("o_orderdate"))
+    val out = graft.operators.Temporal.revenueDecomposition(li, ord).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p1 = out(1L)
+    assert(p1.getLong(3) == 2000L, s"got $p1")
+    assert(p1.getLong(4) == 1000L && p1.getLong(5) == 1000L, s"got $p1")
+    assert(p1.getLong(4) + p1.getLong(5) == p1.getLong(3))
+    assert(out(0L).isNullAt(3)) // first period has no predecessor
+  }
+
+  test("touchCoverage: last-touch ages land in the right horizon bands") {
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    // u1: touch then purchase 30min later (within_1h); u2: touch then
+    // purchase 2d later (within_7d); u3: bare purchase (no_touch);
+    // u4: touch 30d stale (older)
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "purchase", hourUs / 2),
+      (2L, "view", 0L), (2L, "purchase", 2 * dayUs),
+      (3L, "purchase", 0L),
+      (4L, "view", 0L), (4L, "purchase", 30 * dayUs))
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.touchCoverage(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("within_1h" -> 1L, "within_7d" -> 1L,
+      "no_touch" -> 1L, "older" -> 1L), s"got $out")
+  }
+
   test("shipLagQuantiles: exact day-gap order statistics per priority") {
     val dayUs = 86400000000L
     val orders = Seq((1L, 0L, "1-URGENT"))
