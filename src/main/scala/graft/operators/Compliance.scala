@@ -148,6 +148,67 @@ object Compliance {
     """list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       |               for i in range(1, greatest(len(t) - 1, 1))])""".stripMargin
 
+  /** k-anonymity audit — the re-identification screen run before a
+    * dataset leaves the fence: group rows by their quasi-identifier
+    * tuple and report, for each candidate k, how many equivalence
+    * classes (and rows) sit below it. A row in a size-1 class is
+    * uniquely re-identifiable from the QI columns alone. One QI-keyed
+    * partial-agg census; every later frame is class-size-distribution
+    * sized (the q205 telescoping discipline), and every k reports even
+    * at zero (the q168 left-join rule). */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      ks: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val classes = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("sz"))
+    val dist = classes.groupBy(col("sz")).agg(count(lit(1)).as("n_classes"))
+    val tot = dist.agg(sum(col("n_classes")).as("c_tot"),
+      sum(col("sz") * col("n_classes")).as("r_tot"))
+    val ksDf = ks.map(k => Tuple1(k.toLong)).toDF("k")
+    ksDf.join(dist, col("sz") < col("k"), "left")
+      .groupBy(col("k"))
+      .agg(sum(col("n_classes")).as("cb"),
+        sum(col("sz") * col("n_classes")).as("rb"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"),
+        coalesce(col("cb"), lit(0L)).as("classes_below"),
+        coalesce(col("rb"), lit(0L)).as("rows_exposed"),
+        col("c_tot").as("n_classes"), col("r_tot").as("n_rows"),
+        (floor(coalesce(col("rb"), lit(0L)).cast("double") /
+          col("r_tot").cast("double") * 1e6 + lit(0.5)) / 1e6).as("exposed_share"))
+      .orderBy(col("k"))
+  }
+
+  /** l-diversity audit — k-anonymity's sibling for attribute disclosure:
+    * a QI class can be large yet still leak when every member shares the
+    * same SENSITIVE value. Per QI class, the distinct sensitive count;
+    * per candidate l, the classes (and rows) whose diversity falls
+    * short. Same census shapes as [[kAnonymityAudit]] with one extra
+    * distinct inside the class census. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String], senCol: String,
+      ls: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"), countDistinct(col(senCol)).as("div"))
+    val dist = classes.groupBy(col("div"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"))
+    val tot = dist.agg(sum(col("n_classes")).as("c_tot"),
+      sum(col("n_rows")).as("r_tot"))
+    val lsDf = ls.map(l => Tuple1(l.toLong)).toDF("l")
+    lsDf.join(dist, col("div") < col("l"), "left")
+      .groupBy(col("l"))
+      .agg(sum(col("n_classes")).as("cb"), sum(col("n_rows")).as("rb"))
+      .crossJoin(broadcast(tot))
+      .select(col("l"),
+        coalesce(col("cb"), lit(0L)).as("classes_below"),
+        coalesce(col("rb"), lit(0L)).as("rows_at_risk"),
+        col("c_tot").as("n_classes"),
+        (floor(coalesce(col("rb"), lit(0L)).cast("double") /
+          col("r_tot").cast("double") * 1e6 + lit(0.5)) / 1e6).as("at_risk_share"))
+      .orderBy(col("l"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q76: PII detection + redaction ------------------------------------
@@ -218,5 +279,79 @@ object Compliance {
              |  FROM c)
              |SELECT doc_id, n_tokens, n_distinct, g AS top_bigram, c AS top_count
              |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- q210: k-anonymity audit -------------------------------------------
+    // Equivalence classes over (nation, mktsegment), exposure per k in
+    // {5, 10, 20}; the oracle replays the class census, the size
+    // distribution, and the per-k sums.
+    QueryDef(
+      "q210_k_anonymity",
+      (s, d) => kAnonymityAudit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), ks = Seq(5, 10, 20)),
+      Some("""WITH cls AS (
+             |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+             |  FROM customer GROUP BY 1, 2),
+             |dist AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_classes
+             |         FROM cls GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_classes) AS BIGINT) AS c_tot,
+             |        CAST(sum(sz * n_classes) AS BIGINT) AS r_tot FROM dist),
+             |ks AS (SELECT unnest([5, 10, 20]) AS k),
+             |agg AS (
+             |  SELECT ks.k,
+             |    CAST(coalesce(sum(d.n_classes), 0) AS BIGINT) AS classes_below,
+             |    CAST(coalesce(sum(d.sz * d.n_classes), 0) AS BIGINT) AS rows_exposed
+             |  FROM ks LEFT JOIN dist d ON d.sz < ks.k
+             |  GROUP BY 1)
+             |SELECT CAST(k AS BIGINT) AS k, classes_below, rows_exposed,
+             |  (SELECT c_tot FROM tot) AS n_classes,
+             |  (SELECT r_tot FROM tot) AS n_rows,
+             |  floor(CAST(rows_exposed AS DOUBLE) /
+             |    CAST((SELECT r_tot FROM tot) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS exposed_share
+             |FROM agg ORDER BY k""".stripMargin)),
+
+    // ---- q211: l-diversity audit -------------------------------------------
+    // Order-level QI (nation, 30-day period) against the order-priority
+    // sensitive attribute; the oracle replays the class census with its
+    // distinct count and the per-l sums.
+    QueryDef(
+      "q211_l_diversity",
+      (s, d) => {
+        val dayUs = 86400000000L
+        val joined = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderpriority"),
+            expr(s"unix_micros(cast(o_orderdate as timestamp)) div ${dayUs * 30}")
+              .as("period"))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+        lDiversityAudit(joined, Seq("c_nationkey", "period"),
+          "o_orderpriority", ls = Seq(3, 5))
+      },
+      Some("""WITH cls AS (
+             |  SELECT c.c_nationkey,
+             |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 2592000000000
+             |      AS period,
+             |    CAST(count(*) AS BIGINT) AS sz,
+             |    CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS dv
+             |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |  GROUP BY 1, 2),
+             |dist AS (SELECT dv, CAST(count(*) AS BIGINT) AS n_classes,
+             |         CAST(sum(sz) AS BIGINT) AS n_rows FROM cls GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_classes) AS BIGINT) AS c_tot,
+             |        CAST(sum(n_rows) AS BIGINT) AS r_tot FROM dist),
+             |ls AS (SELECT unnest([3, 5]) AS l),
+             |agg AS (
+             |  SELECT ls.l,
+             |    CAST(coalesce(sum(d.n_classes), 0) AS BIGINT) AS classes_below,
+             |    CAST(coalesce(sum(d.n_rows), 0) AS BIGINT) AS rows_at_risk
+             |  FROM ls LEFT JOIN dist d ON d.dv < ls.l
+             |  GROUP BY 1)
+             |SELECT CAST(l AS BIGINT) AS l, classes_below, rows_at_risk,
+             |  (SELECT c_tot FROM tot) AS n_classes,
+             |  floor(CAST(rows_at_risk AS DOUBLE) /
+             |    CAST((SELECT r_tot FROM tot) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS at_risk_share
+             |FROM agg ORDER BY l""".stripMargin)),
   )
 }

@@ -333,6 +333,33 @@ object RelationalExt {
       .orderBy(col("p_brand"))
   }
 
+  /** SLA attainment by priority and period — did fulfillment keep its
+    * promise, tracked where regressions become visible (per 30-day
+    * period, per priority): share of lines shipped within `slaDays` of
+    * the order date. Integer-day gaps on the epoch grid (the NTZ-cast
+    * rule), one co-partitioned order-key join, one census; shares are
+    * quantized exact rationals. */
+  def slaAttainment(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      slaDays: Int = 10): org.apache.spark.sql.DataFrame = {
+    val dayUs = 86400000000L
+    lineitem
+      .select(col("l_orderkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("st"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("ot")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"),
+        expr(s"ot div ${dayUs * 30}").as("period"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(expr(s"(st - ot) div $dayUs") <= slaDays, 1L).otherwise(0L))
+          .as("n_on_time"))
+      .select(col("o_orderpriority"), col("period"), col("n_lines"),
+        (floor(col("n_on_time").cast("double") / col("n_lines").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("sla_share"))
+      .orderBy(col("o_orderpriority"), col("period"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q152: single-pass correlation matrix ------------------------------
@@ -784,5 +811,30 @@ object RelationalExt {
              |    nullif(CAST(m * sxx - sx * sx AS DOUBLE), CAST(0 AS DOUBLE))
              |    * 1e6 + 0.5) / 1e6 AS slope
              |FROM mo ORDER BY p_brand""".stripMargin)),
+
+    // ---- q213: SLA attainment by priority and period -----------------------
+    // Share of lines shipped within 10 days per (priority, 30-day
+    // period); the oracle replays the day grid, the join, and the share.
+    QueryDef(
+      "q213_sla_attainment",
+      (s, d) => slaAttainment(Tables.lineitem(s, d), Tables.orders(s, d)),
+      Some("""WITH j AS (
+             |  SELECT o.o_orderpriority,
+             |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 2592000000000
+             |      AS period,
+             |    (epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+             |     - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) // 86400000000
+             |      AS gap_days
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+             |census AS (
+             |  SELECT o_orderpriority, period,
+             |    CAST(count(*) AS BIGINT) AS n_lines,
+             |    CAST(sum(CASE WHEN gap_days <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_on_time
+             |  FROM j GROUP BY 1, 2)
+             |SELECT o_orderpriority, period, n_lines,
+             |  floor(CAST(n_on_time AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS sla_share
+             |FROM census ORDER BY o_orderpriority, period""".stripMargin)),
   )
 }

@@ -1244,6 +1244,38 @@ object Temporal {
       .orderBy(col("band"))
   }
 
+  /** Conversion by engagement decile — "does activity predict buying":
+    * users bucketed by GLOBAL activity deciles (exact k-th order
+    * statistics on the per-user event count, bounded bisection — nine
+    * driver longs as literals, the q195 shape), then per-decile buyer
+    * share. Ties collapse deciles honestly: a decile whose cutoff
+    * equals the next holds no users rather than splitting a tied count
+    * arbitrarily. One user-keyed census; everything after is ≤ 10
+    * rows. */
+  def conversionByDecile(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
+    val users = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("bought"))
+      .cutLineage()
+    val cuts = Sketches.bisectQuantiles(
+        users.select(lit("all").as("g"), col("n_events")),
+        "n_events", "g", (1 to 9).map(_ / 10.0), scale = 1)
+      .collect().sortBy(_.getDouble(1)).map(_.getDouble(2).toLong)
+    val decile = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("n_events") > lit(c), 1).otherwise(0)
+    }
+    val census = users
+      .select(decile.cast("long").as("decile"), col("bought"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("bought")).as("n_buyers"))
+    census
+      .select(col("decile"), col("n_users"), col("n_buyers"),
+        (floor(col("n_buyers").cast("double") / col("n_users").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("conversion"))
+      .orderBy(col("decile"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -2690,5 +2722,44 @@ object Temporal {
              |    CAST((SELECT sum(n_purchases) FROM census) AS DOUBLE)
              |    * 1e6 + 0.5) / 1e6 AS share
              |FROM census ORDER BY band""".stripMargin)),
+
+    // ---- q212: conversion by engagement decile ------------------------------
+    // Global activity deciles via the bisection (nine literals), buyer
+    // share per decile; the oracle computes the same order statistics by
+    // ranking and replays the strict-greater bucketing.
+    QueryDef(
+      "q212_conversion_by_decile",
+      (s, d) => conversionByDecile(Tables.events(s, d)),
+      Some("""WITH uc AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS bought
+             |  FROM events GROUP BY 1),
+             |r AS (
+             |  SELECT n_events, row_number() OVER (ORDER BY n_events) AS rk,
+             |    count(*) OVER () AS cnt
+             |  FROM uc),
+             |cuts AS (
+             |  SELECT qq.q, min(r.n_events) AS cut
+             |  FROM r, (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
+             |    CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE),
+             |    CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+             |    CAST(0.9 AS DOUBLE)]) AS q) qq
+             |  WHERE r.rk = CAST(ceil(qq.q * r.cnt) AS BIGINT)
+             |  GROUP BY 1),
+             |dec AS (
+             |  SELECT (SELECT count(*) FROM cuts WHERE uc.n_events > cuts.cut)
+             |      AS decile,
+             |    bought
+             |  FROM uc),
+             |census AS (
+             |  SELECT CAST(decile AS BIGINT) AS decile,
+             |    CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(bought) AS BIGINT) AS n_buyers
+             |  FROM dec GROUP BY 1)
+             |SELECT decile, n_users, n_buyers,
+             |  floor(CAST(n_buyers AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS conversion
+             |FROM census ORDER BY decile""".stripMargin)),
   )
 }

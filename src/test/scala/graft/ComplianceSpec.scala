@@ -77,4 +77,26 @@ class ComplianceSpec extends SparkSpec {
     assert(out.filter($"top_count" < 1).isEmpty)
     assert(out.count() > 0)
   }
+
+  test("kAnonymityAudit: singletons are exposed, big classes are not, zero-k reports") {
+    // classes: (a,x) size 1 (unique row!), (a,y) size 3, (b,x) size 6
+    val df = (Seq(("a", "x")) ++ Seq.fill(3)(("a", "y")) ++ Seq.fill(6)(("b", "x")))
+      .toDF("qi1", "qi2")
+    val out = Compliance.kAnonymityAudit(df, Seq("qi1", "qi2"), ks = Seq(2, 5, 100))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(2L) == ((1L, 1L, 3L, 10L)), s"got $out")   // the singleton
+    assert(out(5L) == ((2L, 4L, 3L, 10L)), s"got $out")   // + the size-3 class
+    assert(out(100L) == ((3L, 10L, 3L, 10L)), s"got $out") // everything
+  }
+
+  test("lDiversityAudit: a monoculture class is at risk however large it is") {
+    // (a): 5 rows all sensitive 's1' (div 1); (b): 2 rows, two values (div 2)
+    val df = (Seq.fill(5)(("a", "s1")) ++ Seq(("b", "s1"), ("b", "s2")))
+      .toDF("qi", "sen")
+    val out = Compliance.lDiversityAudit(df, Seq("qi"), "sen", ls = Seq(2, 3))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(2L) == ((1L, 5L)), s"got $out") // only the monoculture
+    assert(out(3L) == ((2L, 7L)), s"got $out") // both classes below l=3
+  }
 }

@@ -275,6 +275,22 @@ class RelationalExtSpec extends SparkSpec {
     assert(out2("BrandC").isEmpty, s"got $out2")
   }
 
+  test("slaAttainment: on-time shares split at the 10-day boundary") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // order 1 (URGENT, period 0): ships at 10d (on time) and 11d (late);
+    // order 2 (LOW, period 0): ships at 1d
+    val li = Seq((1L, 10L), (1L, 11L), (2L, 1L)).toDF("l_orderkey", "sd")
+      .select($"l_orderkey", timestamp_micros($"sd" * dayUs).as("l_shipdate"))
+    val ord = Seq((1L, "1-URGENT"), (2L, "5-LOW")).toDF("o_orderkey", "o_orderpriority")
+      .select($"o_orderkey", $"o_orderpriority",
+        timestamp_micros(lit(0L)).as("o_orderdate"))
+    val out = graft.operators.RelationalExt.slaAttainment(li, ord).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("1-URGENT") == ((2L, 0.5)), s"got $out")
+    assert(out("5-LOW") == ((1L, 1.0)), s"got $out")
+  }
+
   test("integrityAudit: planted orphans and duplicate keys are counted") {
     import spark.implicits._
     // order 99 is referenced by a lineitem but missing; order 2 appears

@@ -735,6 +735,24 @@ class TemporalSpec extends SparkSpec {
       "no_touch" -> 1L, "older" -> 1L), s"got $out")
   }
 
+  test("conversionByDecile: buyers concentrate in the planted high-activity decile") {
+    // 20 users: activity 1..20; only the top-2 (19, 20 events) purchase
+    val rows = (1L to 20L).flatMap { u =>
+      (1L to u).map(i => (u, if (u >= 19 && i == 1) "purchase" else "view", u * 100 + i))
+    }
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.conversionByDecile(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.values.map(_._1).sum == 20L)
+    assert(out.values.map(_._2).sum == 2L)
+    // the top decile (9: n_events > 18) holds exactly the two buyers
+    assert(out(9L) == ((2L, 2L, 1.0)), s"got $out")
+    assert(out.filter(_._1 < 9L).values.forall(_._2 == 0L), s"got $out")
+  }
+
   test("shipLagQuantiles: exact day-gap order statistics per priority") {
     val dayUs = 86400000000L
     val orders = Seq((1L, 0L, "1-URGENT"))
