@@ -1089,18 +1089,24 @@ object Temporal {
     * weeks-sized. */
   def growthAccounting(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.core.Lineage.CutOps
     val weekUs = 7L * 86400000000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
     val uw = events
       .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("week"))
       .distinct()
     val horizon = uw.agg(max(col("week")).as("wmax"))
+    // cutLineage: the ledger and churn branches both consume this frame,
+    // and per-branch column pruning below the window would otherwise
+    // defeat exchange reuse — two grid scans, two user exchanges (the
+    // q100/q104 lesson; PlanSpec pins the single-pass shape)
     val statusd = uw
       .withColumn("first_w", min(col("week")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("prev_w", lag(col("week"), 1).over(byUser))
       .withColumn("next_w", lead(col("week"), 1).over(byUser))
       .crossJoin(broadcast(horizon))
+      .cutLineage()
     val ledger = statusd.groupBy(col("week"))
       .agg(
         sum(when(col("week") === col("first_w"), 1L).otherwise(0L)).as("n_new"),

@@ -365,6 +365,45 @@ class PlanSpec extends SparkSpec {
       s"no unbounded-preceding frame may touch event rows:\n$p")
   }
 
+  test("q202: the hourly census self-join reuses ONE events scan at runtime") {
+    // the pair join reads the same census twice; under AQE the second
+    // side must resolve to a ReusedExchange of the first census exchange
+    // (static explain over-counts scans — the q104 lesson), so the
+    // corpus is scanned once however many type pairs exist
+    val df = SparkEntry.queries("q202_rate_correlation")(spark, sf0001)
+    df.collect()
+    // the adaptive plan string appends the static "Initial Plan" section,
+    // which over-counts scans — cut it off before counting
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"census exchange must be reused by the b side:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected exactly one events scan at runtime, got $scans:\n$p")
+  }
+
+  test("q204: growth accounting is ONE user exchange feeding all three windows") {
+    val p = physicalPlan("q204_growth_accounting")
+    // the window frame is cutLineage-materialized ONCE (ledger + churn
+    // branches prune different columns, which would otherwise split the
+    // window and double-scan the grid — the q100/q104 lesson); below a
+    // cut the consumer plan carries ZERO Window nodes (the q172 rule)
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 0, s"window must sit below the lineage cut, got $windows:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0, s"both branches read the materialized grid, got $scans:\n$p")
+  }
+
+  test("q205: the Gini is census-telescoped — no user-sized sort window") {
+    val p = physicalPlan("q205_engagement_gini")
+    // the running rank start windows over the activity DISTRIBUTION
+    // (distinct levels), after TWO partial aggs; a user-sized global
+    // sort would show rangepartitioning over user rows
+    assert(p.contains("partial_count"), s"user census must map-side combine:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"one distribution window only, got $windows:\n$p")
+  }
+
   test("q169: canonical pick is a partial max-struct agg, no member window") {
     val p = physicalPlan("q169_canonical_pick")
     assert(p.contains("partial_max") || p.contains("partial_count"),
