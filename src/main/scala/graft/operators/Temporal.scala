@@ -898,15 +898,28 @@ object Temporal {
     * so a missing hour contributes exactly zero and state per row is ≤ K
     * structs. */
   def ewmaTrend(events: org.apache.spark.sql.DataFrame,
+      lags: Int = 8,
+      gridUs: Long = 3600000000L): org.apache.spark.sql.DataFrame =
+    ewmaFromCensus(
+      events.groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $gridUs").as("h"))
+        .agg(count(lit(1)).as("n")),
+      lags)
+
+  /** Scoring half of [[ewmaTrend]], factored so a STREAMING census
+    * (`EventStream.windowedCounts`' rows, win_start normalized to grid
+    * units) smooths sink-side — the rank-on-closed-windows split every
+    * monitor here uses (scoreRates, autocorrFromCensus, driftPerWindow):
+    * the streaming query keeps only the census aggregation and the
+    * smoothing is a batch pass over its bounded output. Input columns:
+    * (event_type, h, n) with h on an integer grid. */
+  def ewmaFromCensus(census: org.apache.spark.sql.DataFrame,
       lags: Int = 8): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(lags >= 1 && lags <= 62, s"lags must be in [1, 62] (got $lags)")
-    val hourUs = 3600000000L
     val byType = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rangeBetween(-(lags - 1L), 0)
-    events
-      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"))
-      .agg(count(lit(1)).as("n"))
+    census
       .withColumn("tl", collect_list(struct(col("h").as("hh"), col("n")))
         .over(byType))
       .select(col("event_type"), col("h"), col("n"),

@@ -184,6 +184,24 @@ class TemporalSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("ewmaFromCensus composes with the streaming census (batch/stream parity)") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_ewma_stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      Paths.get(s"$sf0001/events.parquet"))
+    val ev = graft.core.Tables.events(spark, sf0001)
+    val stream = graft.streaming.EventStream.readEvents(spark, dir.toString)
+    val census = graft.streaming.EventStream.runToMemory(spark,
+      graft.streaming.EventStream.windowedCounts(stream), "ewma_census")
+      .select(($"win_start" / 300L).cast("long").as("h"), $"event_type", $"n")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = rows(Temporal.ewmaFromCensus(census))
+    // batch twin over the SAME 5-minute grid
+    val batch = rows(Temporal.ewmaTrend(ev, gridUs = 300000000L))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("valueTrend: exact OLS on a planted line; constant series has NULL r2") {
     val hourUs = 3600000000L
     // 'up': y = 2x + 1 at hours 0..9 -> slope 2, intercept 1, r2 1
