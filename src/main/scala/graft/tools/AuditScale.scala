@@ -138,6 +138,18 @@ object AuditScale {
       time(s"q174 value drift ${r}x") {
         Temporal.valueDrift(ev).count()
       }
+      // r8 analytics tier: user-keyed window ledger, census self-join,
+      // distribution-telescoped Gini — the per-user / census bounds are
+      // the linearity claim this axis checks
+      time(s"q204 growth accounting ${r}x") {
+        Temporal.growthAccounting(ev).count()
+      }
+      time(s"q202 rate correlation ${r}x") {
+        Temporal.rateCorrelation(ev).count()
+      }
+      time(s"q205 engagement gini ${r}x") {
+        Temporal.engagementGini(ev).count()
+      }
       ev.unpersist()
     }
     spark.stop()
