@@ -734,6 +734,31 @@ object Dedup {
       .orderBy(col("thr_tenths"))
   }
 
+  /** Cluster language purity — the dedup-safety audit: a near-dup
+    * cluster whose members span LANGUAGES is usually a false merge
+    * (boilerplate shingles, template pages) and keep-one dedup would
+    * silently delete a language's copy. Census by distinct-language
+    * count per cluster (1 = pure); rides [[connectedComponents]] and
+    * the same partial-agg shapes as [[dedupRateBySource]] — the corpus
+    * never self-joins here. */
+  def clusterLangPurity(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs.select(col("a_id"), col("b_id")))
+      .select(col("node").as("doc_id"), col("label").as("rep_id"))
+    val perCluster = comp
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("lang")).as("n_langs"))
+    val census = perCluster.groupBy(col("n_langs"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_members")).as("n_docs"))
+    val tot = census.agg(sum(col("n_clusters")).as("c_tot"))
+    census.crossJoin(broadcast(tot))
+      .select(col("n_langs"), col("n_clusters"), col("n_docs"),
+        (floor(col("n_clusters").cast("double") / col("c_tot").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("cluster_share"))
+      .orderBy(col("n_langs"))
+  }
+
   /** q154 oracle helper: the q45 list-comprehension shingle spelling
     * generalized to n tokens. */
   private def shingleSql(n: Int): String = {
@@ -1307,6 +1332,58 @@ object Dedup {
              |SELECT rep_id, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS keep_chars,
              |  CAST(nm AS BIGINT) AS n_members
              |FROM sel WHERE rk = 1 ORDER BY rep_id""".stripMargin)),
+
+    // ---- q214: cluster language purity -------------------------------------
+    // Distinct-language census over the q66 components; the oracle
+    // chains the exact reachability CTE into the per-cluster lang
+    // census and the share.
+    QueryDef(
+      "q214_cluster_lang_purity",
+      (s, d) => {
+        val pairs = minhashLshPairs(Tables.documents(s, d), 4, 5)
+          .select(col("a_id"), col("b_id"))
+        clusterLangPurity(Tables.documents(s, d), pairs)
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |cd AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+             |pairs AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cd c
+             |  JOIN sz sa ON sa.doc_id = c.a_id
+             |  JOIN sz sb ON sb.doc_id = c.b_id
+             |  WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4),
+             |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+             |      UNION ALL SELECT b_id, a_id FROM pairs),
+             |reach(src, node) AS (
+             |  SELECT u, u FROM e
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+             |comp AS (SELECT src AS doc_id, min(node) AS rep_id
+             |         FROM reach GROUP BY src),
+             |pc AS (
+             |  SELECT c.rep_id, CAST(count(*) AS BIGINT) AS n_members,
+             |    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+             |  FROM comp c JOIN documents d USING (doc_id)
+             |  GROUP BY 1),
+             |census AS (
+             |  SELECT n_langs, CAST(count(*) AS BIGINT) AS n_clusters,
+             |    CAST(sum(n_members) AS BIGINT) AS n_docs
+             |  FROM pc GROUP BY 1)
+             |SELECT n_langs, n_clusters, n_docs,
+             |  floor(CAST(n_clusters AS DOUBLE) /
+             |    CAST((SELECT sum(n_clusters) FROM census) AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS cluster_share
+             |FROM census ORDER BY n_langs""".stripMargin)),
 
     // ---- q177: per-source dedup-rate report --------------------------------
     // Dataset-card provenance stat over q66's clusters; the oracle chains

@@ -360,6 +360,37 @@ object RelationalExt {
       .orderBy(col("o_orderpriority"), col("period"))
   }
 
+  /** Mix residual census — the cell-level view the q141-style chi-square
+    * scalar hides: for each (nation, priority) cell, observed orders vs
+    * the independence expectation row_tot·col_tot/grand, with the
+    * signed residual. Everything is census math on exact integer counts
+    * (the expectation's one division is floor-quantized); cells with
+    * zero observations still appear via the margins cross join (the
+    * q168 drive-from-expected rule — a nation that never places urgent
+    * orders is exactly the anomaly to surface). */
+  def mixResiduals(orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = orders.select(col("o_custkey"), col("o_orderpriority"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("o_orderpriority"))
+    val cells = base.groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("obs"))
+    val rows = cells.groupBy(col("c_nationkey")).agg(sum(col("obs")).as("row_tot"))
+    val cols = cells.groupBy(col("o_orderpriority")).agg(sum(col("obs")).as("col_tot"))
+    val grand = cells.agg(sum(col("obs")).as("grand"))
+    rows.crossJoin(broadcast(cols)).crossJoin(broadcast(grand))
+      .join(cells, Seq("c_nationkey", "o_orderpriority"), "left")
+      .na.fill(0L, Seq("obs"))
+      .select(col("c_nationkey"), col("o_orderpriority"), col("obs"),
+        (floor((col("row_tot") * col("col_tot")).cast("double") /
+          col("grand").cast("double") * 1e6 + lit(0.5)) / 1e6).as("expected"),
+        (floor((col("obs").cast("double") -
+          (col("row_tot") * col("col_tot")).cast("double") /
+            col("grand").cast("double")) * 1e6 + lit(0.5)) / 1e6).as("residual"))
+      .orderBy(col("c_nationkey"), col("o_orderpriority"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q152: single-pass correlation matrix ------------------------------
@@ -836,5 +867,37 @@ object RelationalExt {
              |  floor(CAST(n_on_time AS DOUBLE) / CAST(n_lines AS DOUBLE)
              |    * 1e6 + 0.5) / 1e6 AS sla_share
              |FROM census ORDER BY o_orderpriority, period""".stripMargin)),
+
+    // ---- q215: order-mix residual census -----------------------------------
+    // Observed vs independence-expected orders per (nation, priority)
+    // cell, zero cells surfaced via the margins product; the oracle
+    // replays the censuses and the quantized expectation/residual.
+    QueryDef(
+      "q215_mix_residuals",
+      (s, d) => mixResiduals(Tables.orders(s, d), Tables.customer(s, d)),
+      Some("""WITH base AS (
+             |  SELECT c.c_nationkey, o.o_orderpriority
+             |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+             |cells AS (
+             |  SELECT c_nationkey, o_orderpriority, CAST(count(*) AS BIGINT) AS obs
+             |  FROM base GROUP BY 1, 2),
+             |rt AS (SELECT c_nationkey, CAST(sum(obs) AS BIGINT) AS row_tot
+             |       FROM cells GROUP BY 1),
+             |ct AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS col_tot
+             |       FROM cells GROUP BY 1),
+             |g AS (SELECT CAST(sum(obs) AS BIGINT) AS grand FROM cells)
+             |SELECT rt.c_nationkey, ct.o_orderpriority,
+             |  CAST(coalesce(cells.obs, 0) AS BIGINT) AS obs,
+             |  floor(CAST(rt.row_tot * ct.col_tot AS DOUBLE) /
+             |    CAST((SELECT grand FROM g) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS expected,
+             |  floor((CAST(coalesce(cells.obs, 0) AS DOUBLE) -
+             |    CAST(rt.row_tot * ct.col_tot AS DOUBLE) /
+             |    CAST((SELECT grand FROM g) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             |    AS residual
+             |FROM rt CROSS JOIN ct
+             |LEFT JOIN cells ON cells.c_nationkey = rt.c_nationkey
+             |  AND cells.o_orderpriority = ct.o_orderpriority
+             |ORDER BY rt.c_nationkey, ct.o_orderpriority""".stripMargin)),
   )
 }

@@ -461,6 +461,27 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Term burstiness — Church's cf/df ratio: terms whose occurrences
+    * POOL inside few documents (boilerplate, code blocks, navigation
+    * chrome) versus terms spread evenly. One (doc, term) census (the
+    * only corpus-sized stage), a term census derived from it, a df
+    * floor to kill one-doc noise, TakeOrdered top-k on the quantized
+    * exact cf/df rational (ties → term order). */
+  def termBurstiness(docs: DataFrame, minDf: Long = 3,
+      topK: Int = 50): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    dt.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"),
+        (floor(col("cf").cast("double") / col("df").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(topK)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q155: out-of-vocabulary rate per source ---------------------------
@@ -924,6 +945,29 @@ object TextAnalysis {
              |  floor(CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) * 1e6 + 0.5) / 1e6
              |    AS ks
              |FROM mx ORDER BY source_a, source_b""".stripMargin)),
+
+    // ---- q216: term burstiness (cf/df concentration) -----------------------
+    // Top-50 terms by occurrences-per-containing-doc with a df floor;
+    // the oracle replays both censuses, the floor, the quantized ratio,
+    // and the (burstiness desc, term) head.
+    QueryDef(
+      "q216_term_burstiness",
+      (s, d) => termBurstiness(Tables.documents(s, d)),
+      Some("""WITH dt AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |dtc AS (
+             |  SELECT doc_id, term, count(*) AS c FROM dt GROUP BY 1, 2),
+             |tc AS (
+             |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+             |    CAST(sum(c) AS BIGINT) AS cf
+             |  FROM dtc GROUP BY 1 HAVING count(*) >= 3)
+             |SELECT term, df, cf,
+             |  floor(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS burstiness
+             |FROM tc
+             |ORDER BY burstiness DESC, term
+             |LIMIT 50""".stripMargin)),
   )
 
   /** Shared gate constants + DuckDB oracle for q109 (single source of

@@ -402,6 +402,19 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet == Set(3L, 5L, 7L, 9L))
   }
 
+  test("clusterLangPurity: a cross-language merge is censused as impure") {
+    val docs = Seq(
+      (1L, "en"), (2L, "en"),       // pure en cluster
+      (3L, "en"), (4L, "zh"),       // MIXED cluster -> the audit signal
+      (5L, "es")                    // unpaired doc: not in any cluster
+    ).toDF("doc_id", "lang")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.clusterLangPurity(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(1L -> ((1L, 2L, 0.5)), 2L -> ((1L, 2L, 0.5))), s"got $out")
+  }
+
   test("canonicalPick: FRACTIONAL scores rank on the micro grid, not a truncating cast") {
     // quality scores in [0,1] — a bare long cast sent all of these to 0
     // and the pick degenerated to keep-min-id; the micro-grid rank keeps

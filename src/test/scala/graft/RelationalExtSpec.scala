@@ -291,6 +291,25 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("5-LOW") == ((1L, 1.0)), s"got $out")
   }
 
+  test("mixResiduals: independence expectations, signed residuals, zero cells surface") {
+    import spark.implicits._
+    // nation 1: 3xA + 1xB; nation 2: 1xA + 3xB; nation 3: 2xA only
+    val ord = (Seq.fill(3)((1L, "A")) ++ Seq((1L, "B")) ++ Seq((2L, "A")) ++
+      Seq.fill(3)((2L, "B")) ++ Seq.fill(2)((3L, "A")))
+      .zipWithIndex.map { case ((c, p), i) => (i.toLong, c, p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val cust = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("c_custkey", "c_nationkey")
+    val out = graft.operators.RelationalExt.mixResiduals(ord, cust).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // grand 10, rows 4/4/2, cols A=6 B=4
+    assert(out((10L, "A")) == ((3L, 2.4, 0.6)), s"got $out")
+    assert(out((20L, "A")) == ((1L, 2.4, -1.4)), s"got $out")
+    // the ZERO cell (nation 3 never files B) appears with its expectation
+    assert(out((30L, "B")) == ((0L, 0.8, -0.8)), s"got $out")
+    assert(out.size == 6)
+  }
+
   test("integrityAudit: planted orphans and duplicate keys are counted") {
     import spark.implicits._
     // order 99 is referenced by a lineitem but missing; order 2 appears

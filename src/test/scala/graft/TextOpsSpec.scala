@@ -210,6 +210,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(("sa", "sc")) == 0.0, s"got $out") // identical [1,1,2]
   }
 
+  test("termBurstiness: pooled terms rank above spread terms, df floor holds") {
+    val docs = Seq(
+      (1L, "z z z z a"), (2L, "z z z z a"),   // z pools: df 2, cf 8
+      (3L, "a b"), (4L, "b c")                // a spread: df 3, cf 3
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.termBurstiness(docs, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head == (("z", 2L, 8L, 4.0)), s"got ${out.toSeq}")
+    assert(out.map(_._1).contains("a") && !out.map(_._1).contains("c"),
+      s"df floor must drop one-doc terms: ${out.toSeq}")
+    val aRow = out.find(_._1 == "a").get
+    assert(aRow == (("a", 3L, 3L, 1.0)), s"got $aRow")
+  }
+
   test("qualityDecileCensus: counts conserve, shares sum to 1, deciles ordered by score") {
     // 40 docs over two sources with a quality gradient (token count drives
     // the length term); exact decile values ride bisectQuantiles' own spec
