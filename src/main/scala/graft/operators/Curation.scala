@@ -603,6 +603,52 @@ object Curation {
     ("table", "hash"), ("a", "a"),
     ("table hash", "part"), ("table hash", "scan"), ("table hash", "table"))
 
+  /** Per-source BPE compression census — the tokenizer-fit audit: how
+    * much each source's token stream shrinks under a merge list. A
+    * source that barely compresses speaks a different distribution than
+    * the merges were trained on (code vs prose, another language) and
+    * inflates its token bill. One pass of the native single-sweep
+    * encode ([[graft.expressions.BpeEncodeExpr]] — plan-literal merges,
+    * no shuffle), then a per-source partial agg; the ratio is a
+    * quantized exact rational of two long sums. */
+  def bpeCompressionCensus(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    docs.select(col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("before"),
+        size(graft.expressions.BpeEncodeExpr.encode(
+          TextOps.tokens(col("text")), merges)).cast("long").as("after"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("before")).as("tok_before"),
+        sum(col("after")).as("tok_after"))
+      .select(col("source"), col("n_docs"), col("tok_before"), col("tok_after"),
+        (floor(col("tok_after").cast("double") / col("tok_before").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("compression"))
+      .orderBy(col("source"))
+  }
+
+  /** q219 oracle: the q123 chained rewrite passes aggregated per source. */
+  private def bpeCompressionOracle(merges: Seq[(String, String)]): String =
+    "WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)," +
+      merges.zipWithIndex.map { case ((w1, w2), k) => bpeApplySql(k, w1, w2) }
+        .mkString(",") +
+      s"""
+       |, fin AS (SELECT doc_id, len(t) AS after FROM tok${merges.length}),
+       |base AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS before
+       |  FROM documents),
+       |agg AS (
+       |  SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(b.before) AS BIGINT) AS tok_before,
+       |    CAST(sum(f.after) AS BIGINT) AS tok_after
+       |  FROM base b JOIN fin f USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT source, n_docs, tok_before, tok_after,
+       |  floor(CAST(tok_after AS DOUBLE) / CAST(tok_before AS DOUBLE)
+       |    * 1e6 + 0.5) / 1e6 AS compression
+       |FROM agg ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q69: per-domain frequency capping ---------------------------------
@@ -1040,5 +1086,13 @@ object Curation {
           array_join(col("t"), "\u0001").as("toks"))
         .orderBy(col("doc_id")),
       Some(bpeEncodeOracle(EncodeMerges))),
+
+    // ---- q219: per-source BPE compression census ---------------------------
+    // The q123 encode aggregated per source; the oracle chains the same
+    // literal rewrite passes into a per-source census.
+    QueryDef(
+      "q219_bpe_compression",
+      (s, d) => bpeCompressionCensus(Tables.documents(s, d), EncodeMerges),
+      Some(bpeCompressionOracle(EncodeMerges))),
   )
 }

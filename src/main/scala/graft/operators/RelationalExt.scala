@@ -391,6 +391,49 @@ object RelationalExt {
       .orderBy(col("c_nationkey"), col("o_orderpriority"))
   }
 
+  /** Forecast-baseline quality — the MASE-style "is there seasonality
+    * worth modeling" audit: per brand, the naive forecast (last period)
+    * and seasonal-naive forecast (12 periods back) absolute errors over
+    * exactly the periods where BOTH baselines exist (same comparison
+    * set, or the ratio lies). Errors are exact integer quantity sums;
+    * the ratio seasonal/naive is one quantized division (< 1 means the
+    * seasonal baseline wins and a seasonal model is worth it). Rides
+    * the q196 period census; the error joins are census-sized
+    * self-joins on (brand, period±k). */
+  def forecastBaseline(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      part: org.apache.spark.sql.DataFrame,
+      seasonLag: Int = 12): org.apache.spark.sql.DataFrame = {
+    val dayUs = 86400000000L
+    val cells = lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("qty"))
+      .join(orders.select(col("o_orderkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div ${dayUs * 30}")
+          .as("period")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("period"))
+      .agg(sum(col("qty")).as("qty"))
+    val naive = cells.select(col("p_brand"), (col("period") + 1).as("period"),
+      col("qty").as("q_naive"))
+    val seas = cells.select(col("p_brand"),
+      (col("period") + seasonLag).as("period"), col("qty").as("q_seas"))
+    cells
+      .join(naive, Seq("p_brand", "period"))
+      .join(seas, Seq("p_brand", "period"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_periods"),
+        sum(abs(col("qty") - col("q_naive"))).as("e_naive"),
+        sum(abs(col("qty") - col("q_seas"))).as("e_seas"))
+      .select(col("p_brand"), col("n_periods"), col("e_naive"), col("e_seas"),
+        (floor(col("e_seas").cast("double") /
+          nullif(col("e_naive").cast("double"), lit(0.0)) * 1e6 + lit(0.5))
+          / 1e6).as("mase_ratio"))
+      .orderBy(col("p_brand"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q152: single-pass correlation matrix ------------------------------
@@ -899,5 +942,39 @@ object RelationalExt {
              |LEFT JOIN cells ON cells.c_nationkey = rt.c_nationkey
              |  AND cells.o_orderpriority = ct.o_orderpriority
              |ORDER BY rt.c_nationkey, ct.o_orderpriority""".stripMargin)),
+
+    // ---- q218: forecast-baseline quality (naive vs seasonal-naive) ---------
+    // Per-brand MASE-style error ratio over the common comparison set;
+    // the oracle replays the period census, both shifted self-joins, and
+    // the quantized ratio.
+    QueryDef(
+      "q218_forecast_baseline",
+      (s, d) => forecastBaseline(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d)),
+      Some("""WITH cells AS MATERIALIZED (
+             |  SELECT p.p_brand,
+             |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 2592000000000
+             |      AS period,
+             |    CAST(sum(CAST(floor(l.l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT))
+             |      AS BIGINT) AS qty
+             |  FROM lineitem l
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  JOIN part p ON p.p_partkey = l.l_partkey
+             |  GROUP BY 1, 2),
+             |j AS (
+             |  SELECT c.p_brand, c.qty, n.qty AS q_naive, s.qty AS q_seas
+             |  FROM cells c
+             |  JOIN cells n ON n.p_brand = c.p_brand AND n.period = c.period - 1
+             |  JOIN cells s ON s.p_brand = c.p_brand AND s.period = c.period - 12),
+             |agg AS (
+             |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_periods,
+             |    CAST(sum(abs(qty - q_naive)) AS BIGINT) AS e_naive,
+             |    CAST(sum(abs(qty - q_seas)) AS BIGINT) AS e_seas
+             |  FROM j GROUP BY 1)
+             |SELECT p_brand, n_periods, e_naive, e_seas,
+             |  floor(CAST(e_seas AS DOUBLE) /
+             |    nullif(CAST(e_naive AS DOUBLE), CAST(0 AS DOUBLE))
+             |    * 1e6 + 0.5) / 1e6 AS mase_ratio
+             |FROM agg ORDER BY p_brand""".stripMargin)),
   )
 }

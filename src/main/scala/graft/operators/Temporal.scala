@@ -1295,6 +1295,90 @@ object Temporal {
       .orderBy(col("decile"))
   }
 
+  /** q217 oracle: the q118 census row-normalized, then `steps` absorption
+    * rounds as MATERIALIZED CTEs. */
+  private def absorptionOracle(steps: Int): String = {
+    def round(k: Int): String =
+      s"""v$k AS MATERIALIZED (
+         |  SELECT ty.t,
+         |    CASE WHEN ty.t = 'purchase' THEN CAST(1.0 AS DOUBLE)
+         |         ELSE coalesce(f.s, CAST(0.0 AS DOUBLE)) END AS p_abs
+         |  FROM ty LEFT JOIN (
+         |    SELECT pm.t, sum(pm.p * v${k - 1}.p_abs) AS s
+         |    FROM pm JOIN v${k - 1} ON v${k - 1}.t = pm.next
+         |    GROUP BY 1) f ON f.t = ty.t)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+       |  FROM events),
+       |l AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+       |      AS prev
+       |  FROM ev),
+       |c AS (
+       |  SELECT prev, event_type, count(*) AS n
+       |  FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |pm AS MATERIALIZED (
+       |  SELECT prev AS t, event_type AS next,
+       |    n / sum(n) OVER (PARTITION BY prev) AS p
+       |  FROM c),
+       |ty AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
+       |v0 AS MATERIALIZED (
+       |  SELECT t, CASE WHEN t = 'purchase' THEN CAST(1.0 AS DOUBLE)
+       |            ELSE CAST(0.0 AS DOUBLE) END AS p_abs
+       |  FROM ty),""".stripMargin +
+      (1 to steps).map(round).mkString(",") + s"""
+       |SELECT t AS event_type, round(p_abs, 6) AS p_absorb
+       |FROM v$steps ORDER BY event_type""".stripMargin
+  }
+
+  /** k-step purchase absorption — the q118 transition matrix put to
+    * work: starting from each event type, the probability of reaching a
+    * purchase within `steps` transitions, with purchase absorbing.
+    * v₀ = 1_{purchase}; vₖ₊₁(t) = Σ_next P(t→next)·vₖ(next), purchase
+    * pinned to 1. Every iteration is a ≤|types|²-row broadcast join +
+    * partial agg, lineage-cut per round (the iterative-census contract —
+    * q97/q145); types with no outgoing transitions keep their v₀ (no
+    * mass to move). Sums are short noise-dominated double dags →
+    * round(6) on output (the q97 rule, not the floor grid). */
+  def purchaseAbsorption(events: org.apache.spark.sql.DataFrame,
+      steps: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Lineage.CutOps
+    require(steps >= 1 && steps <= 16, s"bad steps=$steps")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val pm = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev"))).cast("double"))
+      .select(col("prev").as("t"), col("event_type").as("next"), col("p"))
+      .cutLineage()
+    val types = events.select(col("event_type").as("t")).distinct().cutLineage()
+    var v = types.select(col("t"),
+      when(col("t") === "purchase", 1.0).otherwise(0.0).as("p_abs"))
+      .cutLineage()
+    var k = 0
+    while (k < steps) {
+      val folded = pm
+        .join(v.select(col("t").as("next"), col("p_abs").as("vp")), Seq("next"))
+        .groupBy(col("t")).agg(sum(col("p") * col("vp")).as("s"))
+      v = types.join(broadcast(folded), Seq("t"), "left")
+        .select(col("t"),
+          when(col("t") === "purchase", 1.0)
+            .otherwise(coalesce(col("s"), lit(0.0))).as("p_abs"))
+        .cutLineage()
+      k += 1
+    }
+    v.select(col("t").as("event_type"), round(col("p_abs"), 6).as("p_absorb"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q163: per-type value trend (grouped OLS) --------------------------
@@ -2741,6 +2825,18 @@ object Temporal {
              |    CAST((SELECT sum(n_purchases) FROM census) AS DOUBLE)
              |    * 1e6 + 0.5) / 1e6 AS share
              |FROM census ORDER BY band""".stripMargin)),
+
+    // ---- q217: k-step purchase absorption ----------------------------------
+    // 4 fixed rounds of v <- P v with purchase absorbing, over the q118
+    // transition census; the oracle replays the census, the row-
+    // normalization, and every round as MATERIALIZED CTEs (the q145
+    // inlining rule).
+    QueryDef(
+      "q217_purchase_absorption",
+      (s, d) => purchaseAbsorption(Tables.events(s, d)),
+      Some(absorptionOracle(4)),
+      // headline: the iterative-census contract gains an events consumer
+      headline = true),
 
     // ---- q212: conversion by engagement decile ------------------------------
     // Global activity deciles via the bisection (nine literals), buyer

@@ -503,4 +503,18 @@ class CurationSpec extends SparkSpec {
     val exact = docs.select(graft.functions.TextOps.fingerprint($"text")).distinct().count()
     assert(math.abs(est / exact - 1.0) < 0.3, s"est $est vs exact $exact")
   }
+
+  test("bpeCompressionCensus: cascade merges compress, foreign text does not") {
+    val docs = Seq(
+      (1L, "sa", "table hash part"),   // cascades to ONE token via merges 0+2
+      (2L, "sa", "table hash"),        // one merge -> 1 token
+      (3L, "sb", "foreign words only") // no merge applies
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Curation
+      .bpeCompressionCensus(docs, graft.operators.Curation.EncodeMerges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("sa") == ((2L, 5L, 2L, 0.4)), s"got $out")
+    assert(out("sb") == ((1L, 3L, 3L, 1.0)), s"got $out")
+  }
 }

@@ -310,6 +310,25 @@ class RelationalExtSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("forecastBaseline: a perfectly seasonal series scores ratio 0") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // qty alternates 10/20 by period parity over periods 0..13; the
+    // season lag (12, even) preserves parity -> e_seas = 0 while the
+    // naive error is 10 per compared period
+    val li = (0L to 13L).map(p => (p, 100L, if (p % 2 == 0) 10.0 else 20.0))
+      .toDF("pp", "l_partkey", "l_quantity")
+      .withColumn("l_orderkey", $"pp")
+    val ord = (0L to 13L).map(p => (p, p * 30 * dayUs)).toDF("o_orderkey", "t")
+      .select($"o_orderkey", timestamp_micros($"t").as("o_orderdate"))
+    val part = Seq((100L, "BrandA")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.RelationalExt
+      .forecastBaseline(li.drop("pp"), ord, part).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("BrandA") == ((2L, 20L, 0L, 0.0)), s"got $out")
+  }
+
   test("integrityAudit: planted orphans and duplicate keys are counted") {
     import spark.implicits._
     // order 99 is referenced by a lineitem but missing; order 2 appears

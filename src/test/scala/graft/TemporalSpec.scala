@@ -771,6 +771,20 @@ class TemporalSpec extends SparkSpec {
     assert(out.filter(_._1 < 9L).values.forall(_._2 == 0L), s"got $out")
   }
 
+  test("purchaseAbsorption: the geometric closed form on a two-state chain") {
+    // u1: view -> purchase; u2: view -> view. P(view->purchase) = 0.5,
+    // so 4-step absorption from view = 1 - 0.5^4 = 0.9375; purchase = 1
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "purchase", 1L),
+      (2L, "view", 0L), (2L, "view", 1L))
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val out = graft.operators.Temporal.purchaseAbsorption(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("view" -> 0.9375, "purchase" -> 1.0), s"got $out")
+  }
+
   test("shipLagQuantiles: exact day-gap order statistics per priority") {
     val dayUs = 86400000000L
     val orders = Seq((1L, 0L, "1-URGENT"))
