@@ -434,6 +434,31 @@ object RelationalExt {
       .orderBy(col("p_brand"))
   }
 
+  /** Basket-size dispersion — the order-shape audit: per-order line
+    * counts censused to a distribution, then the dispersion index
+    * Var/Mean spelled with the q192 integer numerator
+    * (m·Σc² − (Σc)²)/(m·Σc) — ~1 for Poisson-shaped baskets, ≫ 1 when
+    * a few mega-orders dominate (the salting/maxBasket early-warning
+    * for every per-order fan-out here, q165 included). Two partial-agg
+    * censuses; output is the distribution plus a one-row summary folded
+    * in via a broadcast cross join. */
+  def basketDispersion(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perOrder = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("c"))
+    val dist = perOrder.groupBy(col("c")).agg(count(lit(1)).as("n_orders"))
+    val mo = dist.agg(sum(col("n_orders")).as("m"),
+      sum(col("c") * col("n_orders")).as("sc"),
+      sum(col("c") * col("c") * col("n_orders")).as("scc"))
+    dist.crossJoin(broadcast(mo))
+      .select(col("c").as("n_lines"), col("n_orders"),
+        (floor(col("n_orders").cast("double") / col("m").cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("order_share"),
+        (floor((col("m") * col("scc") - col("sc") * col("sc")).cast("double") /
+          (col("m") * col("sc")).cast("double") * 1e6 + lit(0.5)) / 1e6)
+          .as("dispersion"))
+      .orderBy(col("n_lines"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q152: single-pass correlation matrix ------------------------------
@@ -976,5 +1001,32 @@ object RelationalExt {
              |    nullif(CAST(e_naive AS DOUBLE), CAST(0 AS DOUBLE))
              |    * 1e6 + 0.5) / 1e6 AS mase_ratio
              |FROM agg ORDER BY p_brand""".stripMargin)),
+
+    // ---- q221: basket-size dispersion --------------------------------------
+    // Per-order line-count distribution with the integer-exact
+    // dispersion index; the oracle replays both censuses and the
+    // rationals.
+    QueryDef(
+      "q221_basket_dispersion",
+      (s, d) => basketDispersion(Tables.lineitem(s, d)),
+      Some("""WITH po AS (
+             |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1),
+             |dist AS (SELECT c, CAST(count(*) AS BIGINT) AS n_orders
+             |         FROM po GROUP BY 1),
+             |mo AS (
+             |  SELECT CAST(sum(n_orders) AS BIGINT) AS m,
+             |    CAST(sum(c * n_orders) AS BIGINT) AS sc,
+             |    CAST(sum(c * c * n_orders) AS BIGINT) AS scc
+             |  FROM dist)
+             |SELECT dist.c AS n_lines, dist.n_orders,
+             |  floor(CAST(dist.n_orders AS DOUBLE) /
+             |    CAST((SELECT m FROM mo) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS order_share,
+             |  floor(CAST((SELECT m FROM mo) * (SELECT scc FROM mo)
+             |      - (SELECT sc FROM mo) * (SELECT sc FROM mo) AS DOUBLE) /
+             |    CAST((SELECT m FROM mo) * (SELECT sc FROM mo) AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS dispersion
+             |FROM dist ORDER BY n_lines""".stripMargin)),
   )
 }

@@ -482,6 +482,46 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Cross-source vocabulary overlap — the dialect-similarity matrix:
+    * each source's top-K token types (by in-source frequency, ties →
+    * token order, WindowGroupLimit-pruned rank over the (source, token)
+    * census), pairwise-intersected. High overlap between a "new" crawl
+    * and an existing source flags redundant acquisition; low overlap
+    * against every peer flags an outlier dialect (code, another
+    * language). Frames after the census are ≤ sources·K rows; the pair
+    * join is head-to-head on the token key (the q154 pair
+    * discipline). */
+  def vocabOverlap(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("tok"))
+    val heads = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("source"), col("tok"))
+    val sizes = heads.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = heads.select(col("source").as("source_a"), col("tok"))
+      .join(heads.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // drive from the PAIR PRODUCT (sources are the bounded axis): a
+    // fully-disjoint dialect pair must report jaccard 0, not vanish
+    // from the matrix (the q168 inner-join lesson)
+    sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (floor(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")
+          * 1e6 + lit(0.5)) / 1e6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q155: out-of-vocabulary rate per source ---------------------------
@@ -968,6 +1008,42 @@ object TextAnalysis {
              |FROM tc
              |ORDER BY burstiness DESC, term
              |LIMIT 50""".stripMargin)),
+
+    // ---- q220: cross-source vocabulary overlap -----------------------------
+    // Top-1000 per-source vocab heads pairwise-intersected, quantized
+    // Jaccard over actual head sizes; the oracle replays the census,
+    // the per-source rank, and the pair join.
+    QueryDef(
+      "q220_vocab_overlap",
+      (s, d) => vocabOverlap(Tables.documents(s, d)),
+      Some("""WITH c AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |census AS (
+             |  SELECT source, tok, count(*) AS freq FROM c GROUP BY 1, 2),
+             |heads AS (
+             |  SELECT source, tok FROM (
+             |    SELECT source, tok,
+             |      row_number() OVER (PARTITION BY source
+             |        ORDER BY freq DESC, tok) AS rk
+             |    FROM census) WHERE rk <= 1000),
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |       FROM heads GROUP BY 1),
+             |inter AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM heads a JOIN heads b
+             |    ON a.tok = b.tok AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT sa.source AS source_a, sb.source AS source_b,
+             |  CAST(coalesce(i.n_shared, 0) AS BIGINT) AS n_shared,
+             |  floor(CAST(coalesce(i.n_shared, 0) AS DOUBLE) /
+             |    CAST(sa.n + sb.n - coalesce(i.n_shared, 0) AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS jaccard
+             |FROM sz sa JOIN sz sb ON sa.source < sb.source
+             |LEFT JOIN inter i
+             |  ON i.source_a = sa.source AND i.source_b = sb.source
+             |ORDER BY source_a, source_b""".stripMargin)),
   )
 
   /** Shared gate constants + DuckDB oracle for q109 (single source of

@@ -329,6 +329,20 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("BrandA") == ((2L, 20L, 0L, 0.0)), s"got $out")
   }
 
+  test("basketDispersion: mega-basket skew pushes the index far above 1") {
+    import spark.implicits._
+    // 9 single-line orders + one 11-line order: m=10, sc=20, scc=130
+    // -> D = (1300 - 400)/200 = 4.5
+    val li = ((1L to 9L).map(o => (o, 1)) ++ Seq((10L, 11))).flatMap {
+      case (o, c) => Seq.fill(c)(o)
+    }.toDF("l_orderkey")
+    val out = graft.operators.RelationalExt.basketDispersion(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((9L, 0.9, 4.5)), s"got $out")
+    assert(out(11L) == ((1L, 0.1, 4.5)), s"got $out")
+  }
+
   test("integrityAudit: planted orphans and duplicate keys are counted") {
     import spark.implicits._
     // order 99 is referenced by a lineitem but missing; order 2 appears

@@ -224,6 +224,18 @@ class TextOpsSpec extends SparkSpec {
     assert(aRow == (("a", 3L, 3L, 1.0)), s"got $aRow")
   }
 
+  test("vocabOverlap: shared heads intersect, disjoint dialects score 0") {
+    val docs = Seq(
+      (1L, "sa", "a b c"), (2L, "sb", "a b d"), (3L, "sc", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.vocabOverlap(docs, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // sa head {a,b,c}, sb head {a,b,d}: shared 2, union 4 -> 0.5
+    assert(out(("sa", "sb")) == ((2L, 0.5)), s"got $out")
+    assert(out(("sa", "sc"))._1 == 0L && out(("sa", "sc"))._2 == 0.0, s"got $out")
+  }
+
   test("qualityDecileCensus: counts conserve, shares sum to 1, deciles ordered by score") {
     // 40 docs over two sources with a quality gradient (token count drives
     // the length term); exact decile values ride bisectQuantiles' own spec
