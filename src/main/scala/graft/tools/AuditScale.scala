@@ -124,6 +124,19 @@ object AuditScale {
         TextAnalysis.docKeywords(docs).count()
       }
       docs.unpersist()
+      // r8 text-census tier on the same doc axis: sources stay fixed, so
+      // the KS/overlap pair frames are census-bounded — the claim under test
+      val docsS = (0 until r).map(i => Tables.documents(spark, sfDir)
+          .select((col("doc_id") + lit(i * nd)).as("doc_id"), col("text"),
+            col("source")))
+        .reduce(_ union _).repartition(32).localCheckpoint(true)
+      time(s"q200 length KS ${r}x") {
+        TextAnalysis.lengthKs(docsS).count()
+      }
+      time(s"q220 vocab overlap ${r}x") {
+        TextAnalysis.vocabOverlap(docsS).count()
+      }
+      docsS.unpersist()
       val ev = (0 until r).map(i => evBase
           .select(col("event_id"), col("ts"),
             (col("user_id") + lit(i * nu)).as("user_id"),
