@@ -459,6 +459,40 @@ object RelationalExt {
       .orderBy(col("n_lines"))
   }
 
+  /** Supplier lead-time trend — "who is getting slower": per supplier,
+    * OLS slope of the ship gap (integer days) against the 30-day period
+    * index — BOTH axes integer grids, so the moment sums are exact longs
+    * and the slope a quantized rational (days of added lag per period).
+    * Volume-floored (m ≥ minLines) and TakeOrdered on (slope desc, key):
+    * the worst-degrading suppliers surface first without a global sort.
+    * One co-partitioned order-key join + one supplier census. */
+  def leadTimeTrend(lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      minLines: Long = 20, topK: Int = 25): org.apache.spark.sql.DataFrame = {
+    val dayUs = 86400000000L
+    val pts = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("st"))
+      .join(orders.select(col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("ot")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        expr(s"ot div ${dayUs * 30}").as("x"),
+        expr(s"(st - ot) div $dayUs").as("y"))
+    pts.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("m") >= minLines)
+      .select(col("l_suppkey"), col("m"),
+        (floor((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            lit(0.0)) * 1e6 + lit(0.5)) / 1e6).as("slope"))
+      .orderBy(col("slope").desc, col("l_suppkey"))
+      .limit(topK)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q152: single-pass correlation matrix ------------------------------
@@ -1028,5 +1062,30 @@ object RelationalExt {
              |    CAST((SELECT m FROM mo) * (SELECT sc FROM mo) AS DOUBLE)
              |    * 1e6 + 0.5) / 1e6 AS dispersion
              |FROM dist ORDER BY n_lines""".stripMargin)),
+
+    // ---- q223: supplier lead-time trend ------------------------------------
+    // Volume-floored per-supplier OLS slope of ship gap on the period
+    // grid, worst 25 first; the oracle replays the grids, the moments,
+    // and the (slope desc, key) head.
+    QueryDef(
+      "q223_leadtime_trend",
+      (s, d) => leadTimeTrend(Tables.lineitem(s, d), Tables.orders(s, d)),
+      Some("""WITH pts AS (
+             |  SELECT l.l_suppkey,
+             |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 2592000000000 AS x,
+             |    (epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+             |     - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) // 86400000000 AS y
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+             |mo AS (
+             |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM pts GROUP BY 1 HAVING count(*) >= 20)
+             |SELECT l_suppkey, m,
+             |  floor(CAST(m * sxy - sx * sy AS DOUBLE) /
+             |    nullif(CAST(m * sxx - sx * sx AS DOUBLE), CAST(0 AS DOUBLE))
+             |    * 1e6 + 0.5) / 1e6 AS slope
+             |FROM mo ORDER BY slope DESC, l_suppkey
+             |LIMIT 25""".stripMargin)),
   )
 }

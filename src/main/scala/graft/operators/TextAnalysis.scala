@@ -424,9 +424,9 @@ object TextAnalysis {
     * |cum1·n2 − cum2·n1| (exact longs — the single division happens once
     * per pair at the end). Every frame is census-sized: distinct lengths
     * × source pairs; sources are bounded (the q154 pair discipline). */
-  def lengthKs(docs: DataFrame): DataFrame = {
+  def lengthKs(docs: DataFrame, groupCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lens = docs.select(col("source"),
+    val lens = docs.select(col(groupCol).as("source"),
       graft.functions.TextOps.tokenCount(col("text")).cast("long").as("len"))
       .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
     val totals = lens.groupBy(col("source")).agg(sum(col("c")).as("n"))
@@ -1008,6 +1008,51 @@ object TextAnalysis {
              |FROM tc
              |ORDER BY burstiness DESC, term
              |LIMIT 50""".stripMargin)),
+
+    // ---- q222: length KS by language ---------------------------------------
+    // The q200 machinery re-keyed on lang (the groupCol parameter): a
+    // language whose length distribution diverges from its peers was
+    // truncated or chunked differently in ingestion. Oracle = the q200
+    // replay over lang.
+    QueryDef(
+      "q222_length_ks_by_lang",
+      (s, d) => lengthKs(Tables.documents(s, d), groupCol = "lang")
+        .select(col("source_a").as("lang_a"), col("source_b").as("lang_b"),
+          col("n1"), col("n2"), col("ks")),
+      Some("""WITH lens AS (
+             |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM lens GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.lang AS sa, b.lang AS sb
+             |  FROM tot a JOIN tot b ON a.lang < b.lang),
+             |pts AS (
+             |  SELECT DISTINCT p.sa, p.sb, l.len
+             |  FROM pairs p JOIN lens l ON l.lang = p.sa OR l.lang = p.sb),
+             |merged AS (
+             |  SELECT pts.sa, pts.sb, pts.len,
+             |    coalesce(a.c, 0) AS c1, coalesce(b.c, 0) AS c2
+             |  FROM pts
+             |  LEFT JOIN lens a ON a.lang = pts.sa AND a.len = pts.len
+             |  LEFT JOIN lens b ON b.lang = pts.sb AND b.len = pts.len),
+             |cum AS (
+             |  SELECT sa, sb, len,
+             |    sum(c1) OVER (PARTITION BY sa, sb ORDER BY len
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             |    sum(c2) OVER (PARTITION BY sa, sb ORDER BY len
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+             |  FROM merged),
+             |mx AS (
+             |  SELECT c.sa, c.sb, ta.n AS n1, tb.n AS n2,
+             |    CAST(max(abs(c.cum1 * tb.n - c.cum2 * ta.n)) AS BIGINT) AS num
+             |  FROM cum c JOIN tot ta ON ta.lang = c.sa
+             |             JOIN tot tb ON tb.lang = c.sb
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT sa AS lang_a, sb AS lang_b, n1, n2,
+             |  floor(CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) * 1e6 + 0.5) / 1e6
+             |    AS ks
+             |FROM mx ORDER BY lang_a, lang_b""".stripMargin)),
 
     // ---- q220: cross-source vocabulary overlap -----------------------------
     // Top-1000 per-source vocab heads pairwise-intersected, quantized

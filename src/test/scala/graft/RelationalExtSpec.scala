@@ -343,6 +343,28 @@ class RelationalExtSpec extends SparkSpec {
     assert(out(11L) == ((1L, 0.1, 4.5)), s"got $out")
   }
 
+  test("leadTimeTrend: a degrading supplier tops the list, stable ones score 0") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // supplier 1: gap grows 1 day per period (slope 1); supplier 2: flat
+    // gap 5 (slope 0); both with 20+ lines across periods 0..9
+    val rows = (0L to 9L).flatMap { p =>
+      (1 to 2).flatMap { rep =>
+        Seq((p * 100 + rep, 1L, p, p + 1), (p * 100 + 10 + rep, 2L, p, 5L))
+      }
+    }
+    val li = rows.map { case (ok, sk, p, gap) => (ok, sk, (p * 30 + gap) * dayUs) }
+      .toDF("l_orderkey", "l_suppkey", "st")
+      .select($"l_orderkey", $"l_suppkey", timestamp_micros($"st").as("l_shipdate"))
+    val ord = rows.map { case (ok, _, p, _) => (ok, p * 30 * dayUs) }
+      .toDF("o_orderkey", "ot")
+      .select($"o_orderkey", timestamp_micros($"ot").as("o_orderdate"))
+    val out = graft.operators.RelationalExt.leadTimeTrend(li, ord).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+    assert(out.head == ((1L, (20L, 1.0))), s"got ${out.toSeq}")
+    assert(out.toMap.apply(2L) == ((20L, 0.0)), s"got ${out.toSeq}")
+  }
+
   test("integrityAudit: planted orphans and duplicate keys are counted") {
     import spark.implicits._
     // order 99 is referenced by a lineitem but missing; order 2 appears

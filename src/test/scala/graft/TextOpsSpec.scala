@@ -197,6 +197,15 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == math.floor(1.0 / 6.0 * 1e6 + 0.5) / 1e6)
   }
 
+  test("lengthKs: the groupCol parameter re-keys the same machinery (lang)") {
+    val docs = Seq(
+      (1L, "en", "a"), (2L, "en", "b"), (3L, "en", "c d"),
+      (4L, "zh", "e f"), (5L, "zh", "g h")).toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextAnalysis.lengthKs(docs, groupCol = "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out(("en", "zh")) == math.floor(4.0 / 6.0 * 1e6 + 0.5) / 1e6, s"got $out")
+  }
+
   test("lengthKs: exact two-sample KS over merged length censuses") {
     // sa token counts [1,1,2], sb [2,2]: F diverges most at len 1 ->
     // |2*2 - 0*3| / 6 = 0.666667; identical distributions score 0
