@@ -41,8 +41,35 @@ object Lineage {
     }
   }
 
+  /** Free the block-manager storage behind a [[cut]] frame that is no
+    * longer referenced by any live plan — the other half of the iterative
+    * contract. Without it every fixpoint loop accumulates O(rounds) dead
+    * checkpoint blocks (each round's `localCheckpoint` persists at
+    * MEMORY_AND_DISK and nothing drops the superseded round until the
+    * async ContextCleaner GCs the frame), which in a shared long-lived
+    * session piles storage from every prior iterative query onto the
+    * next one's executors. Callers release a frame ONLY when the plan
+    * they return does not reference it — for per-round state that is the
+    * moment the NEXT round's cut has materialized eagerly.
+    *
+    * Safe on any frame: only a frame whose analyzed plan is exactly the
+    * `LogicalRDD` leaf a cut produces has blocks to drop (returns true);
+    * anything else — including un-cut frames and reliable-checkpoint
+    * frames, whose `ReliableCheckpointRDD` holds no block-manager
+    * storage — is a no-op (returns false). Unpersist is non-blocking:
+    * removal proceeds async, which is fine because nothing will ever read
+    * the blocks again.
+    */
+  def release(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); true
+      case _ => false
+    }
+
   /** Chainable syntax: `df.cutLineage()` ≡ `Lineage.cut(df)`. */
   implicit class CutOps(private val df: DataFrame) extends AnyVal {
     def cutLineage(eager: Boolean = true): DataFrame = cut(df, eager)
+    def releaseCut(): Boolean = release(df)
   }
 }

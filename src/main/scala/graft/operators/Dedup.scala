@@ -353,6 +353,7 @@ object Dedup {
         .cutLineage()
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") =!= col("prev")).count()
+      graft.core.Lineage.release(labels) // convergence probe done → i−1 dead
       labels = next
       converged = changed == 0
       it += 1
@@ -360,6 +361,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIters iterations — " +
         "raise maxIters; a partial labeling must never be used for dedup")
+    graft.core.Lineage.release(e) // returned labels are self-contained blocks
     labels
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.core.{QueryDef, Tables}
+import graft.core.{Lineage, QueryDef, Tables}
 import graft.core.Lineage.CutOps
 
 /** Distributed graph analytics. [[Dedup.connectedComponents]] covers the
@@ -65,6 +65,7 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .cutLineage()
     for (_ <- 1 to iterations) {
+      val prev = ranks
       val dang = ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
       val contribs = trans
@@ -79,7 +80,11 @@ object Graph {
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("csum"), lit(0.0)) + col("dm") / n)).as("rank"))
         .cutLineage()
+      Lineage.release(prev) // new round materialized → round i−1 blocks dead
     }
+    // the returned frame IS the final checkpoint: every helper census is
+    // now unreferenced — one live cut per finished query, not six
+    Seq(e, trans, nodes, danglingNodes).foreach(Lineage.release)
     ranks
   }
 
@@ -146,6 +151,7 @@ object Graph {
     var h = nodes.select(col("node"), lit(1.0).as("h"))
     var a = nodes.select(col("node"), lit(0.0).as("a"))
     for (_ <- 1 to iterations) {
+      val (prevH, prevA) = (h, a)
       val aRaw = e.join(h.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("ar"))
       val aN = nodes
@@ -160,7 +166,9 @@ object Graph {
         .select(col("node"), coalesce(col("hr"), lit(0.0)).as("hr"))
       h = hN.crossJoin(broadcast(hN.agg(sum(col("hr")).as("s"))))
         .select(col("node"), (col("hr") / col("s")).as("h")).cutLineage()
+      Lineage.release(prevA); Lineage.release(prevH) // round i−1 dead
     }
+    Lineage.release(e); Lineage.release(nodes) // result reads only h/a blocks
     h.join(a, "node")
   }
 
@@ -550,11 +558,13 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
+      val prev = und
       und = und
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .cutLineage()
+      Lineage.release(prev) // peel i−1's edge set is dead once i's is cut
       r += 1
     }
     und.select(explode(array(col("a"), col("b"))).as("node"))
@@ -712,9 +722,11 @@ object Graph {
         .join(dist.filter(col("dist").isNotNull)
           .select(col("node").as("nbr"), col("dist")), Seq("nbr"))
         .select(col("node"), (col("dist") + 1L).as("dist"))
+      val prev = dist
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .cutLineage()
+      Lineage.release(prev)
     }
     dist
   }
@@ -740,6 +752,7 @@ object Graph {
     var labels = nbrs.select(col("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
+      val prev = labels
       labels = nbrs
         .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -747,6 +760,7 @@ object Graph {
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("best"))
         .select(col("node"), col("best.l").as("lbl"))
         .cutLineage()
+      Lineage.release(prev)
     }
     labels
   }

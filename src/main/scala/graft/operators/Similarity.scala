@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.{QueryDef, Tables}
+import graft.core.{Lineage, QueryDef, Tables}
 import graft.functions.VectorOps
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -399,10 +399,12 @@ object Similarity {
     val means = mstats.select(col("pos"), col("m"))
     val cent = xp.join(broadcast(means), "pos")
       .select(col("vec_id"), col("pos"), (col("x") - col("m")).as("xc"))
-    cent.as("a").join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
+    val census = cent.as("a").join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
       .agg(round(sum(col("a.xc") * col("b.xc")) / lit(n), 6).as("c"))
       .cutLineage()
+    Lineage.release(xp) // census is materialized — the exploded frame is dead
+    census
   }
 
   /** `iters` rounds of v ← round(normalize(C·v), 6) from the constant
@@ -412,6 +414,7 @@ object Similarity {
     var v = cov.filter(col("i") === col("j"))
       .select(col("i").as("pos"), lit(0.125).as("w"))
     for (_ <- 1 to iters) {
+      val prev = v
       val u = cov
         .join(v.select(col("pos").as("j"), col("w")), "j")
         .groupBy(col("i").as("pos")).agg(sum(col("c") * col("w")).as("u"))
@@ -419,6 +422,7 @@ object Similarity {
       v = u.crossJoin(broadcast(nm))
         .select(col("pos"), round(col("u") / col("nm"), 6).as("w"))
         .cutLineage()
+      graft.core.Lineage.release(prev) // round i−1's 64-row block is dead
     }
     v
   }
@@ -453,23 +457,34 @@ object Similarity {
     import graft.core.Lineage.CutOps
     require(k >= 1)
     val cov0 = covarianceCensus(embs)
+    // tr is cut (one row) so the ORIGINAL census can be released after the
+    // first deflation — a lazy tr would pin cov0's blocks for all k rounds
     val tr = cov0.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
+      .cutLineage()
     var cov = cov0
     val frames = (1 to k).map { comp =>
       val v = powerRounds(cov, iters)
       val lam = rayleigh(cov, v)
+      // out is cut: it materializes lam's read of THIS round's cov, so the
+      // superseded census (and v) can be freed — the returned union then
+      // references only k tiny self-contained blocks, not every deflation
       val out = v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
         .select(lit(comp).as("component"), col("pos"), col("w").as("loading"),
           col("eigval"), round(col("eigval") / col("tr"), 6).as("var_ratio"))
-      cov = cov
-        .join(v.select(col("pos").as("i"), col("w").as("wi")), "i")
-        .join(v.select(col("pos").as("j"), col("w").as("wj")), "j")
-        .crossJoin(broadcast(lam))
-        .select(col("i"), col("j"),
-          round(col("c") - col("eigval") * col("wi") * col("wj"), 6).as("c"))
         .cutLineage()
+      val prev = cov
+      if (comp < k) // the k-th deflation has no consumer — skip building it
+        cov = cov
+          .join(v.select(col("pos").as("i"), col("w").as("wi")), "i")
+          .join(v.select(col("pos").as("j"), col("w").as("wj")), "j")
+          .crossJoin(broadcast(lam))
+          .select(col("i"), col("j"),
+            round(col("c") - col("eigval") * col("wi") * col("wj"), 6).as("c"))
+          .cutLineage()
+      Lineage.release(v); Lineage.release(prev)
       out
     }
+    Lineage.release(tr)
     frames.reduce(_ unionByName _).orderBy(col("component"), col("pos"))
   }
 
@@ -524,12 +539,15 @@ object Similarity {
         .select(col("qid"), col("nid"),
           q6(lit(lambda) * col("rel") -
             lit(1.0 - lambda) * coalesce(col("ms"), lit(0.0))).as("score"))
+      val prev = selected
       selected = selected.union(
         scored.withColumn("rk", row_number().over(wPick))
           .filter(col("rk") === 1)
           .select(col("qid"), col("nid"), lit(t).as("step"), col("score")))
         .cutLineage()
+      Lineage.release(prev)
     }
+    Lineage.release(cand); Lineage.release(sims) // result = final cut only
     selected.orderBy(col("qid"), col("step"))
   }
 
