@@ -374,8 +374,15 @@ object RelationalExt {
       .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_nationkey"), col("o_orderpriority"))
-    val cells = base.groupBy(col("c_nationkey"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("obs"))
+    // cut: four consumers (rows/cols/grand margins + the outer join) prune
+    // the contingency census differently, defeating exchange reuse — the
+    // orders⋈customer join would replay per consumer (ADVICE r8)
+    val cells = {
+      import graft.core.Lineage.CutOps
+      base.groupBy(col("c_nationkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("obs"))
+        .cutLineage()
+    }
     val rows = cells.groupBy(col("c_nationkey")).agg(sum(col("obs")).as("row_tot"))
     val cols = cells.groupBy(col("o_orderpriority")).agg(sum(col("obs")).as("col_tot"))
     val grand = cells.agg(sum(col("obs")).as("grand"))

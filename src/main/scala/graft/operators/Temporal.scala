@@ -938,10 +938,15 @@ object Temporal {
     * Σc², only m, so the censuses never materialize the grid. One hourly
     * census + one per-type partial agg + a one-row broadcast span. */
   def fanoBurstiness(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.CutOps
     val hourUs = 3600000000L
+    // cut: span agg and per-type census prune `cells` differently, which
+    // defeats ReusedExchange (the r5 q104 shape) — without the cut the
+    // events corpus is scanned twice (ADVICE r8)
     val cells = events
       .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"))
       .agg(count(lit(1)).as("c"))
+      .cutLineage()
     val span = cells.agg(
       (max(col("h")) - min(col("h")) + 1L).as("m"))
     cells.groupBy(col("event_type"))
@@ -966,14 +971,19 @@ object Temporal {
     * event-sized shuffle total. */
   def cusumChangePoint(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.core.Lineage.CutOps
     val hourUs = 3600000000L
     val byType = Window.partitionBy(col("event_type")).orderBy(col("h"))
     val run = byType.rowsBetween(Window.unboundedPreceding, 0)
+    // cut: three consumers (firstHalf, s1, the scored join) prune `cells`
+    // differently — the census is materialized once so the corpus-sized
+    // groupBy + windows don't replay per consumer (ADVICE r8)
     val cells = events
       .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"))
       .agg(count(lit(1)).as("c"))
       .withColumn("k", row_number().over(byType).cast("long"))
       .withColumn("runsum", sum(col("c")).over(run))
+      .cutLineage()
     val firstHalf = cells.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         expr("(count(1) + 1) div 2").as("m1"))

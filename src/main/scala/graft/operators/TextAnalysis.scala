@@ -363,8 +363,15 @@ object TextAnalysis {
     * rationals. A source whose mass pools in low deciles is the one to
     * re-crawl or down-sample. */
   def qualityDecileCensus(docs: DataFrame): DataFrame = {
+    import graft.core.Lineage.CutOps
+    // cut BEFORE bisecting: bisectQuantiles runs pass-0 plus one histogram
+    // action per round over the scores, and the census pass reads them
+    // again — without the cut the expensive score projection (tokenize +
+    // per-doc distinct counts) recomputes corpus-wide ~4-5x (the
+    // materialize-before-iterate discipline, ADVICE r8)
     val scored = docs.select(col("source"),
       TextOps.qualityScore(col("text")).as("score"))
+      .cutLineage()
     val cuts = Sketches.bisectQuantiles(
         scored.select(lit("all").as("g"), col("score")),
         "score", "g", (1 to 9).map(_ / 10.0), scale = 1000000)

@@ -382,7 +382,13 @@ object RootBinary {
       val leaves = declared.filter(l => baskets.contains(l.branch))
       if (leaves.isEmpty) return None
       val counters = leaves.flatMap(_.counter).toSet
-      if (!counters.forall(c => leaves.exists(l => l.branch == c && l.counter.isEmpty)))
+      // counters must be 'I'-typed scalars: decodeRange reads counts via
+      // asInstanceOf[Int], so an 'S'/'L' counter that passed planning
+      // would fail mid-job with ClassCastException where the driver path
+      // wraps the cast in NonFatal and degrades to the converter recipe —
+      // reject at plan time so both paths agree on the contract (ADVICE r8)
+      if (!counters.forall(c =>
+          leaves.exists(l => l.branch == c && l.counter.isEmpty && l.typ == 'I')))
         return None
       val plans = leaves.map { l =>
         var e = 0L

@@ -141,21 +141,29 @@ object RootIngest {
       val ept = entriesPerTask.getOrElse(
         math.max(1L, n / math.max(1, 2 * spark.sparkContext.defaultParallelism)))
       val ranges = (0L until n by ept).map(s => (s, math.min(s + ept, n)))
+      // ship the SESSION's hadoop configuration to the tasks: a fresh
+      // `new Configuration()` on executors would drop spark.hadoop.*
+      // settings, object-store credentials and defaultFS, so the
+      // distributed path would only work on configuration-free
+      // filesystems (ADVICE r8)
+      val bconf = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
       val rows = spark.sparkContext
         .parallelize(ranges, math.max(1, ranges.length))
-        .flatMap { case (r0, r1) => decodeRange(rootPath, plans, r0, r1) }
+        .flatMap { case (r0, r1) =>
+          decodeRange(rootPath, plans, r0, r1, bconf.value.value) }
       spark.createDataFrame(rows, schema)
     }
   }
 
-  /** One task's work: rows for entries [r0, r1) of every branch. */
+  /** One task's work: rows for entries [r0, r1) of every branch. `hconf`
+    * is the broadcast session hadoop configuration — never a fresh
+    * `Configuration()`, which would lose credentials/defaultFS. */
   private[graft] def decodeRange(rootPath: String,
-      plans: Seq[RootBinary.BranchPlan], r0: Long,
-      r1: Long): Iterator[org.apache.spark.sql.Row] = {
+      plans: Seq[RootBinary.BranchPlan], r0: Long, r1: Long,
+      hconf: org.apache.hadoop.conf.Configuration): Iterator[org.apache.spark.sql.Row] = {
     import RootBinary.{BasketRange, BranchPlan}
-    val conf = new org.apache.hadoop.conf.Configuration()
     val p = new Path(rootPath)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(hconf)
     val in = fs.open(p)
     try {
       // decoded (values, border) per basket seek — counter baskets are
@@ -319,4 +327,25 @@ object RootIngest {
        |columns, which this engine consumes natively as array<T> columns
        |(see graft.physics.Events for the decorated schema).
        |Then re-run: RootIngest.fromRoot(spark, "$rootPath")""".stripMargin
+}
+
+/** Serializable carrier for the SESSION's hadoop configuration. Spark's
+  * own `org.apache.spark.util.SerializableConfiguration` is
+  * `private[spark]`, so the executor-side ROOT decode ships this minimal
+  * Writable-based twin instead — `Configuration` implements the Hadoop
+  * `Writable` contract and `ObjectOutputStream`/`ObjectInputStream`
+  * implement `DataOutput`/`DataInput`, so (de)serialization is exactly
+  * one `write`/`readFields` pair. */
+private[graft] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
 }
