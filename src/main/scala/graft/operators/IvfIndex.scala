@@ -71,38 +71,121 @@ object IvfIndex {
     * by lowest cell id (struct ordering), matching MLlib's first-minimum
     * transform. Returns the number of vectors appended. */
   def append(spark: SparkSession, dir: String, embeddings: DataFrame): Long = {
+    assign(spark, dir, embeddings)
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
+    embeddings.count()
+  }
+
+  /** Frozen-quantizer assignment of a vector batch to its nearest existing
+    * cell — the shared core of [[append]] and [[appendSegment]]. */
+  private def assign(spark: SparkSession, dir: String,
+      embeddings: DataFrame): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val assigned = embeddings.select($"vec_id", $"embedding")
+    embeddings.select($"vec_id", $"embedding")
       .crossJoin(broadcast(centroids))
       .select($"vec_id", $"embedding", $"cell",
         VectorOps.l2sq($"embedding", $"cvec").as("cdist"))
       .groupBy($"vec_id")
       .agg(min_by(struct($"cell", $"embedding"), struct($"cdist", $"cell")).as("best"))
       .select($"vec_id", $"best.embedding".as("embedding"), $"best.cell".as("cell"))
-    assigned.write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
-    embeddings.count()
+  }
+
+  /** Commit one micro-batch of vectors as a SEALED SEGMENT — the
+    * idempotent unit of streaming ingest (r8 directive: the
+    * `cdcSnapshotSink` write-new-then-swap discipline applied to the
+    * index). The batch is assigned to frozen cells and written under the
+    * batchId-named directory `<dir>/segments/b<id>`, itself partitioned
+    * by cell, so probe-time partition pruning covers segments exactly as
+    * it covers the base. A segment is COMMITTED iff the Spark write
+    * finished and dropped `_SUCCESS`; readers ([[indexFrame]]) include
+    * only committed segments, so a half-written segment is invisible.
+    *
+    * Replay safety without any dedup pass:
+    *  - replayed batch, prior commit COMPLETE → the `_SUCCESS` probe
+    *    skips it (returns false, zero work, zero duplicates);
+    *  - replayed batch, prior attempt CRASHED mid-write → no `_SUCCESS`,
+    *    so the Overwrite rewrite replaces the partial files in place.
+    * Either way the segment holds the batch's rows exactly once. */
+  def appendSegment(spark: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val seg = new Path(s"$dir/segments/b$batchId")
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(seg, "_SUCCESS"))) return false
+    if (batch.isEmpty) return false // nothing to seal; no empty roots
+    assign(spark, dir, batch)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(seg.toString)
+    true
+  }
+
+  /** Roots of every COMMITTED streamed segment, oldest first. */
+  private[graft] def sealedSegments(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/segments")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** The SERVED corpus: build-time cells plus every committed streamed
+    * segment. Roots are read separately and unioned (one multi-path read
+    * trips Spark's common-base-path partition discovery —
+    * CONFLICTING_DIRECTORY_STRUCTURES); each branch keeps its own
+    * cell-partitioned scan, so probe-time cell filters prune per branch.
+    * [[compactSegments]] periodically restores the single-root layout,
+    * which also keeps the union width (planning cost) bounded. */
+  def indexFrame(spark: SparkSession, dir: String): DataFrame =
+    (Seq(s"$dir/cells") ++ sealedSegments(spark, dir))
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  /** Fold committed segments into the base cells directory (bounding the
+    * root count that [[indexFrame]] unions — run at maintenance time,
+    * like `Maintenance.compact`): write the merged corpus NEW, then swap
+    * directories and drop the folded segments. The swap window is not
+    * atomic for concurrent readers (two renames) — this is an offline
+    * maintenance pass by contract, mirroring the snapshot discipline
+    * rather than the pointer indirection it doesn't need. Returns the
+    * number of segments folded. */
+  def compactSegments(spark: SparkSession, dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val segs = sealedSegments(spark, dir)
+    if (segs.isEmpty) return 0
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/cells_compact_tmp"
+    indexFrame(spark, dir)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+    val old = new Path(s"$dir/cells_old")
+    fs.delete(old, true)
+    fs.rename(new Path(s"$dir/cells"), old)
+    fs.rename(new Path(tmp), new Path(s"$dir/cells"))
+    fs.delete(old, true)
+    segs.foreach(s => fs.delete(new Path(s), true))
+    segs.length
   }
 
   /** Continuous index ingest: the streaming face of [[append]] — each
     * micro-batch of an embeddings stream runs the same frozen-centroid
-    * assignment and cell-directory append, so the served index trails the
-    * stream by one trigger. The centroid read happens INSIDE foreachBatch
-    * (per batch): rebuilding the quantizer between batches is picked up
-    * without restarting the query.
+    * assignment and commits as a sealed segment ([[appendSegment]]), so
+    * the served index trails the stream by one trigger. The centroid read
+    * happens INSIDE foreachBatch (per batch): rebuilding the quantizer
+    * between batches is picked up without restarting the query.
     *
-    * Delivery contract: foreachBatch is at-least-once under retries —
-    * a replayed batch appends its rows twice. For exactly-once either
-    * dedup upstream (`EventStream.dedupStream` on vec_id) or make the
-    * sink idempotent by compacting duplicate vec_ids at read/maintenance
-    * time (`Maintenance` latest-wins); the checkpoint bounds the replay
-    * window to the last uncommitted trigger either way. */
+    * Delivery contract: EXACTLY-ONCE on the served index. foreachBatch
+    * replays are absorbed by the segment commit protocol — a committed
+    * batchId is skipped, a half-written one is overwritten in place — so
+    * no downstream dedup/compaction pass is needed for correctness
+    * (`IvfIndexSpec` replays a batch after a simulated restart and counts
+    * rows). [[compactSegments]] remains a throughput knob (bounding the
+    * number of roots), not a correctness crutch. */
   def appendStream(spark: SparkSession, dir: String, stream: DataFrame,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        append(spark, dir, batch.toDF()); ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendSegment(spark, dir, batch.toDF(), batchId); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -123,8 +206,9 @@ object IvfIndex {
     // The probed-cell set is tiny (≤ queries × nProbe distinct cells);
     // joining the partition column against it broadcast-style lets Spark
     // prune cell directories at planning/runtime (DPP) instead of
-    // scanning the whole index.
-    val cells = spark.read.parquet(s"$dir/cells")
+    // scanning the whole index. Streamed segments are included — each is
+    // cell-partitioned, so the same pruning reaches them.
+    val cells = indexFrame(spark, dir)
     val rankW = Window.partitionBy($"qid").orderBy(round($"cos", 6).desc, $"nid")
     probes.join(cells.select($"vec_id".as("nid"), $"embedding".as("nv"), $"cell"), Seq("cell"))
       .filter($"qid" =!= $"nid")

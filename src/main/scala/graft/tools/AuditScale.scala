@@ -75,7 +75,9 @@ object AuditScale {
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val spanUs = tmax - tmin + 8L * 86400000000L
       val ne = base.agg(max(col("event_id"))).head().getLong(0) + 1
-      for (r <- Seq(1, 4, 8)) {
+      val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 8))
+      for (r <- reps) {
         val evB = (0 until r).map(i => base.select(
             (col("event_id") + lit(i * ne)).as("event_id"),
             timestamp_micros(unix_micros(col("ts")) + lit(i * spanUs)).as("ts"),
@@ -90,7 +92,10 @@ object AuditScale {
         time(s"q178 bot-skew ${r}x BOUNDED range frame") {
           Temporal.multiTouchAttribution(evB).count()
         }
-        time(s"q178 bot-skew ${r}x UNBOUNDED legacy frame") {
+        // the legacy foil is O(r²) BY CONSTRUCTION (that's what it
+        // demonstrates) — at 64× it would run for hours; the r8 SCALING
+        // table already pins its quadratic curve through 8×
+        if (r <= 8) time(s"q178 bot-skew ${r}x UNBOUNDED legacy frame") {
           unboundedMultiTouch(evB).count()
         }
         evB.unpersist()

@@ -27,7 +27,9 @@ object FuzzyScale {
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
     val n = base.count()
-    for (r <- Seq(1, 4, 16)) {
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 16))
+    for (r <- reps) {
       val docs = (0 until r).map(i =>
           base.select((col("doc_id") + lit(i * 10L * n)).as("doc_id"), col("title")))
         .reduce(_ union _)

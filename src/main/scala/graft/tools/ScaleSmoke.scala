@@ -26,7 +26,11 @@ object ScaleSmoke {
     }
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val n = base.count()
-    for (r <- Seq(1, 4, 16)) {
+    // r9 directive: measured axes must extend past 16× — SPARK_GRAFT_SCALE_REPS
+    // (comma-separated) overrides the default ladder, e.g. "1,16,64"
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 16))
+    for (r <- reps) {
       val docs = (0 until r).map(i =>
           base.select((col("doc_id") + lit(i * 10L * n)).as("doc_id"), col("text")))
         .reduce(_ union _)

@@ -83,15 +83,61 @@ class IvfIndexSpec extends SparkSpec {
     val stream = spark.readStream.schema(extra.schema).parquet(srcDir)
     val q = IvfIndex.appendStream(spark, adir, stream, ckpt)
     q.awaitTermination()
-    val back = spark.read.parquet(s"$adir/cells")
+    val back = IvfIndex.indexFrame(spark, adir)
     assert(back.count() == base.count() + extra.count())
     // streamed assignments must equal the deterministic batch-append ones
     val bdir = java.nio.file.Files.createTempDirectory("ivfbatch").toString
     IvfIndex.build(spark, base, bdir)
     IvfIndex.append(spark, bdir, extra)
-    def cellsOf(d: String) = spark.read.parquet(s"$d/cells")
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
       .filter($"vec_id" >= 300).select($"vec_id", $"cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(cellsOf(adir) == cellsOf(bdir))
+    assert(cellsOf(IvfIndex.indexFrame(spark, adir)) ==
+      cellsOf(spark.read.parquet(s"$bdir/cells")))
+
+    // RESTART REPLAY (r8 directive): lose the checkpoint entirely — the
+    // rerun reprocesses the same input as batch 0 again. The committed
+    // segment b0's _SUCCESS probe must skip it: zero duplicate rows,
+    // with NO dedup pass anywhere in the read path.
+    deleteRecursively(new java.io.File(ckpt))
+    val q2 = IvfIndex.appendStream(spark, adir,
+      spark.readStream.schema(extra.schema).parquet(srcDir), ckpt)
+    q2.awaitTermination()
+    assert(IvfIndex.indexFrame(spark, adir).count() == base.count() + extra.count(),
+      "a replayed batch must not duplicate index rows")
+    // searched results include streamed vectors (served through segments)
+    val sq = extra.filter($"vec_id" === 300)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    assert(IvfIndex.search(spark, adir, sq, k = 3, nProbe = 2).collect().nonEmpty)
+  }
+
+  test("appendSegment: committed batch skipped on replay; crashed write overwritten") {
+    val adir = java.nio.file.Files.createTempDirectory("ivfseg").toString
+    val base = emb.filter($"vec_id" < 200)
+    val extra = emb.filter($"vec_id" >= 200 && $"vec_id" < 240)
+    IvfIndex.build(spark, base, adir)
+    assert(IvfIndex.appendSegment(spark, adir, extra, batchId = 7L))
+    val n1 = IvfIndex.indexFrame(spark, adir).count()
+    assert(n1 == base.count() + extra.count())
+    // replay of a COMMITTED batch: skipped, count unchanged
+    assert(!IvfIndex.appendSegment(spark, adir, extra, batchId = 7L))
+    assert(IvfIndex.indexFrame(spark, adir).count() == n1)
+    // crashed mid-write: simulate by removing _SUCCESS — replay rewrites
+    // the segment in place, still no duplicates
+    val succ = new java.io.File(s"$adir/segments/b7/_SUCCESS")
+    assert(succ.delete())
+    assert(IvfIndex.appendSegment(spark, adir, extra, batchId = 7L))
+    assert(IvfIndex.indexFrame(spark, adir).count() == n1)
+    // compaction folds segments into the base and drops them; the served
+    // corpus is unchanged and future indexFrame reads one root
+    assert(IvfIndex.compactSegments(spark, adir) == 1)
+    assert(!new java.io.File(s"$adir/segments/b7").exists())
+    assert(spark.read.parquet(s"$adir/cells").count() == n1)
+    assert(IvfIndex.compactSegments(spark, adir) == 0)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
   }
 }
