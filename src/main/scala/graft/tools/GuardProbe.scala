@@ -28,11 +28,18 @@ object GuardProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_id").cast("string").as("event_id"),
-        col("user_id"), col("value"))
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val ne = base.agg(max(col("event_id"))).head().getLong(0) + 1
+    // 4x id-shifted replication: sf0.1 has exactly 100000 events — the
+    // default maxGroups — so the raw corpus SATISFIES the contract; the
+    // probe needs a group population strictly past it
+    val ev = (0 until 4).map(i =>
+        base.select((col("event_id") + lit(i * ne)).cast("string").as("event_id"),
+          col("user_id"), col("value")))
+      .reduce(_ union _).repartition(32).localCheckpoint(true)
     val heapMb = Runtime.getRuntime.maxMemory() / (1 << 20)
-    println(s"[guardprobe] corpus ${ev.count()} events, driver heap ${heapMb} MB")
+    println(s"[guardprobe] corpus ${ev.count()} events (4x replicated), driver heap ${heapMb} MB")
 
     def probe(label: String)(f: => Unit): Boolean = {
       val t0 = System.nanoTime()

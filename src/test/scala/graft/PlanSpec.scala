@@ -427,4 +427,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"per-cluster rank <= k must prune below the window:\n$p")
   }
+
+  test("q192/q193/q215: multi-consumer censuses are cut — consumers never re-scan the corpus") {
+    // the r5 q104 hazard (per-consumer column pruning defeats exchange
+    // reuse → N consumers = N corpus scans), closed for these three by a
+    // lineage cut at the census (ADVICE r8): the corpus scan runs exactly
+    // once INTO the cut, so the consumer plan must contain ZERO parquet
+    // scans — every branch reads the materialized census RDD instead
+    for (name <- Seq("q192_fano_burstiness", "q193_cusum_changepoint",
+        "q215_mix_residuals")) {
+      val p = finalizedPlan(name)
+      val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans == 0,
+        s"$name: corpus leaked above the census cut ($scans parquet scans):\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name: consumers must read the materialized census RDD:\n$p")
+    }
+  }
 }

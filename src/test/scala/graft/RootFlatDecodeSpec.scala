@@ -155,6 +155,26 @@ class RootFlatDecodeSpec extends SparkSpec {
     assert(RootBinary.decodeFlatTree(fixture, "othertree").isEmpty)
   }
 
+  test("planFlatTree: a non-'I' counter is rejected at plan time (r8 advice)") {
+    // the distributed decode reads counts via asInstanceOf[Int]; an 'S'
+    // counter that passed planning would ClassCastException mid-job where
+    // the driver path degrades to the converter — both paths must agree
+    // by rejecting at the plan layer
+    val blob = Array.fill[Byte](8)(0x7f.toByte) ++
+      str("nJet") ++ str("nJet/S") ++
+      str("Jet_pt") ++ str("Jet_pt[nJet]/F")
+    val fx = file(
+      keyRecord("TTree", "mytree", "mytree", blob.length, zlEnvelope(blob)),
+      basketRecord("nJet", "mytree", 2, be2(2) ++ be2(1), compress = false),
+      basketRecord("Jet_pt", "mytree", 2, floats(1f, 2f, 3f), compress = false))
+    def pread(b: Array[Byte])(off: Long, len: Int) = b.slice(off.toInt, off.toInt + len)
+    assert(RootBinary.planFlatTree(pread(fx), fx.length.toLong, "myana/mytree").isEmpty,
+      "an 'S'-typed counter must be rejected at plan time, not fail mid-decode")
+    // the I-countered fixture still plans (the guard rejects only the type)
+    assert(RootBinary.planFlatTree(pread(fixture), fixture.length.toLong,
+      "myana/mytree").isDefined)
+  }
+
   test("fromRoot: native decode with NO sidecar, convert-on-first-read") {
     val dir = java.nio.file.Files.createTempDirectory("rootflat").toString
     val rootPath = s"$dir/sample.root"

@@ -33,4 +33,19 @@ class RootIngestSpec extends SparkSpec {
     val df = RootIngest.fromRoot(spark, s"$dir/sample.root", converted = Some(conv))
     assert(df.count() == 1)
   }
+
+  test("SerializableHadoopConf: session hadoop settings survive the task boundary") {
+    // the distributed decode must see the SESSION's configuration on
+    // executors (credentials, defaultFS, spark.hadoop.*) — r8 advice: a
+    // fresh Configuration() there silently dropped all of it
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.graft.probe.key", "v1")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new graft.sources.SerializableHadoopConf(conf)); oos.close()
+    val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+    assert(back.value.get("fs.graft.probe.key") == "v1")
+  }
 }
