@@ -109,18 +109,57 @@ object Dedup {
     * shares rare shingles). Verification re-reads the rarity-ordered
     * `toks` arrays by id AFTER distinct-ing candidates — Jaccard is
     * order-independent, so no re-shingling, and full arrays never ride the
-    * prefix-explode fan-out. */
+    * prefix-explode fan-out.
+    *
+    * IDENTITY COLLAPSE (round 9, from a measured cliff): byte-identical
+    * texts are collapsed to ONE representative before any shingling, and
+    * the verified representative pairs are expanded back over the members
+    * at the end. Without this, verification cost is O(true pairs × doc
+    * size): each candidate pair carries BOTH full shingle arrays through a
+    * shuffle join, and in a duplicate-heavy regime true pairs grow
+    * quadratically in the duplication factor — the 64× identical-copy
+    * probe (AnnScale) died DISK-FULL from ~hundreds of GB of sort-merge
+    * spill (11.1M pairs × two full arrays), while 16× completed in 85 s.
+    * After the collapse the array-carrying joins see only REPRESENTATIVE
+    * pairs (invariant in the duplication factor); member pairs are
+    * recovered by two narrow-row joins (8-byte ids), so the quadratic
+    * output is paid only at its information cost. Correctness is exact:
+    * J(x, y) = J(rep(x), rep(y)) because equal text ⇒ equal shingle set,
+    * and within a group J = 1 ≥ t always (tDen > tNum), with
+    * inter = uni = |shingles(rep)|. Docs too short to shingle never enter
+    * `ordered`, so the identity path's inner join on rep sizes excludes
+    * their groups exactly as the un-collapsed pipeline did. */
   def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // the explicit doc_id filter and the NON-NULLABLE salt spelling
-    // (bitwiseAND, not pmod — Pmod declares nullable=true and the candidate
-    // join would then infer an isnotnull(salt-expr) filter on the join-back
-    // branch ONLY, pushing it below the shared exchange and splitting the
-    // canonical subtree — the CLAUDE.md per-branch-filter hazard, observed
-    // here as a second corpus scan before this spelling)
-    val toks = fanOut(docs.select(col("doc_id"), col("text"))
-        .filter(col("doc_id").isNotNull), gauge = docs)
+    // ---- identity collapse: one repartition(text) exchange feeds BOTH the
+    // representative census (groupBy needs no new exchange — the
+    // partitioning satisfies it) and the member→rep join-back, which the
+    // merge hint keeps on the exchange it already sits on (a broadcast of
+    // the rep census would be corpus-sized). Both consumers read
+    // (doc_id, text), so the canonical subtrees stay EQUAL and AQE resolves
+    // the second to a ReusedExchange — the same load-bearing-exchange
+    // discipline as the census below. min() partial-aggregates map-side,
+    // so a text duplicated a billion times is a non-event here.
+    // text.isNotNull is HOISTED into the shared subtree: the inner join on
+    // text infers it on the join-back branch only, which would push it
+    // below the exchange on one side and split the canonical subtree (the
+    // per-branch-filter hazard) — with it in the base, both branches match.
+    // Null-text docs produce no shingles and no pairs either way.
+    val byText = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .repartition(par, col("text"))
+    val reps = byText.groupBy(col("text")).agg(min(col("doc_id")).as("rep_id"))
+    val mapping = byText.join(reps.hint("merge"), Seq("text"))
+      .select(col("doc_id"), col("rep_id"))
+    // the NON-NULLABLE salt spelling (bitwiseAND, not pmod — Pmod declares
+    // nullable=true and the candidate join would then infer an
+    // isnotnull(salt-expr) filter on the join-back branch ONLY, pushing it
+    // below the shared exchange and splitting the canonical subtree — the
+    // CLAUDE.md per-branch-filter hazard, observed here as a second corpus
+    // scan before this spelling). No fanOut: the text exchange already
+    // spreads the shingle projection across the session's parallelism.
+    val toks = reps.select(col("rep_id").as("doc_id"), col("text"))
       .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
       .select(col("doc_id"), explode_outer(col("sh")).as("tok"))
       .filter(col("tok").isNotNull)
@@ -157,11 +196,32 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
-    cands
+    // verified REPRESENTATIVE pairs — the only frame where full arrays ride
+    // a pair-cardinality join, now bounded by distinct-text pair count
+    val core = cands
       .join(ordered.select(col("doc_id").as("a_id"), col("toks").as("a_sh")), "a_id")
       .join(ordered.select(col("doc_id").as("b_id"), col("toks").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), inter.as("inter"), uni.as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
+    // ---- expansion back to member pairs: narrow 8-byte-id joins only.
+    // Cross pairs (different reps) hit each (x, y) exactly once — members
+    // of distinct groups are disjoint — but member ids are not ordered by
+    // rep order, hence least/greatest. Identity pairs (same rep) carry
+    // inter = uni = |shingles(rep)|; the inner join on `ordered` sizes
+    // drops groups too short to shingle, matching the oracle's len(t) >= 3.
+    val ma = mapping.select(col("doc_id").as("xa"), col("rep_id").as("ra"))
+    val mb = mapping.select(col("doc_id").as("xb"), col("rep_id").as("rb"))
+    val cross = core
+      .join(ma, col("a_id") === col("ra"))
+      .join(mb, col("b_id") === col("rb"))
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("inter"), col("uni"))
+    val repN = ordered.select(col("doc_id").as("rn_id"), size(col("toks")).as("nsz"))
+    val ident = ma.join(mb, col("ra") === col("rb") && col("xa") < col("xb"))
+      .join(repN, col("ra") === col("rn_id"))
+      .select(col("xa").as("a_id"), col("xb").as("b_id"),
+        col("nsz").as("inter"), col("nsz").as("uni"))
+    cross.unionByName(ident)
   }
 
   /** Fan a few-split source out across the session's parallelism BEFORE an
@@ -197,8 +257,14 @@ object Dedup {
     * [[fuzzyReferenceDedup]] (cross-corpus join). The repartition
     * materializes signatures through one reusable exchange (see
     * minhashLshPairs scaladoc, step 1). */
-  private def bandBuckets(docs: DataFrame, maxBucket: Int): DataFrame = {
-    val toks = fanOut(docs.select(col("doc_id"), col("text")), gauge = docs)
+  private def bandBuckets(docs: DataFrame, maxBucket: Int,
+      prespread: Boolean = false): DataFrame = {
+    // prespread: the caller's frame already sits above a multi-partition
+    // exchange (e.g. the identity-collapse census), so fanOut is both
+    // unnecessary AND unsafe to gauge — `.rdd` on a derived frame under
+    // AQE materializes every stage beneath it (the CLAUDE.md probe hazard)
+    val base = docs.select(col("doc_id"), col("text"))
+    val toks = (if (prespread) base else fanOut(base, gauge = docs))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
     val sig = toks
@@ -238,11 +304,18 @@ object Dedup {
     * many documents. At 100 TB a boilerplate cluster of B near-identical
     * docs lands its whole membership in the SAME bucket of every band —
     * B² candidate pairs from one key, the classic LSH hot-bucket blowup.
-    * Production runs exact dedup first (q44 / [[dedupCorpus]]) so giant
-    * buckets are degenerate boilerplate; capping trades recall ONLY on
-    * clusters larger than the cap (members pair in another band iff any
-    * band's bucket stays under it). Uncapped (the default, used by the
-    * gate so the DuckDB oracle replays exactly) nothing changes.
+    * BYTE-identical clusters never reach buckets at all since r9: the
+    * identity collapse (see [[prefixJaccardPairs]]) signs one
+    * representative per distinct text and recovers member pairs through
+    * narrow id joins, with the cap applied to the group census under the
+    * same contract. For NEAR-identical (not byte-equal) clusters the
+    * bucket cap remains the guard; capping trades recall ONLY on clusters
+    * larger than the cap (members pair in another band iff any band's
+    * bucket stays under it). Note the cap now counts DISTINCT-TEXT bucket
+    * membership: byte-duplicates no longer consume cap budget, so a
+    * capped run keeps strictly more true pairs at the same candidate-work
+    * bound than the pre-collapse spelling. Uncapped (the default, used by
+    * the gate so the DuckDB oracle replays exactly) nothing changes.
     *
     * Physical design (the part that matters at 100 TB):
     *  1. signatures are ONE corpus pass: token hashes (codegen'd
@@ -264,14 +337,17 @@ object Dedup {
     *     rows puts the J=0.8 miss probability at (1−0.64)¹⁶ ≈ 8·10⁻⁸, so
     *     gate-scale recall is exactly 100% (oracle-checked) and the extra
     *     moderate-similarity candidates are discarded by verification;
-    *  3. verification re-shingles ONLY candidate documents (docs ⋈ broadcast
-    *     candidate ids — a second corpus scan but shingling work ∝
-    *     candidates; the semi-join runs BELOW the shingle projection and
-    *     carries no filter that Catalyst could push into the scan): only
-    *     bare id-pairs are ever broadcast, never shingle-carrying rows
-    *     (broadcasting payload rows is an OOM risk at scale), and the
-    *     corpus is never shuffled (measured sf0.1: 16.2 s r1 → 5.1 s cold /
-    *     2.5 s warm with candidate-only shingling and exchange reuse);
+    *  3. verification re-shingles ONLY candidate documents (repDocs ⋈
+    *     broadcast candidate ids — reads the collapse exchange again
+    *     rather than re-scanning parquet; the semi-join runs BELOW the
+    *     shingle projection and carries no filter that Catalyst could
+    *     push into the scan): only bare id-pairs are ever broadcast,
+    *     never shingle-carrying rows (broadcasting payload rows is an OOM
+    *     risk at scale — and since r9, `cand` itself is rep-pair-sized,
+    *     never output-sized), and the corpus text is shuffled exactly
+    *     once, into the collapse exchange (measured sf0.1: 16.2 s r1 →
+    *     5.1 s cold / 2.5 s warm with candidate-only shingling and
+    *     exchange reuse);
     *  4. the threshold test is integer-exact (`inter·den ≥ num·uni`) on the
     *     exact STRING shingle sets — identical to the oracle's semantics —
     *     and the output is the integer (inter, uni) pair, so no float or
@@ -279,7 +355,24 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    val buckets = bandBuckets(docs, maxBucket)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // ---- identity collapse (r9) — same construction and same measured
+    // cliff family as prefixJaccardPairs: byte-identical texts sign, band,
+    // and verify as ONE representative, so `broadcast(cand)` below is
+    // rep-pair-sized — in the 64× identical-copy probe the old spelling
+    // broadcast 11.1M OUTPUT id pairs (the q104 disk-full cliff wearing a
+    // broadcast OOM); member pairs are recovered by narrow id joins. The
+    // hot-bucket cap keeps its exact contract (clusters larger than the
+    // cap shed their pairs) via the GROUP census in the identity path.
+    val byText = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .repartition(par, col("text"))
+    val reps = byText.groupBy(col("text")).agg(min(col("doc_id")).as("rep_id"))
+    val mapping = byText.join(reps.hint("merge"), Seq("text"))
+      .select(col("doc_id"), col("rep_id"))
+    val repDocs = reps.select(col("rep_id").as("doc_id"), col("text"))
+
+    val buckets = bandBuckets(repDocs, maxBucket, prespread = true)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -301,19 +394,50 @@ object Dedup {
     // The trailing repartition makes the (tiny, candidate-bounded) shingle
     // table a reusable exchange: both verification join sides read ONE
     // computed copy instead of re-scanning + re-shingling per side.
-    val sh = fanOut(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"), gauge = docs)
+    // (no fanOut here: repDocs already sits above the collapse exchange,
+    // and the broadcast semi-join preserves its multi-partition layout)
+    val sh = repDocs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
       // explicit count, same AQE-coalesce hazard: the verification joins and
       // the (interpreted) intersect/union sit above this exchange
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(par, col("doc_id"))
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
-    broadcast(cand)
+    val core = broadcast(cand)
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("inter", inter)
       .withColumn("uni", uni)
       .filter(col("inter") * den >= col("uni") * num)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+    // ---- expansion back to member pairs (see prefixJaccardPairs) -------
+    val ma = mapping.select(col("doc_id").as("xa"), col("rep_id").as("ra"))
+    val mb = mapping.select(col("doc_id").as("xb"), col("rep_id").as("rb"))
+    val cross = core
+      .join(ma, col("a_id") === col("ra"))
+      .join(mb, col("b_id") === col("rb"))
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("inter"), col("uni"))
+    // identity pairs: groups of ≥2 identical docs, J = 1 by construction,
+    // inter = uni = |shingles(rep)|. The shingle-size projection runs only
+    // on duplicate-group reps (semi-join first), INSIDE an aggregate so
+    // the nsz > 0 guard cannot be pushed through the semi-join into a
+    // corpus-wide scan filter (the q46 pushdown lesson). The cap filter on
+    // the group census replays the bucket cap's contract exactly: an
+    // identical cluster larger than maxBucket sheds its pairs.
+    val dupFilter = if (maxBucket == Int.MaxValue) col("m") >= 2
+      else col("m") >= 2 && col("m") <= maxBucket
+    val dupReps = mapping.groupBy(col("rep_id")).agg(count(lit(1)).as("m"))
+      .filter(dupFilter).select(col("rep_id").as("doc_id"))
+    val repN = repDocs.join(dupReps, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(max(size(TextOps.shingles(col("text"), ShingleN))).as("nsz"))
+      .filter(col("nsz") > 0)
+      .select(col("doc_id").as("rn_id"), col("nsz"))
+    val ident = ma.join(mb, col("ra") === col("rb") && col("xa") < col("xb"))
+      .join(repN, col("ra") === col("rn_id"))
+      .select(col("xa").as("a_id"), col("xb").as("b_id"),
+        col("nsz").as("inter"), col("nsz").as("uni"))
+    cross.unionByName(ident)
   }
 
   /** Connected components over an undirected edge list (a_id, b_id) via

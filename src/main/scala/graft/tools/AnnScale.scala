@@ -7,14 +7,25 @@ import graft.operators.{Dedup, IvfIndex}
 /** Scaling probe for the two at-scale similarity paths the r8 verdict's
   * 64× directive names and no existing tool covers:
   *
-  *  - q104 prefix-filtered exact set-similarity join, on doc-shifted
-  *    replication of the sf0.1 corpus (adversarial all-duplicates
-  *    regime: true pairs grow ∝ r², candidate generation should stay
-  *    ∝ r × prefix tokens — the salted token-df census is the claim);
   *  - IVF index build + probed search, on vec-shifted replication of the
   *    embeddings table (identical vectors, distinct ids: assignment and
   *    per-cell layout grow linearly, search cost stays ∝ probed cells,
-  *    NOT corpus size — partition pruning is the claim).
+  *    NOT corpus size — partition pruning is the claim); runs FIRST so
+  *    its 64× row survives any q104 trouble downstream;
+  *  - q104 prefix-filtered exact set-similarity join, on TWO replication
+  *    regimes that stress different stages:
+  *      (a) identical copies (doc-shifted ids, same text) — true pairs
+  *          grow ∝ r², and before the r9 identity collapse the
+  *          verification join carried two full shingle arrays per pair:
+  *          64× = 11.1M pairs × ~KB arrays ≈ hundreds of GB of SMJ spill,
+  *          measured DISK-FULL. After the collapse, array-carrying joins
+  *          see only the replication-invariant representative pairs and
+  *          the quadratic output rides narrow id joins — this regime now
+  *          measures the collapse;
+  *      (b) token-disjoint copies (every word suffixed with the replica
+  *          id) — replicas share no shingles, so vocabulary and true
+  *          pairs grow ∝ r: this is the linear-census claim (candidate
+  *          generation ∝ r × prefix tokens) measured directly.
   *
   * Reps via SPARK_GRAFT_SCALE_REPS (default "1,16,64"). Numbers recorded
   * in SCALING.md §Round-9.
@@ -43,17 +54,6 @@ object AnnScale {
     val nv = embBase.count()
 
     for (r <- reps) {
-      val docs = (0 until r).map(i =>
-          docBase.select((col("doc_id") + lit(i * 10L * nd)).as("doc_id"),
-            col("text")))
-        .reduce(_ union _).repartition(32).localCheckpoint(true)
-      println(s"[annscale] corpus ${r}x = ${docs.count()} docs")
-      val pairs = time(s"q104 prefix set-sim pairs ${r}x") {
-        Dedup.prefixJaccardPairs(docs, tNum = 4, tDen = 5).count()
-      }
-      println(s"[annscale]   pairs=$pairs")
-      docs.unpersist()
-
       val embs = (0 until r).map(i =>
           embBase.select((col("vec_id") + lit(i * 10L * nv)).as("vec_id"),
             col("embedding")))
@@ -70,6 +70,28 @@ object AnnScale {
       println(s"[annscale]   hits=$hits")
       embs.unpersist(); queries.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+      val dupDocs = (0 until r).map(i =>
+          docBase.select((col("doc_id") + lit(i * 10L * nd)).as("doc_id"),
+            col("text")))
+        .reduce(_ union _).repartition(32).localCheckpoint(true)
+      println(s"[annscale] identical-copy corpus ${r}x = ${dupDocs.count()} docs")
+      val dupPairs = time(s"q104 identical-copy pairs ${r}x") {
+        Dedup.prefixJaccardPairs(dupDocs, tNum = 4, tDen = 5).count()
+      }
+      println(s"[annscale]   pairs=$dupPairs")
+      dupDocs.unpersist()
+
+      val disjDocs = (0 until r).map(i =>
+          docBase.select((col("doc_id") + lit(i * 10L * nd)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1!" + i).as("text")))
+        .reduce(_ union _).repartition(32).localCheckpoint(true)
+      println(s"[annscale] token-disjoint corpus ${r}x = ${disjDocs.count()} docs")
+      val disjPairs = time(s"q104 token-disjoint pairs ${r}x") {
+        Dedup.prefixJaccardPairs(disjDocs, tNum = 4, tDen = 5).count()
+      }
+      println(s"[annscale]   pairs=$disjPairs")
+      disjDocs.unpersist()
     }
     spark.stop()
   }

@@ -244,6 +244,82 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((n, n + 1L)), got.toString)
   }
 
+  test("minhashLshPairs: identity collapse expands duplicate groups exactly (r9 cliff fix)") {
+    // same fixture shape as the q104 collapse spec: identical groups of 3
+    // and 2, a near-dup bridge, an unshingleable duplicate group — LSH
+    // must return exactly the brute-force truth (J = 1 pairs included,
+    // with inter = uni = |shingles|), through rep-sized buckets
+    val texts = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu lambda"),
+      (5L, "unrelated words entirely disjoint from the rest of them"),
+      (6L, "unrelated words entirely disjoint from the rest of them"),
+      (7L, "too short"),
+      (8L, "too short"))
+    val df = texts.toDF("doc_id", "text")
+    val sh = Dedup.withShingles(df)
+    val (inter, uni) = Dedup.jaccardCols($"a.sh", $"b.sh")
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"), inter.as("i"), uni.as("u"))
+      .filter($"i" * 5 >= $"u" * 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val got = Dedup.minhashLshPairs(df, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == truth,
+      s"collapse+expand != brute force: missing=${truth -- got} extra=${got -- truth}")
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L) &&
+      got.exists(p => p._1 == 5L && p._2 == 6L), got.toString)
+    assert(!got.exists(p => p._1 == 7L || p._2 == 8L), got.toString)
+    // the hot-bucket cap's contract carries over to identity groups: at
+    // maxBucket = 2 the 3-member identical cluster sheds ALL its pairs
+    // (it would have owned every band bucket), the 2-member groups stay
+    val capped = Dedup.minhashLshPairs(df, 4, 5, maxBucket = 2)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 3 && b <= 3 }, capped.toString)
+    assert(capped.contains((5L, 6L)), capped.toString)
+  }
+
+  test("prefixJaccardPairs: identity collapse expands duplicate groups exactly (r9 cliff fix)") {
+    // Three byte-identical copies of text A, two of a NEAR-dup A' (J(A,A')
+    // >= 0.8), two of an unrelated B, one short doc duplicated (too short
+    // to shingle — its group must emit NOTHING, like the oracle's len >= 3
+    // guard). Verification now sees only 3 representatives; the expansion
+    // must recover every member pair with exact (inter, uni) — identical
+    // pairs within groups AND all 3x2 cross pairs between A and A' members.
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      6L -> "unrelated words entirely disjoint from the rest of them",
+      7L -> "unrelated words entirely disjoint from the rest of them",
+      8L -> "too short",
+      9L -> "too short")
+    val df = texts.toSeq.toDF("doc_id", "text")
+    val sh = Dedup.withShingles(df)
+    val (inter, uni) = Dedup.jaccardCols($"a.sh", $"b.sh")
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"), inter.as("i"), uni.as("u"))
+      .filter($"i" * 5 >= $"u" * 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val got = Dedup.prefixJaccardPairs(df, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // A–A' shingle sets: 8 each, 7 shared → J = 7/9 < 0.8? No: 10 tokens →
+    // 8 shingles; differing last token breaks the final 3 shingles → the
+    // cross pairs land where brute force puts them — equality is the pin,
+    // whichever side of the threshold the construction falls on
+    assert(got == truth,
+      s"collapse+expand != brute force: missing=${truth -- got} extra=${got -- truth}")
+    // the identical groups themselves must be present (J = 1 pairs)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L) &&
+      got.exists(p => p._1 == 6L && p._2 == 7L), got.toString)
+    // the unshingleable duplicate group emits nothing
+    assert(!got.exists(p => p._1 == 8L || p._2 == 9L), got.toString)
+  }
+
   test("dupSpans: planted cross-doc span is masked, islands merge, clean docs untouched") {
     // docs 1+2 share the 6-token run "w1 w2 w3 w4 w5 w6": its three 4-grams
     // overlap, so gaps-and-islands must merge them into ONE span of 6.
