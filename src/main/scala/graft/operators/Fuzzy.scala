@@ -61,19 +61,37 @@ object Fuzzy {
     * `docs(idCol, keyCol)`. Short keys only by contract (see object doc).
     *
     * `maxKeyCount`: skip any deletion variant shared by more than this
-    * many keys — the [[Dedup]] `capBuckets` discipline. A boilerplate key
-    * class of B identical strings ("untitled", "") shares EVERY variant in
-    * its neighborhood, so the equi-join emits B² candidate pairs from each
-    * one; the cap drops those buckets (production runs exact dedup first,
-    * q44, so a boilerplate class collapses to one representative before
-    * this join). The census is a window over the SAME variant key the
+    * many keys — the [[Dedup]] `capBuckets` discipline. Since r9 the
+    * identity collapse below makes byte-identical key classes a non-event
+    * here (one representative generates the neighborhood; members expand
+    * back through id joins, with the cap applied to the group census under
+    * the same contract), so the variant cap guards the remaining hot case:
+    * DISTINCT keys that share a variant (e.g. one-char-apart boilerplate
+    * families). The census is a window over the SAME variant key the
     * candidate join shuffles on — it adds no exchange and no hazard the
-    * join does not already have: both co-locate a hot variant's B rows,
-    * and the cap exists precisely to stop the B² OUTPUT. */
+    * join does not already have: both co-locate a hot variant's rows,
+    * and the cap exists precisely to stop the quadratic OUTPUT. */
   def editDistancePairs(docs: DataFrame, keyCol: String, idCol: String,
       maxDist: Int, maxKeyCount: Int = Int.MaxValue): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs.select(col(idCol).as("id"), col(keyCol).as("s"))
+    // ---- identity collapse (r9) — the [[Dedup.prefixJaccardPairs]]
+    // construction applied to the join key: byte-identical keys generate
+    // ONE deletion neighborhood, so an identical-key class of B rows costs
+    // B (mapping rows), not B × neighborhood variants and not B² candidate
+    // rows per shared variant — FuzzyScale's 64× identical-copy probe ran
+    // the pre-collapse shape for 1,477 s, quadratic in the duplication
+    // factor, before the fix. Member pairs come back through narrow id
+    // joins; same-key pairs have lev = 0 by construction. The key
+    // NON-NULL filter is hoisted into the shared subtree (per-branch
+    // filter hazard); null-key rows never paired before either (their
+    // exploded variants were null-filtered).
+    val byKey = docs.select(col(idCol).as("id"), col(keyCol).as("s"))
+      .filter(col("id").isNotNull && col("s").isNotNull)
+      .repartition(par, col("s"))
+    val reps = byKey.groupBy(col("s")).agg(min(col("id")).as("rep_id"))
+    val mapping = byKey.join(reps.hint("merge"), Seq("s"))
+      .select(col("id"), col("rep_id"))
+    val base = reps.select(col("rep_id").as("id"), col("s"))
     // materialize the variant arrays through the exchange, THEN explode —
     // and explode_outer so no generator guard rewrites into the scan
     val raw = base
@@ -88,7 +106,7 @@ object Fuzzy {
         raw.withColumn("vsz", count(lit(1)).over(w))
           .filter(col("vsz") <= maxKeyCount).drop("vsz")
       }
-    variants.as("a").join(variants.as("b"),
+    val core = variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
@@ -96,6 +114,25 @@ object Fuzzy {
       .distinct()
       .select(col("a_id"), col("b_id"), levenshtein(col("a_s"), col("b_s")).as("dist"))
       .filter(col("dist") <= maxDist)
+    // ---- expansion back to member pairs (see prefixJaccardPairs). The
+    // hot-key cap carries to identity groups through the group census:
+    // an identical-key class larger than maxKeyCount sheds its pairs,
+    // exactly as its variant buckets would have been shed.
+    val ma = mapping.select(col("id").as("xa"), col("rep_id").as("ra"))
+    val mb = mapping.select(col("id").as("xb"), col("rep_id").as("rb"))
+    val cross = core
+      .join(ma, col("a_id") === col("ra"))
+      .join(mb, col("b_id") === col("rb"))
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("dist"))
+    val dupFilter = if (maxKeyCount == Int.MaxValue) col("m") >= 2
+      else col("m") >= 2 && col("m") <= maxKeyCount
+    val dupGroups = mapping.groupBy(col("rep_id")).agg(count(lit(1)).as("m"))
+      .filter(dupFilter).select(col("rep_id").as("rg"))
+    val ident = ma.join(mb, col("ra") === col("rb") && col("xa") < col("xb"))
+      .join(dupGroups, col("ra") === col("rg"))
+      .select(col("xa").as("a_id"), col("xb").as("b_id"), lit(0).as("dist"))
+    cross.unionByName(ident)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -81,6 +81,36 @@ class FuzzySpec extends SparkSpec {
     assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
   }
 
+  test("identity collapse expands duplicate key groups exactly (r9 cliff fix)") {
+    // groups of identical keys (3x "invoice draft", 2x "annual summary"),
+    // a typo bridging INTO a group, and a loner — the operator must equal
+    // brute force, with within-group pairs at dist 0 and the bridge typo
+    // pairing against EVERY member of its target group
+    val docs = Seq(
+      (1L, "invoice draft"), (2L, "invoice draft"), (3L, "invoice draft"),
+      (4L, "invoce draft"),            // deletion, dist 1 to the group
+      (5L, "annual summary"), (6L, "annual summary"),
+      (7L, "completely different")).toDF("id", "title")
+    val got = Fuzzy.editDistancePairs(docs, "title", "id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val t = docs.select($"id", $"title")
+    val exp = t.as("a").crossJoin(t.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id", $"b.id", levenshtein($"a.title", $"b.title").as("d"))
+      .filter($"d" <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    assert(got.contains((1L, 4L, 1)) && got.contains((3L, 4L, 1)), got.toString)
+    assert(got.contains((1L, 2L, 0)) && got.contains((5L, 6L, 0)), got.toString)
+    // the cap sheds an identical-key group bigger than maxKeyCount while
+    // smaller groups and cross-typo pairs survive (group census contract)
+    val capped = Fuzzy.editDistancePairs(docs, "title", "id",
+        maxDist = 2, maxKeyCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(!capped.exists(p => p._1 <= 3 && p._2 <= 3), capped.toString)
+    assert(capped.contains((5L, 6L, 0)), capped.toString)
+  }
+
   test("candidate generation is one variant equi-join; verification only on survivors") {
     val docs = Seq((1L, "alpha"), (2L, "alphb"), (3L, "zzzzz")).toDF("doc_id", "title")
     val plan = Fuzzy.editDistancePairs(docs, "title", "doc_id", maxDist = 1)
