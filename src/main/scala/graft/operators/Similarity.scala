@@ -73,25 +73,56 @@ object Similarity {
     * row per vector: (vec_id, rep_id, kept) — `kept = 0` marks the rows a
     * training pipeline drops.
     *
-    * Scale shape: the pair scan is O(Σ cell²), never O(n²) — cell count
-    * grows with the corpus (more sign bits), and the in-cell self-join is a
+    * Scale shape: the pair scan is O(Σ cell²) over DISTINCT vectors, never
+    * O(n²) — byte-identical embeddings collapse to one representative
+    * before the cell join (r9; see body comment), cell count grows with
+    * the corpus (more sign bits), and the in-cell self-join is a
     * bucket-co-partitioned equi-join like q46/q50. Components run on the
     * candidate-bounded pair set, not the corpus; the final label join
-    * broadcasts the (tiny) clustered-id set against the corpus. */
+    * broadcasts the (tiny) clustered-id set against the member mapping. */
   def semanticDedup(embs: DataFrame, signs: Array[Array[Double]], tau: Double): DataFrame = {
-    val e = embs.select(col("vec_id"), col("embedding"),
-      VectorOps.literalSignature(col("embedding"), signs).as("cell"))
+    val par = embs.sparkSession.sparkContext.defaultParallelism
+    // ---- identity collapse (r9) — the [[Dedup.prefixJaccardPairs]]
+    // construction for vectors: byte-identical embeddings land in the same
+    // cell and pair with each other exactly when their SELF-cosine clears
+    // tau (zero-norm / null-element vectors never pair, even with
+    // themselves — cosine is null-safe, returning null, not NaN), so rows
+    // whose self-cosine passes group by their embedding and everything
+    // else stays a singleton through the vec_id key arm. The in-cell pair
+    // join — the only stage carrying float arrays at pair cardinality —
+    // then sees one representative per distinct vector: an identical-copy
+    // duplication factor of r costs r mapping rows, not r² array-carrying
+    // pairs per cell. Exactness: component labels are min-ids, each
+    // group's rep IS its min id, so min over reps == min over members.
+    val selfdup =
+      round(VectorOps.cosine(col("embedding"), col("embedding")), 6) > tau
+    val keyed = embs.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull)
+      .withColumn("gk", struct(
+        // selfdup can be NULL (null-safe cosine): both null and false must
+        // route to the singleton arm, so the conditions test TRUE only
+        when(selfdup, col("embedding")).as("ge"),
+        when(selfdup, lit(0L)).otherwise(col("vec_id")).as("gi")))
+      .repartition(par, col("gk"))
+    // within any gk group the embedding is constant by construction
+    // (multi-row groups exist only on the ge arm), so first() is exact
+    val reps = keyed.groupBy(col("gk"))
+      .agg(min(col("vec_id")).as("rep_id"), first(col("embedding")).as("emb"))
+    val mapping = keyed.join(reps.hint("merge"), Seq("gk"))
+      .select(col("vec_id"), col("rep_id"))
+    val e = reps.select(col("rep_id").as("vec_id"), col("emb").as("embedding"),
+      VectorOps.literalSignature(col("emb"), signs).as("cell"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6) > tau)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
     val labels = Dedup.connectedComponents(pairs)
-      .select(col("node").as("vec_id"), col("label"))
-    embs.select(col("vec_id"))
-      .join(broadcast(labels), Seq("vec_id"), "left")
+      .select(col("node").as("rid"), col("label"))
+    mapping
+      .join(broadcast(labels), col("rep_id") === col("rid"), "left")
       .select(col("vec_id"),
-        coalesce(col("label"), col("vec_id")).as("rep_id"),
-        (coalesce(col("label"), col("vec_id")) === col("vec_id")).cast("int").as("kept"))
+        coalesce(col("label"), col("rep_id")).as("rep_id"),
+        (coalesce(col("label"), col("rep_id")) === col("vec_id")).cast("int").as("kept"))
   }
 
   /** Per-class centroids (element-wise mean of an embedding column) — the

@@ -68,6 +68,17 @@ object AnnScale {
         IvfIndex.search(spark, dir, queries, k = 5, nProbe = 2).count()
       }
       println(s"[annscale]   hits=$hits")
+      // q91 semantic dedup on the identical-vector corpus: every replica
+      // group must collapse to one representative BEFORE the in-cell pair
+      // join (r9) — pre-collapse this regime is r² float-array pairs per
+      // cell; post-collapse the cell join is replication-invariant
+      val kept = time(s"q91 semantic dedup ${r}x") {
+        graft.operators.Similarity.semanticDedup(
+          embs.select(col("vec_id"), col("embedding")),
+          graft.operators.Similarity.SemDedup.signs, tau = 0.40)
+          .filter(col("kept") === 1).count()
+      }
+      println(s"[annscale]   kept=$kept")
       embs.unpersist(); queries.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
 

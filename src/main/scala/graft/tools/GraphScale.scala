@@ -29,7 +29,9 @@ object GraphScale {
     val nOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
     val docsBase = Tables.documents(spark, sfDir)
     val nD = docsBase.count()
-    for (r <- Seq(1, 4, 16)) {
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 16))
+    for (r <- reps) {
       // replicate the FACTS (shifted order keys); dims stay fixed — the
       // regime a real warehouse scales in
       val liR = (0 until r).map(i => li.select(

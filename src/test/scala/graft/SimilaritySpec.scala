@@ -85,6 +85,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 4L, 1)))
   }
 
+  test("semanticDedup identity collapse: zero-vector dups stay kept, groups bridge to neighbors (r9)") {
+    import graft.operators.Similarity
+    // zero vectors have null self-cosine (null-safe), so identical zero
+    // rows must NOT be inferred duplicates — the pre-collapse semantics
+    // (nothing pairs with a zero vector, every row kept) must survive the
+    // r9 identity collapse's grouping
+    val zero = Array.fill(64)(0f)
+    val dup = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val near = Array.tabulate(64)(i => if (i == 0) 1f else if (i == 1) 0.1f else 0f)
+    val df = Seq((1L, zero), (2L, zero), (3L, dup), (4L, dup), (5L, near))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, Similarity.SemDedup.signs, 0.40)
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // cosine(dup, near) = 1/sqrt(1.01) ≈ 0.995 > 0.40 and they share the
+    // all-positive-signs cell iff the planes agree — the brute reference
+    // is computed the pre-collapse way to pin equality
+    val e = df.select($"vec_id", $"embedding",
+      graft.functions.VectorOps.literalSignature($"embedding",
+        Similarity.SemDedup.signs).as("cell"))
+    val pairs = e.as("a").join(e.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .filter(round(graft.functions.VectorOps.cosine(
+        $"a.embedding", $"b.embedding"), 6) > 0.40)
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+      .select($"node".as("vec_id"), $"label")
+    val exp = df.select($"vec_id").join(broadcast(labels), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"label", $"vec_id").as("rep_id"),
+        (coalesce($"label", $"vec_id") === $"vec_id").cast("int").as("kept"))
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == exp, s"collapse diverged from pre-collapse semantics: $got vs $exp")
+    // zero-vector rows each keep themselves
+    assert(got.take(2) == Seq((1L, 1L, 1), (2L, 2L, 1)), got.toString)
+    // the dup group clusters to min id 3
+    assert(got.filter(p => p._1 == 3L || p._1 == 4L).forall(_._2 == 3L), got.toString)
+  }
+
   test("labelCentroids: hand-computed mean-pool, dim order preserved") {
     import graft.operators.Similarity
     val df = Seq(
