@@ -638,16 +638,36 @@ object Dedup {
     * containment theorem — a paraphrase inside every chunk defeats it),
     * so the gate replays the WHOLE pipeline (chunking, overlap rule,
     * exact verify) rather than assuming recall; DedupSpec plants a true
-    * embedding. Scale shape: chunk equi-join bounded by duplicate-run
-    * mass (hot boilerplate chunks are the q46 hot-bucket analogue — cap
-    * the census the capBuckets way); shingle arrays touch only candidate
-    * pairs. */
+    * embedding. Scale shape: byte-identical texts collapse to one
+    * representative before chunking (r9 — see body comment; measured
+    * 49.2 s → seconds at 16× identical copies, uncapped), the chunk
+    * equi-join is bounded by NEAR-identical duplicate-run mass (hot
+    * boilerplate chunks are the q46 hot-bucket analogue — cap the census
+    * the capBuckets way); shingle arrays touch only representative
+    * candidate pairs. */
   def containmentPairs(docs: DataFrame, modulus: Int = 8,
       tNum: Int = 1, tDen: Int = 2,
       maxChunkDocs: Int = Int.MaxValue): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < t <= 1, got $tNum/$tDen")
     require(maxChunkDocs >= 2, s"maxChunkDocs must be >= 2: $maxChunkDocs")
-    val chunks = cdcChunks(docs, modulus).select(col("doc_id"), col("chunk")).distinct()
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // ---- identity collapse (r9) — the prefixJaccardPairs construction:
+    // byte-identical texts share EVERY CDC chunk, so the chunk self-join
+    // fanned r² per chunk under duplication (measured 2.0 s → 49.2 s at
+    // 1×/16× identical copies, uncapped — the q104 cliff's chunk form).
+    // Chunking, overlap, and shingle verification now run on one
+    // representative per distinct text; member pairs come back through
+    // narrow id joins. Directionality: members inherit the rep pair's
+    // size-based direction, except exact size ties, which re-direct per
+    // member pair by lower id (the operator's tie rule).
+    val byText = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .repartition(par, col("text"))
+    val reps = byText.groupBy(col("text")).agg(min(col("doc_id")).as("rep_id"))
+    val mapping = byText.join(reps.hint("merge"), Seq("text"))
+      .select(col("doc_id"), col("rep_id"))
+    val repDocs = reps.select(col("rep_id").as("doc_id"), col("text"))
+    val chunks = cdcChunks(repDocs, modulus).select(col("doc_id"), col("chunk")).distinct()
     val counts = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
     // Hot-chunk cap — q46's maxBucket contract on the chunk key: a chunk
     // shared by > maxChunkDocs docs is corpus boilerplate whose B² join
@@ -670,8 +690,8 @@ object Dedup {
       .join(counts.select(col("doc_id").as("b_id"), col("nc").as("ncb")), "b_id")
       .filter(col("shared") * 2 >= least(col("nca"), col("ncb")))
       .select(col("a_id"), col("b_id"))
-    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("s"))
-    cand
+    val sh = repDocs.select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("s"))
+    val core = cand
       .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -687,6 +707,42 @@ object Dedup {
           .otherwise(col("a_id")).as("container_id"),
         col("inter"), least(col("na"), col("nb")).as("n_contained"),
         greatest(col("na"), col("nb")).as("n_container"))
+    // ---- expansion. Cross pairs: a strict size gap fixes the direction
+    // for every member pair; an exact tie re-directs by lower member id.
+    val ma = mapping.select(col("doc_id").as("xa"), col("rep_id").as("ra"))
+    val mb = mapping.select(col("doc_id").as("xb"), col("rep_id").as("rb"))
+    val tie = col("n_contained") === col("n_container")
+    val cross = core
+      .join(ma, col("contained_id") === col("ra"))
+      .join(mb, col("container_id") === col("rb"))
+      .select(
+        when(tie, least(col("xa"), col("xb"))).otherwise(col("xa")).as("contained_id"),
+        when(tie, greatest(col("xa"), col("xb"))).otherwise(col("xb")).as("container_id"),
+        col("inter"), col("n_contained"), col("n_container"))
+    // Identity pairs: identical texts fully contain each other whenever
+    // the text has >= 1 token (zero-token docs have no chunks and were
+    // never candidates pre-collapse; <ShingleN-token docs WERE — they
+    // share all chunks and pass the 0 >= 0 containment test with empty
+    // shingle sets, so ntok gates the group, not nsz). The hot-chunk cap
+    // sheds identity groups larger than maxChunkDocs, exactly as their
+    // (all-shared) chunks would have been shed. Sizes compute inside an
+    // aggregate so no shingle/token expression can push into a scan.
+    val dupFilter = if (maxChunkDocs == Int.MaxValue) col("m") >= 2
+      else col("m") >= 2 && col("m") <= maxChunkDocs
+    val dupReps = mapping.groupBy(col("rep_id")).agg(count(lit(1)).as("m"))
+      .filter(dupFilter).select(col("rep_id").as("doc_id"))
+    val repN = repDocs.join(dupReps, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(max(size(TextOps.shingles(col("text"), ShingleN))).as("nsz"),
+        max(size(TextOps.tokens(col("text")))).as("ntok"))
+      .filter(col("ntok") >= 1)
+      .select(col("doc_id").as("rn_id"), col("nsz"))
+    val ident = ma.join(mb, col("ra") === col("rb") && col("xa") < col("xb"))
+      .join(repN, col("ra") === col("rn_id"))
+      .select(col("xa").as("contained_id"), col("xb").as("container_id"),
+        col("nsz").as("inter"), col("nsz").as("n_contained"),
+        col("nsz").as("n_container"))
+    cross.unionByName(ident)
       .orderBy(col("contained_id"), col("container_id"))
   }
 
@@ -796,6 +852,27 @@ object Dedup {
       when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** q47's pair surface: documents with IDENTICAL distinct-token sets,
+    * with the measured hamming distance between their simhash signatures
+    * (0 by the sketch's defining invariant — the gate oracle pins exactly
+    * that, so the hamming column stays MEASURED from the sigs, never
+    * hard-coded). tkey (one long) is the equi-join key; the exact tokset
+    * equality stays as a post-join verification filter, so the shuffle
+    * join sorts/compares 8-byte keys and the array comparison runs only
+    * on same-hash candidates. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), simhash(col("text")).as("sig"),
+        sort_array(array_distinct(TextOps.tokens(col("text")))).as("tokset"))
+      .withColumn("tkey", xxhash64(col("tokset")))
+    t.as("a").join(t.as("b"),
+        col("a.tkey") === col("b.tkey") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.tokset") === col("b.tokset"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"),
+        size(col("a.tokset")).as("n_tokens"))
   }
 
   /** Cross-source passage overlap — the provenance/contamination matrix:
@@ -1169,25 +1246,8 @@ object Dedup {
     // DedupSpec checks collision/far-apart behavior on planted texts.
     QueryDef(
       "q47_simhash",
-      (s, d) => {
-        import s.implicits._
-        // tkey (one long) is the equi-join key; the exact tokset equality
-        // stays as a post-join verification filter. Joining on the hash
-        // keeps the sort/compare of the shuffle join on 8-byte keys
-        // instead of full token arrays — the array comparison runs only
-        // on same-hash candidates.
-        val t = Tables.documents(s, d)
-          .select($"doc_id", simhash($"text").as("sig"),
-            sort_array(array_distinct(TextOps.tokens($"text"))).as("tokset"))
-          .withColumn("tkey", xxhash64($"tokset"))
-        t.as("a").join(t.as("b"),
-            $"a.tkey" === $"b.tkey" && $"a.doc_id" < $"b.doc_id" &&
-              $"a.tokset" === $"b.tokset")
-          .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-            bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"),
-            size($"a.tokset").as("n_tokens"))
-          .orderBy($"a_id", $"b_id")
-      },
+      (s, d) => simhashPairs(Tables.documents(s, d))
+        .orderBy(col("a_id"), col("b_id")),
       Some("""WITH t AS (
              |  SELECT doc_id,
              |    list_sort(list_distinct(string_split(text, ' '))) AS tokset

@@ -434,6 +434,39 @@ class DedupSpec extends SparkSpec {
       s"the embedding survives the cap, boilerplate-only pairs do not: ${capped.toSeq}")
   }
 
+  test("containmentPairs identity collapse: duplicate groups expand with exact direction (r9)") {
+    import graft.operators.Dedup
+    // two identical copies of a SHORT doc (< 3 tokens: shares all chunks,
+    // empty shingle sets — pre-collapse these DID pair with inter = 0),
+    // three identical copies of the contained article, two of the
+    // container — cross pairs must appear for every member combination
+    // with the rep pair's direction, identity pairs with inter = n
+    val inner = (0 until 60).map(i => s"c$i").mkString(" ")
+    val padding = (0 until 240).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, inner), (2L, inner), (3L, inner),
+      (10L, s"$padding $inner"), (11L, s"$padding $inner"),
+      (50L, "tiny doc"), (51L, "tiny doc"),
+      (90L, (0 until 80).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    // cross: every inner member contained in every container member
+    for (a <- Seq(1L, 2L, 3L); b <- Seq(10L, 11L))
+      assert(out.exists(p => p._1 == a && p._2 == b), s"missing cross ($a, $b) in $out")
+    // identity: within-group pairs, inter = n_contained = n_container
+    for ((a, b) <- Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+      assert(out.exists(p => p._1 == a && p._2 == b && p._3 == p._4 && p._4 == p._5),
+        s"missing identity ($a, $b) in $out")
+    // the short duplicate pair survives with empty shingle sets (inter 0),
+    // exactly the pre-collapse semantics
+    assert(out.contains((50L, 51L, 0, 0, 0)), out.toString)
+    // the unrelated doc pairs with nothing
+    assert(!out.exists(p => p._1 == 90L || p._2 == 90L), out.toString)
+    // total: 6 cross + 4 identity + 1 short-identity
+    assert(out.size == 11, out.toString)
+  }
+
   test("crossSourceOverlap: a syndicated passage links exactly its two sources") {
     import org.apache.spark.sql.functions._
     val passage = (1 to 8).map(i => s"p$i").mkString(" ") // one 8-shingle
