@@ -364,8 +364,16 @@ object Dedup {
     // broadcast OOM); member pairs are recovered by narrow id joins. The
     // hot-bucket cap keeps its exact contract (clusters larger than the
     // cap shed their pairs) via the GROUP census in the identity path.
+    // the >= ShingleN token filter is HOISTED here: bandBuckets applies it
+    // anyway, and being a pure function of the group key Catalyst pushes
+    // it through the rep aggregate into that branch's scan — present on
+    // one branch only it splits the canonical subtrees and the corpus
+    // scans twice (caught by the r9 PlanSpec scan pin). Docs too short to
+    // shingle contribute to NO pair either way: they had no signature
+    // pre-collapse, and the identity path requires >= 1 shingle.
     val byText = docs.select(col("doc_id"), col("text"))
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        size(TextOps.tokens(col("text"))) >= ShingleN)
       .repartition(par, col("text"))
     val reps = byText.groupBy(col("text")).agg(min(col("doc_id")).as("rep_id"))
     val mapping = byText.join(reps.hint("merge"), Seq("text"))
@@ -426,7 +434,12 @@ object Dedup {
     // identical cluster larger than maxBucket sheds its pairs.
     val dupFilter = if (maxBucket == Int.MaxValue) col("m") >= 2
       else col("m") >= 2 && col("m") <= maxBucket
-    val dupReps = mapping.groupBy(col("rep_id")).agg(count(lit(1)).as("m"))
+    val dupReps = mapping.groupBy(col("rep_id"))
+      // count(doc_id), not count(*): keeps doc_id below the shared exchange so
+      // this census branch prunes like every other mapping consumer and the
+      // collapse exchange stays canonically EQUAL (the q104 census lesson;
+      // the r9 PlanSpec scan pin caught the count(*) spelling re-scanning)
+      .agg(count(col("doc_id")).as("m"))
       .filter(dupFilter).select(col("rep_id").as("doc_id"))
     val repN = repDocs.join(dupReps, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
@@ -729,7 +742,12 @@ object Dedup {
     // aggregate so no shingle/token expression can push into a scan.
     val dupFilter = if (maxChunkDocs == Int.MaxValue) col("m") >= 2
       else col("m") >= 2 && col("m") <= maxChunkDocs
-    val dupReps = mapping.groupBy(col("rep_id")).agg(count(lit(1)).as("m"))
+    val dupReps = mapping.groupBy(col("rep_id"))
+      // count(doc_id), not count(*): keeps doc_id below the shared exchange so
+      // this census branch prunes like every other mapping consumer and the
+      // collapse exchange stays canonically EQUAL (the q104 census lesson;
+      // the r9 PlanSpec scan pin caught the count(*) spelling re-scanning)
+      .agg(count(col("doc_id")).as("m"))
       .filter(dupFilter).select(col("rep_id").as("doc_id"))
     val repN = repDocs.join(dupReps, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))

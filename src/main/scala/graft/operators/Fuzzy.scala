@@ -127,7 +127,12 @@ object Fuzzy {
         greatest(col("xa"), col("xb")).as("b_id"), col("dist"))
     val dupFilter = if (maxKeyCount == Int.MaxValue) col("m") >= 2
       else col("m") >= 2 && col("m") <= maxKeyCount
-    val dupGroups = mapping.groupBy(col("rep_id")).agg(count(lit(1)).as("m"))
+    val dupGroups = mapping.groupBy(col("rep_id"))
+      // count(id), not count(*): keeps id below the shared exchange so
+      // this census branch prunes like every other mapping consumer and the
+      // collapse exchange stays canonically EQUAL (the q104 census lesson;
+      // the r9 PlanSpec scan pin caught the count(*) spelling re-scanning)
+      .agg(count(col("id")).as("m"))
       .filter(dupFilter).select(col("rep_id").as("rg"))
     val ident = ma.join(mb, col("ra") === col("rb") && col("xa") < col("xb"))
       .join(dupGroups, col("ra") === col("rg"))

@@ -428,6 +428,24 @@ class PlanSpec extends SparkSpec {
       s"per-cluster rank <= k must prune below the window:\n$p")
   }
 
+  test("r9 identity collapse: one corpus scan feeds census + join-back in every collapsed operator") {
+    // the collapse's repartition(key) exchange is consumed by BOTH the
+    // representative census and the member->rep join-back; an inferred
+    // per-branch isnotnull (or uneven pruning) splits the canonical
+    // subtrees and the corpus scans twice — pin the finalized scan count
+    // for every operator that gained the collapse this round (q104
+    // already has its own pin)
+    for (name <- Seq("q46_minhash_lsh", "q110_edit_neardup",
+        "q136_containment_dedup", "q91_semantic_dedup")) {
+      val p = finalizedPlan(name)
+      val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans == 1,
+        s"$name: expected exactly 1 corpus scan in the finalized plan, got $scans:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"$name: the collapse exchange must resolve to ReusedExchange at runtime:\n$p")
+    }
+  }
+
   test("q192/q193/q215: multi-consumer censuses are cut — consumers never re-scan the corpus") {
     // the r5 q104 hazard (per-consumer column pruning defeats exchange
     // reuse → N consumers = N corpus scans), closed for these three by a
