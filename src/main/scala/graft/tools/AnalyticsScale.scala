@@ -35,7 +35,9 @@ object AnalyticsScale {
     val embBase = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val nv = embBase.agg(max(col("vec_id"))).head().getLong(0) + 1
-    for (r <- Seq(1, 4, 16)) {
+    val mainReps = sys.env.get("SPARK_GRAFT_MAIN_REPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 16))
+    for (r <- mainReps) {
       val ev = (0 until r).map(i => evBase
           .select(col("event_id"), col("ts"),
             (col("user_id") + lit(i * nu)).as("user_id"),

@@ -113,7 +113,9 @@ object AuditScale {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
     val nu = evBase.agg(max(col("user_id"))).head().getLong(0) + 1
-    for (r <- Seq(1, 4, 16)) {
+    val mainReps = sys.env.get("SPARK_GRAFT_MAIN_REPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 16))
+    for (r <- mainReps) {
       val li = (0 until r).map(i => liBase
           .select((col("l_orderkey") + lit(i * no)).as("l_orderkey"),
             col("l_partkey")))

@@ -28,7 +28,9 @@ object CurationScale {
     val baseEmb = Tables.embeddings(spark, sfDir)
     val nD = baseDocs.count()
     val nE = baseEmb.count()
-    for (r <- Seq(1, 4, 16)) {
+    val mainReps = sys.env.get("SPARK_GRAFT_MAIN_REPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 16))
+    for (r <- mainReps) {
       val docs = (0 until r).map(i => baseDocs.select(
           (col("doc_id") + lit(i * 10L * nD)).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars")))

@@ -28,7 +28,9 @@ object SketchScale {
     val nd = docsBase.count()
     val liBase = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_extendedprice"))
-    for (r <- Seq(1, 4, 16)) {
+    val mainReps = sys.env.get("SPARK_GRAFT_MAIN_REPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 16))
+    for (r <- mainReps) {
       val docs = (0 until r).map(i =>
           docsBase.select((col("doc_id") + lit(i * 10L * nd)).as("doc_id"), col("text")))
         .reduce(_ union _).repartition(32).localCheckpoint(true)
