@@ -353,8 +353,17 @@ object Dedup {
     *     and the output is the integer (inter, uni) pair, so no float or
     *     hash approximation can diverge.
     */
-  def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** The collapse-level internals of [[minhashLshPairs]], for consumers
+    * that can work at representative granularity without expanding
+    * ([[dedupCorpus]]): `core` = verified REP pairs (a_id, b_id, inter,
+    * uni), `mapping` = (doc_id, rep_id) member→representative,
+    * `repN` = (rn_id, nsz) for exactly the identity groups that EXPAND
+    * into pairs (≥ 2 members, within the bucket cap, ≥ 1 shingle). */
+  private[operators] case class LshCollapsed(
+      core: DataFrame, mapping: DataFrame, repN: DataFrame)
+
+  private def minhashCollapsed(docs: DataFrame, num: Int, den: Int,
+      maxBucket: Int): LshCollapsed = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // ---- identity collapse (r9) — same construction and same measured
     // cliff family as prefixJaccardPairs: byte-identical texts sign, band,
@@ -417,21 +426,13 @@ object Dedup {
       .withColumn("uni", uni)
       .filter(col("inter") * den >= col("uni") * num)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
-    // ---- expansion back to member pairs (see prefixJaccardPairs) -------
-    val ma = mapping.select(col("doc_id").as("xa"), col("rep_id").as("ra"))
-    val mb = mapping.select(col("doc_id").as("xb"), col("rep_id").as("rb"))
-    val cross = core
-      .join(ma, col("a_id") === col("ra"))
-      .join(mb, col("b_id") === col("rb"))
-      .select(least(col("xa"), col("xb")).as("a_id"),
-        greatest(col("xa"), col("xb")).as("b_id"), col("inter"), col("uni"))
-    // identity pairs: groups of ≥2 identical docs, J = 1 by construction,
-    // inter = uni = |shingles(rep)|. The shingle-size projection runs only
-    // on duplicate-group reps (semi-join first), INSIDE an aggregate so
-    // the nsz > 0 guard cannot be pushed through the semi-join into a
-    // corpus-wide scan filter (the q46 pushdown lesson). The cap filter on
-    // the group census replays the bucket cap's contract exactly: an
-    // identical cluster larger than maxBucket sheds its pairs.
+    // identity groups that EXPAND into pairs: ≥ 2 identical docs, within
+    // the bucket cap (an identical cluster larger than maxBucket sheds
+    // its pairs, replaying the cap's contract through the group census),
+    // ≥ 1 shingle. The shingle-size projection runs only on
+    // duplicate-group reps (semi-join first), INSIDE an aggregate so the
+    // nsz > 0 guard cannot be pushed through the semi-join into a
+    // corpus-wide scan filter (the q46 pushdown lesson).
     val dupFilter = if (maxBucket == Int.MaxValue) col("m") >= 2
       else col("m") >= 2 && col("m") <= maxBucket
     val dupReps = mapping.groupBy(col("rep_id"))
@@ -446,8 +447,24 @@ object Dedup {
       .agg(max(size(TextOps.shingles(col("text"), ShingleN))).as("nsz"))
       .filter(col("nsz") > 0)
       .select(col("doc_id").as("rn_id"), col("nsz"))
+    LshCollapsed(core, mapping, repN)
+  }
+
+  def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val c = minhashCollapsed(docs, num, den, maxBucket)
+    // ---- expansion back to member pairs (see prefixJaccardPairs):
+    // cross pairs inherit the rep pair's evidence; identity pairs are
+    // J = 1 by construction with inter = uni = |shingles(rep)|
+    val ma = c.mapping.select(col("doc_id").as("xa"), col("rep_id").as("ra"))
+    val mb = c.mapping.select(col("doc_id").as("xb"), col("rep_id").as("rb"))
+    val cross = c.core
+      .join(ma, col("a_id") === col("ra"))
+      .join(mb, col("b_id") === col("rb"))
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("inter"), col("uni"))
     val ident = ma.join(mb, col("ra") === col("rb") && col("xa") < col("xb"))
-      .join(repN, col("ra") === col("rn_id"))
+      .join(c.repN, col("ra") === col("rn_id"))
       .select(col("xa").as("a_id"), col("xb").as("b_id"),
         col("nsz").as("inter"), col("nsz").as("uni"))
     cross.unionByName(ident)
@@ -504,16 +521,41 @@ object Dedup {
 
   /** The end-to-end dedup deliverable as one call: LSH candidate pairs →
     * connected components → keep only cluster REPRESENTATIVES (min doc_id)
-    * plus every unpaired document. The anti-join ships only the (tiny)
-    * non-representative id set broadcast against the corpus — the corpus
-    * itself is scanned once and never shuffled. */
+    * plus every unpaired document.
+    *
+    * COLLAPSE-AWARE (r9): components run over the REPRESENTATIVE pair
+    * graph ([[minhashCollapsed]]) — replication-invariant — and members
+    * inherit their representative's label through the narrow mapping, so
+    * the duplication regime never shuffles the quadratic expanded edge
+    * set (the 256× probe ran CC over 180M expanded edges for 166.7 s;
+    * rep pairs there number 256). Exactness: every group's rep IS its
+    * min id, so min over reps in a component equals min over members;
+    * member x's label in the EXPANDED graph is
+    *   - L(rep(x)) when the rep has ≥ 1 rep pair (cross expansion links
+    *     ALL members — identity-shed over-cap groups included — through
+    *     the partner's members, merging them into one component),
+    *   - rep(x) when the group expands identity pairs but the rep has no
+    *     rep pair (the group is its own cluster),
+    *   - x itself otherwise (no edges at all: singleton, over-cap with
+    *     unpaired rep, or unshingleable — all kept).
+    * The drop anti-join is deliberately UNHINTED: the dropped-id set is
+    * corpus-proportional in a duplicate-heavy regime, so forcing a
+    * broadcast of it is the q46 broadcast(cand) OOM wearing a new hat. */
   def dedupCorpus(docs: DataFrame, num: Int, den: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    val pairs = minhashLshPairs(docs, num, den, maxBucket).select(col("a_id"), col("b_id"))
-    val dropIds = connectedComponents(pairs)
-      .filter(col("node") =!= col("label"))
-      .select(col("node").as("doc_id"))
-    docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    val c = minhashCollapsed(docs, num, den, maxBucket)
+    val labels = connectedComponents(c.core.select(col("a_id"), col("b_id")))
+      .select(col("node").as("rid"), col("label"))
+    val dropIds = c.mapping
+      .join(broadcast(labels), col("rep_id") === col("rid"), "left")
+      .join(broadcast(c.repN.select(col("rn_id"))),
+        col("rep_id") === col("rn_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"),
+          when(col("rn_id").isNotNull, col("rep_id"))).as("lab"))
+      .filter(col("lab").isNotNull && col("doc_id") =!= col("lab"))
+      .select(col("doc_id"))
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   /** Segment-level (sub-document) exact dedup — the CCNet-shaped pass that

@@ -47,6 +47,13 @@ object ScaleSmoke {
           .agg(countDistinct(col("label"))).head().getLong(0)
       }
       println(s"[scale]   clusters=$comps")
+      // r9 collapse-aware composition: CC over REP pairs + member labeling
+      // through the mapping — the duplication regime never shuffles the
+      // quadratic expanded edge set (the q66 row above does, by contract)
+      val kept = time(s"dedupCorpus survivors ${r}x") {
+        Dedup.dedupCorpus(docs, 4, 5).count()
+      }
+      println(s"[scale]   kept=$kept")
     }
     spark.stop()
   }

@@ -157,6 +157,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus collapse-aware labeling equals CC over the expanded pair graph (r9)") {
+    // the shapes where rep-level labeling could diverge from the expanded
+    // graph: an over-cap identical group with an UNPAIRED rep (all kept),
+    // an over-cap identical group whose rep pairs with a near-dup (cross
+    // expansion links every member through the partner — one cluster),
+    // an in-cap identical group (rep kept, members dropped), singletons
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tD = "one two three four five six seven eight nine ten eleven"
+    val tDnear = "one two three four five six seven eight nine ten twelve"
+    val docs = Seq(
+      (1L, tA), (2L, tA),                       // in-cap identical pair
+      (7L, "lonely seven words that match nothing else at all"),
+      (8L, "lonely seven words that match nothing else at all"),
+      (9L, "lonely seven words that match nothing else at all"),
+      (10L, tD), (11L, tD), (12L, tD),          // over-cap, rep bridged
+      (13L, tDnear),
+      (90L, "totally unrelated corpus tail document here")).toDF("doc_id", "text")
+    val cap = 2
+    // reference semantics: CC over the EXPANDED pair output
+    val pairs = Dedup.minhashLshPairs(docs, 4, 5, maxBucket = cap)
+      .select($"a_id", $"b_id")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedKept = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => labels.getOrElse(id, id) == id).toSet
+    val got = Dedup.dedupCorpus(docs, 4, 5, maxBucket = cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expectedKept,
+      s"collapse-aware != expanded-graph: missing=${expectedKept -- got} extra=${got -- expectedKept}")
+    // shape assertions: over-cap unpaired group fully kept; bridged
+    // over-cap group keeps only the component min; in-cap group keeps rep
+    assert(Set(7L, 8L, 9L).subsetOf(got), got.toString)
+    assert(got.contains(10L) && !got.contains(11L) && !got.contains(13L), got.toString)
+    assert(got.contains(1L) && !got.contains(2L), got.toString)
+    assert(got.contains(90L), got.toString)
+  }
+
   test("segmentDedup: keep-first, reassembly order, exact-dup doc empties out") {
     val df = Seq(
       (1L, "a b c d"),   // segs (S=2): "a b", "c d" — both first occurrences
