@@ -102,32 +102,46 @@ object Bench {
       liveMax = liveMax.max(live); storageMaxMb = storageMaxMb.max(mb)
       System.err.println(
         f"[bench] after ${q.name}: $live live RDDs, $mb%.1f MB block storage, $attempts attempts")
-      (q.name, times.toSeq, attempts)
+      (q.name, times.toSeq, attempts, live, mb)
     }
-    val ok = results.collect { case (n, ts, _) if ts.nonEmpty => n -> ts.min }
-    val failed = results.collect { case (n, ts, _) if ts.isEmpty => n }
+    val ok = results.collect { case (n, ts, _, _, _) if ts.nonEmpty => n -> ts.min }
+    val failed = results.collect { case (n, ts, _, _, _) if ts.isEmpty => n }
     val qs = (ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
       failed.map(n => "\"" + n + "\":\"failed\"")).mkString("{", ",", "}")
     // Per-query steady-state stddev (fastest-n subset) alongside best-of-n:
     // a delta between rounds is only a regression when it clears the
     // jitter band — sd makes noise (the r7 q05/q23 "+5-9%" wobble)
     // separable from real slowdowns without re-running the bench.
-    val sds = results.collect { case (n, ts, _) if ts.nonEmpty =>
+    val sds = results.collect { case (n, ts, _, _, _) if ts.nonEmpty =>
       "\"" + n + f"\":${trimmedSd(ts)}%.3f"
     }.mkString("{", ",", "}")
     // Attempts per query where the adaptive policy went past the base
     // quota — which rows needed retries, and how many, is part of the
     // artifact (silent retries would hide a chronically noisy row).
     val extraJson = {
-      val e = results.collect { case (n, _, a) if a > iters => "\"" + n + "\":" + a }
+      val e = results.collect { case (n, _, a, _, _) if a > iters => "\"" + n + "\":" + a }
       if (e.isEmpty) "" else e.mkString(""","attempts":{""", ",", "}")
     }
+    // Per-query storage SERIES (r9 directive: the max alone can hide a
+    // leak under retry pressure — the series shows whether block storage
+    // is flat across the run or climbing): live persistent RDDs and block
+    // bytes sampled after each query completes.
+    val liveSeries = results.map { case (n, _, _, live, _) =>
+      "\"" + n + "\":" + live }.mkString("{", ",", "}")
+    val mbSeries = results.map { case (n, _, _, _, mb) =>
+      "\"" + n + f"\":$mb%.1f" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val loadEnd = load1
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_sd":$sds$failedJson$extraJson,"iters":$iters,"live_rdds_max":$liveMax,"storage_mb_max":$storageMaxMb%.1f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"live_rdds_max":$liveMax,"storage_mb_max":$storageMaxMb%.1f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir""""
+    println(s"""{$summary,"queries":$qs,"queries_sd":$sds$failedJson$extraJson,"live_rdds":$liveSeries,"storage_mb":$mbSeries}""")
+    // The full line above can exceed the driver artifact's byte-limited
+    // tail window (the r9 artifact lost the line's HEAD, total included) —
+    // repeat the summary fields as a short, complete, parseable JSON line
+    // LAST so the tail always captures the totals whatever the window.
+    println(s"""{$summary,"detail":"see full line above"$failedJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -337,17 +337,19 @@ object Dedup {
     *     rows puts the J=0.8 miss probability at (1−0.64)¹⁶ ≈ 8·10⁻⁸, so
     *     gate-scale recall is exactly 100% (oracle-checked) and the extra
     *     moderate-similarity candidates are discarded by verification;
-    *  3. verification re-shingles ONLY candidate documents (repDocs ⋈
-    *     broadcast candidate ids — reads the collapse exchange again
-    *     rather than re-scanning parquet; the semi-join runs BELOW the
-    *     shingle projection and carries no filter that Catalyst could
-    *     push into the scan): only bare id-pairs are ever broadcast,
-    *     never shingle-carrying rows (broadcasting payload rows is an OOM
-    *     risk at scale — and since r9, `cand` itself is rep-pair-sized,
-    *     never output-sized), and the corpus text is shuffled exactly
-    *     once, into the collapse exchange (measured sf0.1: 16.2 s r1 →
-    *     5.1 s cold / 2.5 s warm with candidate-only shingling and
-    *     exchange reuse);
+    *  3. verification re-shingles ONLY candidate documents (repDocs
+    *     semi-joined against the bare candidate-id set — reads the
+    *     collapse exchange again rather than re-scanning parquet; the
+    *     semi-join runs BELOW the shingle projection and carries no filter
+    *     that Catalyst could push into the scan): only bare id frames ever
+    *     ride the candidate joins, never shingle-carrying rows at pair
+    *     cardinality (since r9, `cand` itself is rep-pair-sized, never
+    *     output-sized; since r10 its joins are UNHINTED — AQE broadcasts
+    *     when the runtime size is small and falls back to a shuffle join
+    *     in the honest near-dup regime where rep pairs ∝ corpus), and the
+    *     corpus text is shuffled exactly once, into the collapse exchange
+    *     (measured sf0.1: 16.2 s r1 → 5.1 s cold / 2.5 s warm with
+    *     candidate-only shingling and exchange reuse);
     *  4. the threshold test is integer-exact (`inter·den ≥ num·uni`) on the
     *     exact STRING shingle sets — identical to the oracle's semantics —
     *     and the output is the integer (inter, uni) pair, so no float or
@@ -367,10 +369,10 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // ---- identity collapse (r9) — same construction and same measured
     // cliff family as prefixJaccardPairs: byte-identical texts sign, band,
-    // and verify as ONE representative, so `broadcast(cand)` below is
-    // rep-pair-sized — in the 64× identical-copy probe the old spelling
-    // broadcast 11.1M OUTPUT id pairs (the q104 disk-full cliff wearing a
-    // broadcast OOM); member pairs are recovered by narrow id joins. The
+    // and verify as ONE representative, so `cand` below is rep-pair-sized
+    // — in the 64× identical-copy probe the old spelling carried 11.1M
+    // OUTPUT id pairs through the verification joins (the q104 disk-full
+    // cliff); member pairs are recovered by narrow id joins. The
     // hot-bucket cap keeps its exact contract (clusters larger than the
     // cap shed their pairs) via the GROUP census in the identity path.
     // the >= ShingleN token filter is HOISTED here: bandBuckets applies it
@@ -411,21 +413,46 @@ object Dedup {
     // The trailing repartition makes the (tiny, candidate-bounded) shingle
     // table a reusable exchange: both verification join sides read ONE
     // computed copy instead of re-scanning + re-shingling per side.
-    // (no fanOut here: repDocs already sits above the collapse exchange,
-    // and the broadcast semi-join preserves its multi-partition layout)
-    val sh = repDocs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // candIds / cand are deliberately UNHINTED (r10): they are rep-pair-
+    // proportional, which is genuinely small in the identical-copy regime
+    // the r9 probes measured but corpus-proportional in the honest
+    // near-dup regime (a crawl where near-twins are textually DISTINCT, so
+    // collapse cannot shrink them) — a forced broadcast there is the q46
+    // broadcast-OOM wearing its original hat. AQE sees the runtime size
+    // and still broadcasts when the frame is actually small (PlanSpec pins
+    // the gate-scale BroadcastHashJoin; the NearDupScale probe shows the
+    // same code picking a shuffle join when pairs grow with the corpus).
+    val sh = repDocs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
       // explicit count, same AQE-coalesce hazard: the verification joins and
       // the (interpreted) intersect/union sit above this exchange
       .repartition(par, col("doc_id"))
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
-    val core = broadcast(cand)
+    val verified = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("inter", inter)
       .withColumn("uni", uni)
       .filter(col("inter") * den >= col("uni") * num)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+    // Under a cap, rep pairs touching an OVER-CAP identity group are shed
+    // (r10, ADVICE): pre-collapse, every bucket containing any member of a
+    // byte-identical class of size > maxBucket held the whole class and
+    // was shed — so no pair involving the class survived. The collapsed
+    // buckets count REPS, so such a pair could sneak through and its cross
+    // expansion would emit |A|×|B| member pairs — two bridged over-cap
+    // classes reproduce the exact quadratic-output cliff the cap guards
+    // against. The group census replays the pre-collapse shed exactly.
+    val core =
+      if (maxBucket == Int.MaxValue) verified
+      else {
+        val overCap = mapping.groupBy(col("rep_id"))
+          .agg(count(col("doc_id")).as("m"))
+          .filter(col("m") > maxBucket).select(col("rep_id").as("oc"))
+        verified
+          .join(overCap, col("a_id") === col("oc"), "left_anti")
+          .join(overCap, col("b_id") === col("oc"), "left_anti")
+      }
     // identity groups that EXPAND into pairs: ≥ 2 identical docs, within
     // the bucket cap (an identical cluster larger than maxBucket sheds
     // its pairs, replaying the cap's contract through the group census),
@@ -532,23 +559,28 @@ object Dedup {
     * min id, so min over reps in a component equals min over members;
     * member x's label in the EXPANDED graph is
     *   - L(rep(x)) when the rep has ≥ 1 rep pair (cross expansion links
-    *     ALL members — identity-shed over-cap groups included — through
-    *     the partner's members, merging them into one component),
+    *     ALL members through the partner's members, merging them into one
+    *     component; since r10 a rep pair touching an OVER-CAP identity
+    *     group is shed in `core` itself — see [[minhashCollapsed]] — so
+    *     such groups fall through to the no-edges case, exactly as their
+    *     over-cap buckets shed them pre-collapse),
     *   - rep(x) when the group expands identity pairs but the rep has no
     *     rep pair (the group is its own cluster),
-    *   - x itself otherwise (no edges at all: singleton, over-cap with
-    *     unpaired rep, or unshingleable — all kept).
-    * The drop anti-join is deliberately UNHINTED: the dropped-id set is
-    * corpus-proportional in a duplicate-heavy regime, so forcing a
-    * broadcast of it is the q46 broadcast(cand) OOM wearing a new hat. */
+    *   - x itself otherwise (no edges at all: singleton, over-cap, or
+    *     unshingleable — all kept).
+    * EVERY join here is deliberately UNHINTED (r10): labels and repN have
+    * one row per distinct near-dup/duplicated text — rep-bounded in the
+    * identical-copy regime but corpus-proportional in an honest near-dup
+    * crawl, the same reason the drop anti-join was never hinted. AQE
+    * broadcasts them when the runtime size is actually small. */
   def dedupCorpus(docs: DataFrame, num: Int, den: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val c = minhashCollapsed(docs, num, den, maxBucket)
     val labels = connectedComponents(c.core.select(col("a_id"), col("b_id")))
       .select(col("node").as("rid"), col("label"))
     val dropIds = c.mapping
-      .join(broadcast(labels), col("rep_id") === col("rid"), "left")
-      .join(broadcast(c.repN.select(col("rn_id"))),
+      .join(labels, col("rep_id") === col("rid"), "left")
+      .join(c.repN.select(col("rn_id")),
         col("rep_id") === col("rn_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"),
@@ -1297,6 +1329,50 @@ object Dedup {
              |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node)
              |SELECT src AS doc_id, min(node) AS rep_id
              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
+    // ---- q224: dedupCorpus end-to-end (r10 directive) -----------------------
+    // The one-call deduplicated corpus — the tier's headline deliverable —
+    // gate-checked as a COMPOSITION: q46 certifies the pairs and q66 the
+    // components, but the collapse-aware label inheritance that stitches
+    // them (rep-level CC + member mapping + the repN identity arm) only
+    // runs inside dedupCorpus. Oracle: the q66 recursive-reachability CTE
+    // with a survivor filter on top — a document survives iff it is in no
+    // J≥0.8 component (unpaired) or is its component's min id.
+    QueryDef(
+      "q224_dedup_corpus",
+      (s, d) => dedupCorpus(Tables.documents(s, d), 4, 5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |cd AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+             |pairs AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cd c
+             |  JOIN sz sa ON sa.doc_id = c.a_id
+             |  JOIN sz sb ON sb.doc_id = c.b_id
+             |  WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4),
+             |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+             |      UNION ALL SELECT b_id, a_id FROM pairs),
+             |reach(src, node) AS (
+             |  SELECT u, u FROM e
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+             |labels AS (SELECT src AS doc_id, min(node) AS rep_id
+             |           FROM reach GROUP BY src)
+             |SELECT d.doc_id
+             |FROM documents d LEFT JOIN labels l USING (doc_id)
+             |WHERE l.rep_id IS NULL OR l.rep_id = d.doc_id
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- q47: SimHash near-dup sketch --------------------------------------
     // Oracle-checked via the sketch's defining invariant: simhash is a pure

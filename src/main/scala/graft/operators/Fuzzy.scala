@@ -70,7 +70,11 @@ object Fuzzy {
     * families). The census is a window over the SAME variant key the
     * candidate join shuffles on — it adds no exchange and no hazard the
     * join does not already have: both co-locate a hot variant's rows,
-    * and the cap exists precisely to stop the quadratic OUTPUT. */
+    * and the cap exists precisely to stop the quadratic OUTPUT — which
+    * since r10 it does on BOTH axes: variant buckets over the cap are
+    * skipped, and rep pairs touching an over-cap identical-key class are
+    * shed before expansion (see the body comment), so no capped run can
+    * emit member pairs quadratic in an over-cap class size. */
   def editDistancePairs(docs: DataFrame, keyCol: String, idCol: String,
       maxDist: Int, maxKeyCount: Int = Int.MaxValue): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -106,7 +110,7 @@ object Fuzzy {
         raw.withColumn("vsz", count(lit(1)).over(w))
           .filter(col("vsz") <= maxKeyCount).drop("vsz")
       }
-    val core = variants.as("a").join(variants.as("b"),
+    val verified = variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
@@ -114,10 +118,30 @@ object Fuzzy {
       .distinct()
       .select(col("a_id"), col("b_id"), levenshtein(col("a_s"), col("b_s")).as("dist"))
       .filter(col("dist") <= maxDist)
+    // Under a cap, rep pairs touching an OVER-CAP identity group are shed
+    // (r10, ADVICE — same construction as Dedup.minhashCollapsed): pre-
+    // collapse, every variant bucket containing any member of an identical
+    // class of size > maxKeyCount held the whole class and was shed, so no
+    // pair involving the class survived. Collapsed buckets count REPS, so
+    // such a pair could sneak through and its cross expansion would emit
+    // |A|×|B| member pairs — two bridged over-cap classes reproduce the
+    // exact quadratic-output cliff the cap exists to stop. The group
+    // census replays the pre-collapse shed and restores the output bound.
+    val core =
+      if (maxKeyCount == Int.MaxValue) verified
+      else {
+        val overCap = mapping.groupBy(col("rep_id"))
+          .agg(count(col("id")).as("m"))
+          .filter(col("m") > maxKeyCount).select(col("rep_id").as("oc"))
+        verified
+          .join(overCap, col("a_id") === col("oc"), "left_anti")
+          .join(overCap, col("b_id") === col("oc"), "left_anti")
+      }
     // ---- expansion back to member pairs (see prefixJaccardPairs). The
     // hot-key cap carries to identity groups through the group census:
-    // an identical-key class larger than maxKeyCount sheds its pairs,
-    // exactly as its variant buckets would have been shed.
+    // an identical-key class larger than maxKeyCount sheds ALL its pairs
+    // (identity AND cross), exactly as its variant buckets would have
+    // been shed pre-collapse.
     val ma = mapping.select(col("id").as("xa"), col("rep_id").as("ra"))
     val mb = mapping.select(col("id").as("xb"), col("rep_id").as("rb"))
     val cross = core

@@ -109,37 +109,25 @@ object IvfIndex {
     * Either way the segment holds the batch's rows exactly once. */
   def appendSegment(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val seg = new Path(s"$dir/segments/b$batchId")
-    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(seg, "_SUCCESS"))) return false
+    if (!Segments.needsCommit(spark, dir, batchId)) return false
     if (batch.isEmpty) return false // nothing to seal; no empty roots
     assign(spark, dir, batch)
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(seg.toString)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(Segments.segmentRoot(dir, batchId))
     true
   }
 
-  /** Roots of every COMMITTED streamed segment, oldest first. */
-  private[graft] def sealedSegments(spark: SparkSession, dir: String): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(s"$dir/segments")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toIndexedSeq
-      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.toString).sorted
-  }
+  /** Roots of every COMMITTED streamed segment, oldest first in NUMERIC
+    * batchId order (lexicographic order broke at b10 < b2 — ADVICE r9). */
+  private[graft] def sealedSegments(spark: SparkSession, dir: String): Seq[String] =
+    Segments.sealedRoots(spark, dir, "cells")
 
   /** The SERVED corpus: build-time cells plus every committed streamed
-    * segment. Roots are read separately and unioned (one multi-path read
-    * trips Spark's common-base-path partition discovery —
-    * CONFLICTING_DIRECTORY_STRUCTURES); each branch keeps its own
-    * cell-partitioned scan, so probe-time cell filters prune per branch.
+    * segment — see [[Segments.frame]] for the per-root scan rationale.
     * [[compactSegments]] periodically restores the single-root layout,
     * which also keeps the union width (planning cost) bounded. */
   def indexFrame(spark: SparkSession, dir: String): DataFrame =
-    (Seq(s"$dir/cells") ++ sealedSegments(spark, dir))
-      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+    Segments.frame(spark, dir, "cells")
 
   /** Fold committed segments into the base cells directory (bounding the
     * root count that [[indexFrame]] unions — run at maintenance time,
@@ -147,24 +135,13 @@ object IvfIndex {
     * directories and drop the folded segments. The swap window is not
     * atomic for concurrent readers (two renames) — this is an offline
     * maintenance pass by contract, mirroring the snapshot discipline
-    * rather than the pointer indirection it doesn't need. Returns the
-    * number of segments folded. */
-  def compactSegments(spark: SparkSession, dir: String): Int = {
-    import org.apache.hadoop.fs.Path
-    val segs = sealedSegments(spark, dir)
-    if (segs.isEmpty) return 0
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = s"$dir/cells_compact_tmp"
-    indexFrame(spark, dir)
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
-    val old = new Path(s"$dir/cells_old")
-    fs.delete(old, true)
-    fs.rename(new Path(s"$dir/cells"), old)
-    fs.rename(new Path(tmp), new Path(s"$dir/cells"))
-    fs.delete(old, true)
-    segs.foreach(s => fs.delete(new Path(s), true))
-    segs.length
-  }
+    * rather than the pointer indirection it doesn't need. Every rename is
+    * result-checked and a crashed cleanup is finished by the next call via
+    * the `_folded` manifest (r10, ADVICE — see [[Segments.compact]]).
+    * Returns the number of segments folded. */
+  def compactSegments(spark: SparkSession, dir: String): Int =
+    Segments.compact(spark, dir, "cells", (df, path) =>
+      df.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path))
 
   /** Continuous index ingest: the streaming face of [[append]] — each
     * micro-batch of an embeddings stream runs the same frozen-centroid

@@ -118,6 +118,15 @@ object IvfPqIndex {
     * assignment-distance profile of appended batches. Returns the number
     * of vectors appended. */
   def append(spark: SparkSession, dir: String, embeddings: DataFrame): Long = {
+    encode(spark, dir, embeddings)
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/codes")
+    embeddings.count()
+  }
+
+  /** Frozen-model encode of a vector batch to (vec_id, sub, code, cell)
+    * rows — the shared core of [[append]] and [[appendSegment]]. */
+  private def encode(spark: SparkSession, dir: String,
+      embeddings: DataFrame): DataFrame = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").select("m", "dim").head()
     val (m, dim) = (meta.getInt(0), meta.getInt(1))
@@ -135,9 +144,54 @@ object IvfPqIndex {
     Pq.pqEncode(assigned.select($"vec_id", $"cell", $"rv"), codebook, m, dim,
         vecCol = "rv", passThrough = Seq("cell"))
       .select($"vec_id", $"sub", $"code", $"cell")
-      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/codes")
-    embeddings.count()
   }
+
+  /** Commit one micro-batch of vectors as a SEALED SEGMENT of PQ codes —
+    * [[IvfIndex.appendSegment]]'s exactly-once contract extended to the
+    * compressed tier (r9 directive): the batch is encoded with the FROZEN
+    * coarse centroids + codebook and written under `<dir>/segments/b<id>`,
+    * cell-partitioned like the base `codes` root, so probe-time partition
+    * pruning covers segments identically. Committed iff `_SUCCESS`
+    * dropped; a replayed committed batch is skipped (zero work, zero
+    * duplicate code rows), a crashed half-write is overwritten in place —
+    * [[graft.IvfPqIndexSpec]] replays a lost-checkpoint restart and counts. */
+  def appendSegment(spark: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    if (!Segments.needsCommit(spark, dir, batchId)) return false
+    if (batch.isEmpty) return false // nothing to seal; no empty roots
+    encode(spark, dir, batch)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(Segments.segmentRoot(dir, batchId))
+    true
+  }
+
+  /** The SERVED code table: base codes plus every committed streamed
+    * segment (numeric-batchId order, folded segments excluded). */
+  def indexFrame(spark: SparkSession, dir: String): DataFrame =
+    Segments.frame(spark, dir, "codes")
+
+  /** Fold committed code segments into the base `codes` root — the same
+    * result-checked, manifest-guarded swap as [[IvfIndex.compactSegments]]
+    * (see [[Segments.compact]]). Returns the number folded. */
+  def compactSegments(spark: SparkSession, dir: String): Int =
+    Segments.compact(spark, dir, "codes", (df, path) =>
+      df.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path))
+
+  /** Continuous compressed-index ingest — [[IvfIndex.appendStream]]'s
+    * contract on the PQ tier: each micro-batch encodes against the frozen
+    * models (read inside foreachBatch, so a rebuilt quantizer is picked up
+    * without restarting the query) and commits as a sealed segment.
+    * EXACTLY-ONCE on the served code table via the segment protocol;
+    * compaction stays a throughput knob, never a correctness crutch. */
+  def appendStream(spark: SparkSession, dir: String, stream: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendSegment(spark, dir, batch.toDF(), batchId); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** ADC top-k per query over the persisted index. `queries` needs
     * (qid, qv); returns (qid, nid, rank, ad) where `ad` approximates the
@@ -168,8 +222,10 @@ object IvfPqIndex {
       .select($"qid", $"cell", $"sub", $"cluster".as("code"),
         (floor(d2 * lit(1e6) + lit(0.5)) / 1e6).as("qd"))
     // the probed-cell read: joining the partition column against the tiny
-    // broadcast table prunes cell directories instead of scanning the index
-    val codes = spark.read.parquet(s"$dir/codes")
+    // broadcast table prunes cell directories instead of scanning the
+    // index; streamed segments are included — each is cell-partitioned,
+    // so the same pruning reaches them
+    val codes = indexFrame(spark, dir)
     val rankW = Window.partitionBy($"qid").orderBy($"ad", $"nid")
     codes.select($"vec_id".as("nid"), $"cell", $"sub", $"code")
       .join(broadcast(dtab), Seq("cell", "sub", "code"))

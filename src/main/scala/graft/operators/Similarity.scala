@@ -78,8 +78,10 @@ object Similarity {
     * before the cell join (r9; see body comment), cell count grows with
     * the corpus (more sign bits), and the in-cell self-join is a
     * bucket-co-partitioned equi-join like q46/q50. Components run on the
-    * candidate-bounded pair set, not the corpus; the final label join
-    * broadcasts the (tiny) clustered-id set against the member mapping. */
+    * candidate-bounded pair set, not the corpus; the final label join is
+    * UNHINTED (r10) — the clustered-id set has one row per vector in any
+    * near-dup pair, corpus-proportional in a dense near-dup regime, so
+    * AQE picks broadcast only when the runtime size is actually small. */
   def semanticDedup(embs: DataFrame, signs: Array[Array[Double]], tau: Double): DataFrame = {
     val par = embs.sparkSession.sparkContext.defaultParallelism
     // ---- identity collapse (r9) — the [[Dedup.prefixJaccardPairs]]
@@ -119,7 +121,7 @@ object Similarity {
     val labels = Dedup.connectedComponents(pairs)
       .select(col("node").as("rid"), col("label"))
     mapping
-      .join(broadcast(labels), col("rep_id") === col("rid"), "left")
+      .join(labels, col("rep_id") === col("rid"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("rep_id")).as("rep_id"),
         (coalesce(col("label"), col("rep_id")) === col("vec_id")).cast("int").as("kept"))

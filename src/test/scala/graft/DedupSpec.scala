@@ -160,8 +160,10 @@ class DedupSpec extends SparkSpec {
   test("dedupCorpus collapse-aware labeling equals CC over the expanded pair graph (r9)") {
     // the shapes where rep-level labeling could diverge from the expanded
     // graph: an over-cap identical group with an UNPAIRED rep (all kept),
-    // an over-cap identical group whose rep pairs with a near-dup (cross
-    // expansion links every member through the partner — one cluster),
+    // an over-cap identical group whose rep would pair with a near-dup
+    // (since r10 that rep pair is SHED in core — pre-collapse parity: the
+    // shared buckets held the whole class and exceeded the cap — so the
+    // group AND its would-be partner are all kept),
     // an in-cap identical group (rep kept, members dropped), singletons
     val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val tD = "one two three four five six seven eight nine ten eleven"
@@ -186,10 +188,11 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expectedKept,
       s"collapse-aware != expanded-graph: missing=${expectedKept -- got} extra=${got -- expectedKept}")
-    // shape assertions: over-cap unpaired group fully kept; bridged
-    // over-cap group keeps only the component min; in-cap group keeps rep
+    // shape assertions: over-cap groups fully kept (their pairs are shed
+    // whether or not a near-dup partner exists — pre-collapse cap parity),
+    // the would-be bridge partner is kept too, in-cap group keeps its rep
     assert(Set(7L, 8L, 9L).subsetOf(got), got.toString)
-    assert(got.contains(10L) && !got.contains(11L) && !got.contains(13L), got.toString)
+    assert(Set(10L, 11L, 12L, 13L).subsetOf(got), got.toString)
     assert(got.contains(1L) && !got.contains(2L), got.toString)
     assert(got.contains(90L), got.toString)
   }
@@ -310,11 +313,13 @@ class DedupSpec extends SparkSpec {
       got.exists(p => p._1 == 5L && p._2 == 6L), got.toString)
     assert(!got.exists(p => p._1 == 7L || p._2 == 8L), got.toString)
     // the hot-bucket cap's contract carries over to identity groups: at
-    // maxBucket = 2 the 3-member identical cluster sheds ALL its pairs
-    // (it would have owned every band bucket), the 2-member groups stay
+    // maxBucket = 2 the 3-member identical cluster sheds ALL its pairs —
+    // identity pairs AND (since r10) cross pairs into its near-dup doc 4,
+    // because pre-collapse every bucket holding the class held all 3
+    // members and was shed; the 2-member groups stay
     val capped = Dedup.minhashLshPairs(df, 4, 5, maxBucket = 2)
       .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(!capped.exists { case (a, b) => a <= 3 && b <= 3 }, capped.toString)
+    assert(!capped.exists { case (a, b) => a <= 3 || b <= 3 }, capped.toString)
     assert(capped.contains((5L, 6L)), capped.toString)
   }
 

@@ -102,12 +102,14 @@ class FuzzySpec extends SparkSpec {
     assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
     assert(got.contains((1L, 4L, 1)) && got.contains((3L, 4L, 1)), got.toString)
     assert(got.contains((1L, 2L, 0)) && got.contains((5L, 6L, 0)), got.toString)
-    // the cap sheds an identical-key group bigger than maxKeyCount while
-    // smaller groups and cross-typo pairs survive (group census contract)
+    // the cap sheds an identical-key group bigger than maxKeyCount —
+    // identity pairs AND (since r10) cross pairs bridging into it, the
+    // pre-collapse parity that bounds expansion output — while smaller
+    // groups survive intact (group census contract)
     val capped = Fuzzy.editDistancePairs(docs, "title", "id",
         maxDist = 2, maxKeyCount = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(!capped.exists(p => p._1 <= 3 && p._2 <= 3), capped.toString)
+    assert(!capped.exists(p => p._1 <= 4 && p._2 <= 4), capped.toString)
     assert(capped.contains((5L, 6L, 0)), capped.toString)
   }
 

@@ -136,6 +136,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.compactSegments(spark, adir) == 0)
   }
 
+  test("segments list numerically (b2 before b10); _folded manifest excludes absorbed segments") {
+    val adir = java.nio.file.Files.createTempDirectory("ivfseg2").toString
+    val base = emb.filter($"vec_id" < 200)
+    val e1 = emb.filter($"vec_id" >= 200 && $"vec_id" < 220)
+    val e2 = emb.filter($"vec_id" >= 220 && $"vec_id" < 240)
+    IvfIndex.build(spark, base, adir)
+    assert(IvfIndex.appendSegment(spark, adir, e1, batchId = 2L))
+    assert(IvfIndex.appendSegment(spark, adir, e2, batchId = 10L))
+    // ADVICE r9: lexicographic path order puts b10 before b2 — the
+    // oldest-first contract must sort on the NUMERIC batch id
+    val segs = IvfIndex.sealedSegments(spark, adir)
+    assert(segs.map(s => s.substring(s.lastIndexOf('/') + 1)) == Seq("b2", "b10"), segs.toString)
+    // simulate a compaction that crashed AFTER the swap but BEFORE segment
+    // deletion: b2's rows are already in the base (frozen assignment is
+    // deterministic, so append() lands them identically) and the manifest
+    // names it — the reader must NOT serve b2's rows twice
+    IvfIndex.append(spark, adir, e1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$adir/cells/_folded"), "2\n".getBytes("UTF-8"))
+    val expect = base.count() + e1.count() + e2.count()
+    assert(IvfIndex.indexFrame(spark, adir).count() == expect,
+      "manifested segment must be excluded from the served corpus")
+    // the next compaction finishes the crashed cleanup (deletes b2) and
+    // folds the remaining b10; nothing is lost, nothing double-counted
+    assert(IvfIndex.compactSegments(spark, adir) == 1)
+    assert(!new java.io.File(s"$adir/segments/b2").exists())
+    assert(!new java.io.File(s"$adir/segments/b10").exists())
+    assert(!new java.io.File(s"$adir/cells/_folded").exists())
+    assert(spark.read.parquet(s"$adir/cells").count() == expect)
+    assert(IvfIndex.compactSegments(spark, adir) == 0)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(); ()

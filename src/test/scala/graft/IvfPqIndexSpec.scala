@@ -187,4 +187,59 @@ class IvfPqIndexSpec extends SparkSpec {
         s"appended query $q: self ad $selfAd above min ${ns.map(_._3).min}")
     }
   }
+
+  test("streamed segments: restart replay appends zero duplicate code rows; compaction folds") {
+    // r9 directive: the exactly-once segment commit extended to the PQ
+    // tier — lose the checkpoint, replay the same input, and the served
+    // code table must hold each vector's m code rows exactly once with NO
+    // dedup pass anywhere in the read path.
+    val adir = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("ivfpq_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_ckpt").toString
+    val base = emb.filter($"vec_id" < 300)
+    val extra = emb.filter($"vec_id" >= 300 && $"vec_id" < 340)
+    IvfPqIndex.build(spark, base, adir, nCells = 8, m = 4, dim = 64,
+      kCodes = 16, iters = 3, trainFraction = 1.0)
+    extra.write.mode("overwrite").parquet(srcDir)
+    val q1 = IvfPqIndex.appendStream(spark, adir,
+      spark.readStream.schema(extra.schema).parquet(srcDir), ckpt)
+    q1.awaitTermination()
+    val expect = (base.count() + extra.count()) * 4 // m rows per vector
+    assert(IvfPqIndex.indexFrame(spark, adir).count() == expect)
+    // restart replay: checkpoint gone, batch 0 reprocessed — the committed
+    // segment's _SUCCESS probe must skip it
+    deleteRecursively(new java.io.File(ckpt))
+    val q2 = IvfPqIndex.appendStream(spark, adir,
+      spark.readStream.schema(extra.schema).parquet(srcDir), ckpt)
+    q2.awaitTermination()
+    assert(IvfPqIndex.indexFrame(spark, adir).count() == expect,
+      "a replayed batch must not duplicate code rows")
+    // streamed codes equal batch-append codes (frozen models, same batch)
+    val bdir = java.nio.file.Files.createTempDirectory("ivfpq_batch").toString
+    IvfPqIndex.build(spark, base, bdir, nCells = 8, m = 4, dim = 64,
+      kCodes = 16, iters = 3, trainFraction = 1.0)
+    IvfPqIndex.append(spark, bdir, extra)
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"vec_id" >= 300).select($"vec_id", $"sub", $"code", $"cell")
+      .collect().map(_.toSeq.map(String.valueOf).mkString(",")).toSet
+    assert(codesOf(IvfPqIndex.indexFrame(spark, adir)) ==
+      codesOf(spark.read.parquet(s"$bdir/codes")))
+    // streamed vectors serve through segments: an appended query reaches
+    // its own code rows at the minimal reachable ADC distance
+    val sq = extra.filter($"vec_id" === 300)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val res = IvfPqIndex.search(spark, adir, sq, topK = 1000, nProbe = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(res.nonEmpty && res.find(_._1 == 300L).map(_._2).contains(res.map(_._2).min))
+    // compaction folds the segment into the base; the served table is
+    // unchanged and re-compaction is a no-op
+    assert(IvfPqIndex.compactSegments(spark, adir) == 1)
+    assert(spark.read.parquet(s"$adir/codes").count() == expect)
+    assert(IvfPqIndex.compactSegments(spark, adir) == 0)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
+  }
 }

@@ -72,8 +72,14 @@ class PlanSpec extends SparkSpec {
       l.contains("Filter") && l.contains("split(text")).toSeq
     assert(scanFilters.forall(!_.contains("array_distinct")),
       s"shingle expression leaked into a corpus-wide filter:\n${scanFilters.mkString("\n")}")
-    // verification must broadcast bare id-pairs, never payload rows
-    assert(p.contains("BroadcastExchange"), "candidate pairs should broadcast")
+    // r10: the candidate joins are UNHINTED (cand/candIds are corpus-
+    // proportional in the honest near-dup regime) — at gate scale AQE must
+    // still convert them to broadcasts from runtime sizes, so un-hinting
+    // costs nothing where broadcast is right; NearDupScale demonstrates
+    // the same code taking the shuffle-join path when pairs ∝ corpus
+    val fp = finalizedPlan("q46_minhash_lsh")
+    assert(fp.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the (runtime-tiny) candidate frames at gate scale:\n$fp")
   }
 
   test("q82: merge is ONE key shuffle with pre-shuffle top-1 pruning") {
