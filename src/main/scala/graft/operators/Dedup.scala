@@ -61,9 +61,14 @@ object Dedup {
     *     token and survives candidate generation (no misses, by theorem,
     *     not by probability — the uncapped brute-force oracle checks
     *     exactly this);
-    *  3. equi-join prefixes on shingle (+ id order + the |min|·tDen ≥
-    *     |max|·tNum length filter, which J ≥ t implies), distinct the
-    *     candidate pairs, then verify exact Jaccard with the same integer
+    *  3. equi-join prefixes against the FULL token stream (+ the
+    *     |min|·tDen ≥ |max|·tNum length filter, which J ≥ t implies),
+    *     count per pair the distinct shared tokens in either prefix, and
+    *     keep only pairs whose EXACT overlap upper bound
+    *     (cpf + min suffix length, capped by min set size) can still clear
+    *     the threshold — a lossless, 16-byte-row candidate filter (r10;
+    *     see the body comment for the measured cliff it closes); then
+    *     verify exact Jaccard on the survivors with the same integer
     *     inter·tDen ≥ uni·tNum test as q45 — no float crosses an engine.
     *
     * Shape at 100 TB: ONE corpus scan, ONE shingle evaluation, NO window
@@ -187,17 +192,66 @@ object Dedup {
     val n = size(col("toks"))
     // integer ceil: ⌈tNum·n/tDen⌉ = (tNum·n + tDen − 1) div tDen
     val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")
-    val prefixes = ordered.select(col("doc_id"), n.as("n"),
+    // ---- COUNT-FILTERED candidate generation (r10, from a measured cliff).
+    // The plain prefix×prefix join is lossless but, in the honest near-dup
+    // regime (every doc has textually DISTINCT near-twins), barely
+    // selective: twins share their rare shingles, so EVERY moderately
+    // similar base pair fans into r² candidates — NearDupScale measured
+    // 11.06M candidates for 656k verified pairs at 16× (94% rejects), and
+    // at 64× the 176M candidates each carrying two full string arrays
+    // through the verification exchanges spilled past the disk watchdog
+    // (~490 GB raw). q46's LSH survived the same corpus (112 s) because
+    // banding's collision rate is similarity-weighted; the prefix filter
+    // admits any pair sharing ONE rare shingle.
+    // Fix: verify NOTHING until a narrow COUNT filter has run. Join the
+    // prefix stream against the FULL token stream (both directions), count
+    // per pair the distinct shared tokens lying in EITHER prefix (cpf) —
+    // exactly |{t ∈ A∩B : t ∈ prefix_A ∪ prefix_B}| — and bound
+    //   inter = cpf + |suffix_A ∩ suffix_B| ≤ cpf + min(n_a−p_a, n_b−p_b),
+    // capped by min(n_a, n_b). Rejecting pairs whose BOUND already fails
+    // inter·tDen ≥ (n_a+n_b−inter)·tNum is lossless by the same algebra as
+    // the prefix theorem (the bound only over-estimates), kills the
+    // moderate cross-family bulk AND the short in-family pairs on 16-byte
+    // rows, and the exact array verification below runs only on survivors
+    // (≈ true pairs plus a thin boundary band). Completeness is unchanged:
+    // a qualifying pair shares a both-prefix token, which the prefix×full
+    // join emits a fortiori. The full-token side carries globally-hot
+    // boilerplate shingles into the tok shuffle, but the PREFIX side still
+    // bounds the join fan (hot shingles rank last and enter no prefix —
+    // the q89 500k-doc spec pins this), so hot-tok rows match nothing.
+    val prefixes = ordered.select(col("doc_id"), n.as("n"), p.as("p"),
       explode(slice(col("toks"), lit(1), p)).as("tok"))
-    val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+    val fulls = ordered.select(col("doc_id"), n.as("n"), p.as("p"),
+      explode(col("toks")).as("tok"))
+    val shared = prefixes.as("a").join(fulls.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * tNum <=
             least(col("a.n"), col("b.n")) * tDen)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
+        col("a.tok").as("tok"),
+        // symmetric carries: the bound needs only order-free scalars
+        (col("a.n") + col("b.n")).as("nsum"),
+        least(col("a.n"), col("b.n")).as("nmin"),
+        greatest(col("a.n"), col("b.n")).as("nmax"),
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")).as("smin"))
+    // a token in BOTH prefixes is emitted by both directions — count
+    // distinct (pair, tok) rows; two-level agg keeps it partial-combinable
+    val cands = shared
+      .groupBy(col("a_id"), col("b_id"), col("tok"))
+      .agg(max(col("nsum")).as("nsum"), max(col("nmin")).as("nmin"),
+        max(col("nmax")).as("nmax"), max(col("smin")).as("smin"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("cpf"), max(col("nsum")).as("nsum"),
+        max(col("nmin")).as("nmin"), max(col("nmax")).as("nmax"),
+        max(col("smin")).as("smin"))
+      .withColumn("bound", least(col("cpf") + col("smin"), col("nmin")))
+      .filter(col("bound") * tDen >= (col("nsum") - col("bound")) * tNum)
+      .select(col("a_id"), col("b_id"))
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
     // verified REPRESENTATIVE pairs — the only frame where full arrays ride
-    // a pair-cardinality join, now bounded by distinct-text pair count
+    // a pair-cardinality join, now bounded by the count filter's survivors
     val core = cands
       .join(ordered.select(col("doc_id").as("a_id"), col("toks").as("a_sh")), "a_id")
       .join(ordered.select(col("doc_id").as("b_id"), col("toks").as("b_sh")), "b_id")

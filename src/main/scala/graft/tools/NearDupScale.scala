@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Fuzzy}
+
+/** Round-10 directive: the HONEST near-dup axis the r9 identical-copy
+  * probes deliberately skipped. Every document gets r−1 textually DISTINCT
+  * mutated near-twins:
+  *
+  *  - documents: copy j appends one twin-specific token (`nd<j>`) — any
+  *    two copies of an n-token doc share n−2 of n shingles, so J = (n−2)/n
+  *    ≥ 0.8 for n ≥ 10 and every (r choose 2) pair inside a twin family is
+  *    a TRUE near-dup pair;
+  *  - titles (q110): copy j substitutes one character at a j-dependent
+  *    position — any two copies differ in ≤ 2 positions, so lev ≤ 2 and
+  *    every family pair qualifies.
+  *
+  * By construction the identity collapse is VACUOUS (zero byte-identical
+  * texts): rep pairs = true pairs ∝ corpus × r², the regime a real web
+  * crawl presents and exactly where the r9 forced broadcasts would have
+  * shipped a corpus-proportional frame to every executor (q46
+  * broadcast(cand) = pair-sized, dedupCorpus broadcast(labels) = one row
+  * per paired doc). After the r10 un-hinting, AQE is free to pick shuffle
+  * joins here — each measurement prints the FINALIZED join census (from
+  * the same execution that produced the count; static explain lies under
+  * AQE) so SCALING.md records the choice alongside pair counts and times.
+  *
+  * Ladder via SPARK_GRAFT_SCALE_REPS (default "1,16,64"), corpus via
+  * SPARK_GRAFT_SF_DIR (default sf0.1 = 5000 base docs → 64× ≈ 320k docs,
+  * ≈ 10M true pairs). Numbers recorded in SCALING.md §Round-10.
+  */
+object NearDupScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[neardup] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    /** One execution: timed count through the frame's own aggregate, then
+      * the finalized adaptive plan's join census from that execution.
+      * `mk` is BY-NAME and built inside the timed block: dedupCorpus runs
+      * its CC fixpoint EAGERLY at construction (driver-looped cuts), so an
+      * eagerly-evaluated argument would silently exclude CC from the time. */
+    def measure(label: String, mk: => DataFrame): Long = {
+      val (cnt, n) = time(label) {
+        val c = mk.groupBy().count()
+        (c, c.head().getLong(0))
+      }
+      val p = cnt.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        .map(j => s"$j=${p.linesIterator.count(_.contains(j))}").mkString(" ")
+      println(s"[neardup]   $label rows=$n  joins: $joins")
+      n
+    }
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 16, 64))
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val nd = base.count()
+    println(s"[neardup] base corpus = $nd docs ($sfDir)")
+    for (r <- reps) {
+      // distinct near-twins: j = 0 is the original, j >= 1 appends nd<j>
+      val docs = (0 until r).map { j =>
+          val t = if (j == 0) col("text")
+            else concat(col("text"), lit(s" nd$j"))
+          base.select((col("doc_id") + lit(j * 10L * nd)).as("doc_id"), t.as("text"))
+        }
+        .reduce(_ union _).repartition(32).localCheckpoint(true)
+      println(s"[neardup] corpus ${r}x = ${docs.count()} docs (all texts distinct)")
+
+      measure(s"q46 minhashLshPairs ${r}x", Dedup.minhashLshPairs(docs, 4, 5))
+      measure(s"q104 prefixJaccardPairs ${r}x", Dedup.prefixJaccardPairs(docs, 4, 5))
+      measure(s"dedupCorpus survivors ${r}x", Dedup.dedupCorpus(docs, 4, 5))
+
+      // q110 face: distinct one-char-mutated title twins, hot-key cap on
+      val titles = (0 until r).map { j =>
+          val t = if (j == 0) substring(col("text"), 1, 24)
+            else concat(
+              substring(col("text"), 1, (j % 20)),
+              lit(('a' + j / 20).toChar.toString),
+              substring(col("text"), (j % 20) + 2, 24 - (j % 20) - 1))
+          base.select((col("doc_id") + lit(j * 10L * nd)).as("doc_id"), t.as("title"))
+        }
+        .reduce(_ union _).repartition(32).localCheckpoint(true)
+      measure(s"q110 editDistancePairs capped(4096) ${r}x",
+        Fuzzy.editDistancePairs(titles, "title", "doc_id",
+          maxDist = 2, maxKeyCount = 4096))
+
+      docs.unpersist(); titles.unpersist()
+    }
+    spark.stop()
+  }
+}
