@@ -368,7 +368,13 @@ object TextAnalysis {
     // action per round over the scores, and the census pass reads them
     // again — without the cut the expensive score projection (tokenize +
     // per-doc distinct counts) recomputes corpus-wide ~4-5x (the
-    // materialize-before-iterate discipline, ADVICE r8)
+    // materialize-before-iterate discipline, ADVICE r8).
+    // This single-shot cut CANNOT be released here (the returned census
+    // plan still reads its blocks — unpersisting a localCheckpoint is
+    // unrecoverable); the blocks die when the consumer's action completes
+    // and the ContextCleaner GCs the frame. The bench's per-query
+    // live_rdds/storage_mb SERIES (r10) is the monitor that keeps this
+    // class of cut honest in a long shared session (ADVICE r9 low).
     val scored = docs.select(col("source"),
       TextOps.qualityScore(col("text")).as("score"))
       .cutLineage()

@@ -80,6 +80,12 @@ object NearDupScale {
       measure(s"q46 minhashLshPairs ${r}x", Dedup.minhashLshPairs(docs, 4, 5))
       measure(s"q104 prefixJaccardPairs ${r}x", Dedup.prefixJaccardPairs(docs, 4, 5))
       measure(s"dedupCorpus survivors ${r}x", Dedup.dedupCorpus(docs, 4, 5))
+      // containment's candidate filter is already a narrow chunk-count
+      // census (shared*2 >= min chunks), so its honest-regime candidates
+      // track TRUE containment pairs — array verification is output-bound,
+      // the post-fix q104 shape; measured here to claim it
+      measure(s"q136 containmentPairs capped(4096) ${r}x",
+        Dedup.containmentPairs(docs, maxChunkDocs = 4096))
 
       // q110 face: distinct one-char-mutated title twins, hot-key cap on
       val titles = (0 until r).map { j =>

@@ -257,6 +257,40 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)), got.toString)
   }
 
+  test("prefixJaccardPairs: count filter keeps pairs whose shared mass hides in the suffixes (r10 bound algebra)") {
+    // The r10 count filter rejects on inter <= min(cpf + min suffix, min n).
+    // The adversarial shape for that bound: a qualifying pair whose shared
+    // tokens sort LATE in the global rarity order (high df), so the
+    // prefixes contribute almost nothing to cpf and nearly all of inter
+    // sits in suffix∩suffix — a broken bound would silently drop exactly
+    // these pairs. Construction: docs A/B differ only in their FIRST
+    // (rarest, df=1) token; the shared trigrams are common across a third
+    // doc too (df >= 2), so they rank after every unique token. A filler
+    // fleet keeps the vocabulary honest.
+    val common = (1 to 12).map(i => s"c$i").mkString(" ") // 10 shared trigrams
+    val df = (Seq(
+      (1L, s"ua $common"),
+      (2L, s"ub $common"),
+      (3L, s"uc $common")) ++
+      (10L until 30L).map(i => (i, (0 until 8).map(j => s"f${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sh = Dedup.withShingles(df)
+    val (inter, uni) = Dedup.jaccardCols($"a.sh", $"b.sh")
+    // equality with brute force is the pin, wherever the values land; the
+    // assert below additionally demands the suffix-heavy trio pairs exist
+    // in truth so the test cannot pass vacuously
+    val got = Dedup.prefixJaccardPairs(df, 3, 4) // t = 0.75
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val truth34 = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"), inter.as("i"), uni.as("u"))
+      .filter($"i" * 4 >= $"u" * 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(truth34.exists(p => p._1 == 1L && p._2 == 2L),
+      s"fixture broken: the suffix-heavy pair must qualify at t=0.75: $truth34")
+    assert(got == truth34,
+      s"count filter dropped suffix-heavy pairs: missing=${truth34 -- got} extra=${got -- truth34}")
+  }
+
   test("prefixJaccardPairs: a planted hot boilerplate shingle neither funnels nor breaks exactness") {
     // Every one of 500k docs embeds the SAME leading trigram, so one
     // shingle's document frequency is ~500k — the q89 hot-key regime. The
