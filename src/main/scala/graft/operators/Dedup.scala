@@ -970,20 +970,26 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    // UNHINTED since r10 (the minhashCollapsed rationale, cross-corpus
+    // form): cand is ∝ incoming×reference near-dup density and dupIds is
+    // ∝ the matched share of the INCOMING batch — in a decontamination
+    // run against a large reference, both are corpus-proportional, so a
+    // forced broadcast is the q46 OOM in cross-corpus dress. AQE still
+    // broadcasts them when the runtime sizes are actually small.
     def shinglesOf(docs: DataFrame, idAlias: String, shAlias: String) = {
       val ids = cand.select(col(s"${idAlias}").as("doc_id")).distinct()
-      fanOut(docs.join(broadcast(ids), Seq("doc_id"), "left_semi"), gauge = docs)
+      fanOut(docs.join(ids, Seq("doc_id"), "left_semi"), gauge = docs)
         .select(col("doc_id").as(idAlias),
           TextOps.shingles(col("text"), ShingleN).as(shAlias))
     }
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
-    val dupIds = broadcast(cand)
+    val dupIds = cand
       .join(shinglesOf(incoming, "a_id", "a_sh"), "a_id")
       .join(shinglesOf(reference, "b_id", "b_sh"), "b_id")
       .filter(inter * den >= uni * num)
       .select(col("a_id").as("doc_id"))
       .distinct()
-    incoming.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+    incoming.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** 63-bit SimHash over distinct tokens — one BIGINT per document, computed

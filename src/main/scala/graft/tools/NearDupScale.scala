@@ -86,6 +86,11 @@ object NearDupScale {
       // the post-fix q104 shape; measured here to claim it
       measure(s"q136 containmentPairs capped(4096) ${r}x",
         Dedup.containmentPairs(docs, maxChunkDocs = 4096))
+      // cross-corpus decontamination where (almost) EVERY incoming doc
+      // matches the reference: dupIds ∝ incoming — the corpus-proportional
+      // frame whose broadcast hint r10 removed (cross-corpus q46 form)
+      measure(s"fuzzyReferenceDedup survivors ${r}x",
+        Dedup.fuzzyReferenceDedup(docs, base, 4, 5))
 
       // q110 face: distinct one-char-mutated title twins, hot-key cap on
       val titles = (0 until r).map { j =>
