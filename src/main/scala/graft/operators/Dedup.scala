@@ -219,6 +219,10 @@ object Dedup {
     // boilerplate shingles into the tok shuffle, but the PREFIX side still
     // bounds the join fan (hot shingles rank last and enter no prefix —
     // the q89 500k-doc spec pins this), so hot-tok rows match nothing.
+    // Cost at 100 TB: one extra narrow shuffle of all token occurrences
+    // (16-byte rows, same order of volume as the census exchange this
+    // pipeline already pays) — traded against array payloads at candidate
+    // cardinality, which are quadratic in near-dup density.
     val prefixes = ordered.select(col("doc_id"), n.as("n"), p.as("p"),
       explode(slice(col("toks"), lit(1), p)).as("tok"))
     val fulls = ordered.select(col("doc_id"), n.as("n"), p.as("p"),
