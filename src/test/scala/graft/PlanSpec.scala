@@ -452,6 +452,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q224: dedupCorpus reads the corpus at most twice; CC labels enter as materialized blocks") {
+    // expected shape: ONE scan under the collapse exchange (census +
+    // join-back + bucket pipeline all reuse it — the r9 pin) plus ONE
+    // direct read for the survivor anti-join's full rows; the CC fixpoint
+    // ran eagerly behind lineage cuts, so labels appear as Scan
+    // ExistingRDD, never as re-executed pair-pipeline lineage
+    val p = finalizedPlan("q224_dedup_corpus")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2, s"q224: expected <= 2 corpus scans, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q224: CC labels must enter as materialized checkpoint blocks:\n$p")
+  }
+
   test("q192/q193/q215: multi-consumer censuses are cut — consumers never re-scan the corpus") {
     // the r5 q104 hazard (per-consumer column pruning defeats exchange
     // reuse → N consumers = N corpus scans), closed for these three by a
