@@ -77,7 +77,12 @@ object Bench {
     // is reported as failed (never a near-zero "fast" number) and fails the
     // whole bench via exit code, so a broken headline query cannot hide.
     val results = headline.map { q =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // (elapsed, load1-at-iteration-start) pairs: the load that accompanied
+      // the reported best-of-n number is part of the artifact (r10 directive:
+      // the driver-vs-judge delta was adjudicated by INFERENCE from the
+      // run-level start/end loads; a per-query series makes the contention
+      // multiplier measurable per row instead)
+      val times = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       var clean = 0
       var attempts = 0
       var converged = false
@@ -87,7 +92,7 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
-          times += (System.nanoTime() - t0) / 1e9
+          times += (((System.nanoTime() - t0) / 1e9, pre))
           if (pre <= loadGate) clean += 1
           else System.err.println(
             f"[bench] ${q.name} iter $attempts contended (load1 $pre%.1f > $loadGate%.1f) — re-running")
@@ -96,7 +101,7 @@ object Bench {
             System.err.println(s"[bench] FAILED ${q.name}: ${e.getMessage}")
         }
         converged = clean >= iters && times.nonEmpty &&
-          trimmedSd(times.toSeq) <= sdFrac * times.min
+          trimmedSd(times.map(_._1).toSeq) <= sdFrac * times.map(_._1).min
       }
       val (live, mb) = rddCensus()
       liveMax = liveMax.max(live); storageMaxMb = storageMaxMb.max(mb)
@@ -104,7 +109,7 @@ object Bench {
         f"[bench] after ${q.name}: $live live RDDs, $mb%.1f MB block storage, $attempts attempts")
       (q.name, times.toSeq, attempts, live, mb)
     }
-    val ok = results.collect { case (n, ts, _, _, _) if ts.nonEmpty => n -> ts.min }
+    val ok = results.collect { case (n, ts, _, _, _) if ts.nonEmpty => n -> ts.map(_._1).min }
     val failed = results.collect { case (n, ts, _, _, _) if ts.isEmpty => n }
     val qs = (ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
       failed.map(n => "\"" + n + "\":\"failed\"")).mkString("{", ",", "}")
@@ -113,7 +118,14 @@ object Bench {
     // jitter band — sd makes noise (the r7 q05/q23 "+5-9%" wobble)
     // separable from real slowdowns without re-running the bench.
     val sds = results.collect { case (n, ts, _, _, _) if ts.nonEmpty =>
-      "\"" + n + f"\":${trimmedSd(ts)}%.3f"
+      "\"" + n + f"\":${trimmedSd(ts.map(_._1))}%.3f"
+    }.mkString("{", ",", "}")
+    // Per-query load1 series (r10 directive 5): the 1-min system load at the
+    // start of the iteration whose time is REPORTED (the best one) — pairs
+    // each row's number with the contention it ran under, so a loaded-vs-
+    // idle comparison is per-row arithmetic, not run-level inference.
+    val loadSeries = results.collect { case (n, ts, _, _, _) if ts.nonEmpty =>
+      "\"" + n + f"\":${ts.minBy(_._1)._2}%.2f"
     }.mkString("{", ",", "}")
     // Attempts per query where the adaptive policy went past the base
     // quota — which rows needed retries, and how many, is part of the
@@ -136,12 +148,14 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val loadEnd = load1
     val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"live_rdds_max":$liveMax,"storage_mb_max":$storageMaxMb%.1f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir""""
-    println(s"""{$summary,"queries":$qs,"queries_sd":$sds$failedJson$extraJson,"live_rdds":$liveSeries,"storage_mb":$mbSeries}""")
+    println(s"""{$summary,"queries":$qs,"queries_sd":$sds$failedJson$extraJson,"live_rdds":$liveSeries,"storage_mb":$mbSeries,"load1":$loadSeries}""")
     // The full line above can exceed the driver artifact's byte-limited
     // tail window (the r9 artifact lost the line's HEAD, total included) —
     // repeat the summary fields as a short, complete, parseable JSON line
-    // LAST so the tail always captures the totals whatever the window.
-    println(s"""{$summary,"detail":"see full line above"$failedJson}""")
+    // LAST so the tail always captures the totals whatever the window. Its
+    // metric name is DISTINCT ("total_summary", ADVICE r10): a consumer
+    // collecting every {"metric"...} line must never see two "total" rows.
+    println(s"""{${summary.replaceFirst("\"metric\":\"total\"", "\"metric\":\"total_summary\"")},"detail":"see full line above"$failedJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -238,18 +238,16 @@ object Dedup {
         // symmetric carries: the bound needs only order-free scalars
         (col("a.n") + col("b.n")).as("nsum"),
         least(col("a.n"), col("b.n")).as("nmin"),
-        greatest(col("a.n"), col("b.n")).as("nmax"),
         least(col("a.n") - col("a.p"), col("b.n") - col("b.p")).as("smin"))
     // a token in BOTH prefixes is emitted by both directions — count
     // distinct (pair, tok) rows; two-level agg keeps it partial-combinable
     val cands = shared
       .groupBy(col("a_id"), col("b_id"), col("tok"))
       .agg(max(col("nsum")).as("nsum"), max(col("nmin")).as("nmin"),
-        max(col("nmax")).as("nmax"), max(col("smin")).as("smin"))
+        max(col("smin")).as("smin"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("cpf"), max(col("nsum")).as("nsum"),
-        max(col("nmin")).as("nmin"), max(col("nmax")).as("nmax"),
-        max(col("smin")).as("smin"))
+        max(col("nmin")).as("nmin"), max(col("smin")).as("smin"))
       .withColumn("bound", least(col("cpf") + col("smin"), col("nmin")))
       .filter(col("bound") * tDen >= (col("nsum") - col("bound")) * tNum)
       .select(col("a_id"), col("b_id"))
@@ -500,7 +498,11 @@ object Dedup {
     // buckets count REPS, so such a pair could sneak through and its cross
     // expansion would emit |A|×|B| member pairs — two bridged over-cap
     // classes reproduce the exact quadratic-output cliff the cap guards
-    // against. The group census replays the pre-collapse shed exactly.
+    // against. The group census restores the pre-collapse OUTPUT BOUND —
+    // never sheds more than the pre-collapse cap did; it may keep bystander
+    // pairs the pre-collapse cap shed (under-cap docs whose buckets only
+    // overflowed because identity-class members, or several mid-size
+    // classes, co-resided), since collapsed buckets count reps.
     val core =
       if (maxBucket == Int.MaxValue) verified
       else {

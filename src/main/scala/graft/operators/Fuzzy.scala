@@ -125,8 +125,12 @@ object Fuzzy {
     // pair involving the class survived. Collapsed buckets count REPS, so
     // such a pair could sneak through and its cross expansion would emit
     // |A|×|B| member pairs — two bridged over-cap classes reproduce the
-    // exact quadratic-output cliff the cap exists to stop. The group
-    // census replays the pre-collapse shed and restores the output bound.
+    // exact quadratic-output cliff the cap exists to stop. The group census
+    // restores the pre-collapse OUTPUT BOUND — never sheds more; it may
+    // keep bystander pairs the pre-collapse cap shed (under-cap keys whose
+    // variant buckets only overflowed because identity-class members, or
+    // several mid-size classes, co-resided), since collapsed buckets
+    // count reps.
     val core =
       if (maxKeyCount == Int.MaxValue) verified
       else {

@@ -24,7 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the swap and the segment deletion cannot serve duplicates either: the
   * new root carries the `_folded` manifest of the batchIds it absorbed,
   * readers exclude exactly those segments, and the next compaction
-  * finishes the deletion before folding anything new.
+  * finishes the deletion before folding anything new. A crash BETWEEN the
+  * two swap renames (base moved aside, merged root not yet installed) is
+  * healed at the next `frame()`/`compact()` entry (r11, ADVICE): the
+  * in-tmp manifest proves the merge completed, so heal rolls the swap
+  * forward; a manifest-less tmp rolls back to the preserved old base.
   */
 private[operators] object Segments {
 
@@ -83,13 +87,53 @@ private[operators] object Segments {
 
   def segmentRoot(dir: String, batchId: Long): String = s"$dir/segments/b$batchId"
 
+  /** Finish (or roll back) a compaction swap that crashed BETWEEN the two
+    * renames (r10 ADVICE, medium): after rename(base→old) and before
+    * rename(tmp→base) there is no base dir — readers would throw
+    * PATH_NOT_FOUND and the next compact() would delete the fully-merged
+    * tmp before failing the same way, destroying the only merged copy. The
+    * manifest is written INSIDE tmp strictly before the swap starts, so:
+    *  - tmp carrying `_folded` ⇒ the merge write completed ⇒ roll FORWARD
+    *    (install tmp as the base; the old base is absorbed in it);
+    *  - otherwise an existing `_old` ⇒ roll BACK (restore it; a tmp
+    *    without a manifest is an incomplete merge and is deleted).
+    * Idempotent and cheap (three existence probes when the base is fine),
+    * called at both [[frame]] and [[compact]] entry. */
+  private def heal(fs: FileSystem, dir: String, base: String): Unit = {
+    val basePath = new Path(s"$dir/$base")
+    if (fs.exists(basePath)) return
+    val tmp = new Path(s"$dir/${base}_compact_tmp")
+    val old = new Path(s"$dir/${base}_old")
+    if (fs.exists(new Path(tmp, "_folded"))) {
+      require(fs.rename(tmp, basePath),
+        s"heal: cannot install merged corpus $tmp as $basePath — recover manually")
+      fs.delete(old, true) // absorbed by the merged corpus
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, basePath),
+        s"heal: cannot restore $old as $basePath — recover manually")
+      fs.delete(tmp, true) // no manifest ⇒ incomplete merge
+    }
+    // neither: nothing to heal — the caller fails naturally on the missing base
+  }
+
   /** The SERVED corpus: the base root plus every committed, unfolded
     * segment. Roots are read separately and unioned — one multi-path read
     * trips Spark's common-base-path partition discovery
     * (CONFLICTING_DIRECTORY_STRUCTURES); each branch keeps its own
     * cell-partitioned scan, so probe-time cell filters prune per branch. */
-  def frame(spark: SparkSession, dir: String, base: String): DataFrame =
-    (Seq(s"$dir/$base") ++ sealedRoots(spark, dir, base))
+  def frame(spark: SparkSession, dir: String, base: String): DataFrame = {
+    heal(fsOf(spark, dir), dir, base)
+    frameOf(spark, dir, base, sealedRoots(spark, dir, base))
+  }
+
+  /** [[frame]] over an ALREADY-LISTED segment set — compact() merges
+    * exactly the roots it will record in the manifest (ADVICE r10): a
+    * segment committed between the listing and the merge read must NOT be
+    * folded, or the installed base would contain rows the manifest does
+    * not exclude — served twice until the next compaction. */
+  private def frameOf(spark: SparkSession, dir: String, base: String,
+      segRoots: Seq[String]): DataFrame =
+    (Seq(s"$dir/$base") ++ segRoots)
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
 
   /** Fold committed segments into the base root. `write(df, path)` is the
@@ -100,6 +144,7 @@ private[operators] object Segments {
   def compact(spark: SparkSession, dir: String, base: String,
       write: (DataFrame, String) => Unit): Int = {
     val fs = fsOf(spark, dir)
+    heal(fs, dir, base)
     // finish a crashed predecessor: manifested batchIds are already in the
     // base (readers exclude them) — delete their leftover segment dirs,
     // then clear the manifest
@@ -121,7 +166,10 @@ private[operators] object Segments {
     val tmpStr = s"$dir/${base}_compact_tmp"
     val tmp = new Path(tmpStr)
     fs.delete(tmp, true)
-    write(frame(spark, dir, base), tmpStr)
+    // merge exactly `segs` (frameOf, not frame): a segment committed after
+    // the listing stays unfolded and served from its own root — folding it
+    // without a manifest entry would serve its rows twice after the swap
+    write(frameOf(spark, dir, base, segs), tmpStr)
     // the manifest rides INSIDE the new root, written before the swap: the
     // moment the swap lands, readers know which segments it absorbed
     writeManifest(fs, new Path(tmp, "_folded"),

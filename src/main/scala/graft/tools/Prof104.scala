@@ -74,17 +74,15 @@ object Prof104 {
         col("a.tok").as("tok"),
         (col("a.n") + col("b.n")).as("nsum"),
         least(col("a.n"), col("b.n")).as("nmin"),
-        greatest(col("a.n"), col("b.n")).as("nmax"),
         least(col("a.n") - col("a.p"), col("b.n") - col("b.p")).as("smin"))
     time("prefix x full join (narrow rows)")(println("  rows=" + shared.count()))
     val counted = shared
       .groupBy(col("a_id"), col("b_id"), col("tok"))
       .agg(max(col("nsum")).as("nsum"), max(col("nmin")).as("nmin"),
-        max(col("nmax")).as("nmax"), max(col("smin")).as("smin"))
+        max(col("smin")).as("smin"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("cpf"), max(col("nsum")).as("nsum"),
-        max(col("nmin")).as("nmin"), max(col("nmax")).as("nmax"),
-        max(col("smin")).as("smin"))
+        max(col("nmin")).as("nmin"), max(col("smin")).as("smin"))
     time("pair census pre-filter")(println("  co-occurring pairs=" + counted.count()))
     val cands = counted
       .withColumn("bound", least(col("cpf") + col("smin"), col("nmin")))

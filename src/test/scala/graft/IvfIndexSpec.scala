@@ -168,6 +168,53 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.compactSegments(spark, adir) == 0)
   }
 
+  test("mid-swap crash heals: roll forward with manifested tmp, roll back without (ADVICE r10)") {
+    val adir = java.nio.file.Files.createTempDirectory("ivfheal").toString
+    val base = emb.filter($"vec_id" < 200)
+    val e1 = emb.filter($"vec_id" >= 200 && $"vec_id" < 220)
+    IvfIndex.build(spark, base, adir)
+    assert(IvfIndex.appendSegment(spark, adir, e1, batchId = 3L))
+    val expect = base.count() + e1.count()
+
+    // ROLL FORWARD: crash after rename(base→old), before rename(tmp→base),
+    // with the merge COMPLETE (tmp carries the _folded manifest — it is
+    // written strictly before the swap starts). Stage the exact on-disk
+    // state: a fully-merged tmp + manifest, base moved aside, segment still
+    // on disk.
+    val tmp = new java.io.File(s"$adir/cells_compact_tmp")
+    IvfIndex.indexFrame(spark, adir).write.mode("overwrite")
+      .partitionBy("cell").parquet(tmp.toString)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$adir/cells_compact_tmp/_folded"), "3\n".getBytes("UTF-8"))
+    assert(new java.io.File(s"$adir/cells").renameTo(new java.io.File(s"$adir/cells_old")))
+    // the next read heals by installing the merged tmp; no duplicates (the
+    // healed base's manifest excludes b3), nothing lost
+    assert(IvfIndex.indexFrame(spark, adir).count() == expect,
+      "roll-forward heal must serve the merged corpus exactly once")
+    assert(new java.io.File(s"$adir/cells").exists())
+    assert(!new java.io.File(s"$adir/cells_old").exists())
+    assert(!tmp.exists())
+    // the next compaction finishes the crashed cleanup (deletes b3)
+    assert(IvfIndex.compactSegments(spark, adir) == 0)
+    assert(!new java.io.File(s"$adir/segments/b3").exists())
+    assert(IvfIndex.indexFrame(spark, adir).count() == expect)
+
+    // ROLL BACK: crash after rename(base→old) with an INCOMPLETE merge
+    // (tmp exists but has no manifest) — heal restores the old base and
+    // discards the partial tmp; the served corpus is exactly pre-call.
+    assert(IvfIndex.appendSegment(spark, adir, e1.withColumn("vec_id", $"vec_id" + 1000), batchId = 4L))
+    val expect2 = expect + e1.count()
+    assert(new java.io.File(s"$adir/cells").renameTo(new java.io.File(s"$adir/cells_old")))
+    assert(tmp.mkdirs()) // partial merge: no _folded inside
+    assert(IvfIndex.indexFrame(spark, adir).count() == expect2,
+      "roll-back heal must restore the old base with segments intact")
+    assert(new java.io.File(s"$adir/cells").exists())
+    assert(!new java.io.File(s"$adir/cells_old").exists())
+    assert(!tmp.exists())
+    assert(IvfIndex.compactSegments(spark, adir) == 1)
+    assert(IvfIndex.indexFrame(spark, adir).count() == expect2)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(); ()
