@@ -314,7 +314,27 @@ object Dedup {
     * materializes signatures through one reusable exchange (see
     * minhashLshPairs scaladoc, step 1). */
   private def bandBuckets(docs: DataFrame, maxBucket: Int,
-      prespread: Boolean = false): DataFrame = {
+      prespread: Boolean = false,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val sig = minhashSignatures(docs, prespread, bands, rowsPerBand)
+    // band signatures index the ms array directly — no 32-column expansion
+    // (same xxhash64 over the same longs, less codegen per stage)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("ms"), b * rowsPerBand + r + 1)): _*).as("sig"))
+    }
+    capBuckets(sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig")),
+      maxBucket)
+  }
+
+  /** (doc_id, ms) minhash signature table, materialized through a doc_id
+    * exchange — the shared front half of [[bandBuckets]] and the
+    * bucket-local verify tier. */
+  private def minhashSignatures(docs: DataFrame, prespread: Boolean,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     // prespread: the caller's frame already sits above a multi-partition
     // exchange (e.g. the identity-collapse census), so fanOut is both
     // unnecessary AND unsafe to gauge — `.rdd` on a derived frame under
@@ -323,24 +343,13 @@ object Dedup {
     val toks = (if (prespread) base else fanOut(base, gauge = docs))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
-    val sig = toks
+    toks
       .select(col("doc_id"),
         graft.expressions.MinHashSigExpr.minhashSig(
-          transform(col("t"), x => xxhash64(x)), MinhashK).as("ms"))
+          transform(col("t"), x => xxhash64(x)), bands * rowsPerBand).as("ms"))
       // explicit partition count: AQE would coalesce this (tiny) exchange to
       // one partition and single-thread the band join above it — see fanOut
       .repartition(toks.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    // band signatures index the ms array directly — no 32-column expansion
-    // (same xxhash64 over the same longs, less codegen per stage)
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until RowsPerBand).map(r =>
-          element_at(col("ms"), b * RowsPerBand + r + 1)): _*).as("sig"))
-    }
-    capBuckets(sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig")),
-      maxBucket)
   }
 
   /** Apply the hot-bucket cap to a (doc_id, band, sig) bucket table. The
@@ -353,6 +362,112 @@ object Dedup {
       buckets.withColumn("bsz", count(lit(1)).over(w))
         .filter(col("bsz") <= maxBucket).drop("bsz")
     }
+
+  /** Histogram of (band, sig) bucket occupancies over the distinct-text
+    * corpus — the sizing probe behind the q224b capped gate's `maxBucket`
+    * (see [[graft.tools.BucketOccupancy]]): identity collapse first, so
+    * occupancy counts REPS exactly as [[capBuckets]] sees them. */
+  def bucketOccupancyHistogram(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val repDocs = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        size(TextOps.tokens(col("text"))) >= ShingleN)
+      .repartition(par, col("text"))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    bandBuckets(repDocs, Int.MaxValue, prespread = true)
+      .groupBy(col("band"), col("sig")).agg(count(col("doc_id")).as("occupancy"))
+      .groupBy(col("occupancy")).agg(count(lit(1)).as("buckets"))
+  }
+
+  /** BUCKET-LOCAL exact verification (r11 — the designed mitigation of the
+    * output-proportional verify boundary named in SCALING.md): verified
+    * representative pairs (a_id, b_id, inter, uni) computed INSIDE the LSH
+    * band buckets instead of joining shingle arrays at pair cardinality.
+    *
+    * Why it exists: the default tier distincts candidate pairs, then joins
+    * each pair to BOTH docs' shingle arrays — two array-carrying shuffles
+    * whose volume is ∝ verified pairs × doc size. Once true pairs alone
+    * reach ~10⁸ (dense near-dup regimes: 256 distinct twins per doc ⇒
+    * ~163M pairs on the NearDupScale corpus) that shuffle is back at the
+    * disk wall NO MATTER how good the candidate filter is — the cost is
+    * output-proportional. This tier changes the shuffle SHAPE instead:
+    * each doc's shingle set is replicated into its band buckets — ONE
+    * shuffle of corpus × bands array rows, independent of pair count —
+    * and J is evaluated between co-resident bucket members, emitting only
+    * bare (a_id, b_id, inter, uni) rows (pair-proportional, but 32 bytes,
+    * not arrays). Right exactly when pairs ≫ corpus × bands; at sparse
+    * pair densities the default tier's candidate-bounded shingling reads
+    * less data, which is why this is OPT-IN, not the default.
+    *
+    * Exactly-once emission without a distinct: a pair colliding in k bands
+    * would be evaluated k times, so each bucket evaluates a pair iff ITS
+    * band is the pair's SMALLEST surviving colliding band — every row
+    * carries its doc's full band-signature vector `bv` (bands × (sig, ok)
+    * structs, ~9 bytes each — noise next to the shingle array) and the
+    * join condition rejects the pair when any earlier band has ok ∧ ok ∧
+    * sig-equal. The ok flag makes the check exact UNDER CAPPING: a bucket
+    * shed by `maxBucket` must not count as "earlier collision" (the pair
+    * may legitimately meet again in a later surviving band — the default
+    * tier keeps it, so this tier must too).
+    *
+    * Output equality with the default tier (DedupSpec pins it): both emit
+    * exactly {(a, b) : a, b share ≥ 1 surviving bucket ∧ J(a,b) ≥ t} with
+    * identical integer evidence, because jaccardCols here reads the same
+    * exact string shingle sets — the minhash signatures still only decide
+    * WHO gets compared, never the outcome. */
+  private def bucketLocalVerified(repDocs: DataFrame, num: Int, den: Int,
+      maxBucket: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val par = repDocs.sparkSession.sparkContext.defaultParallelism
+    val sig = minhashSignatures(repDocs, prespread = true, bands, rowsPerBand)
+    val msig = array((0 until bands).map(b =>
+      xxhash64((0 until rowsPerBand).map(r =>
+        element_at(col("ms"), b * rowsPerBand + r + 1)): _*)): _*)
+    // per-doc band vector with survival flags: uncapped every bucket
+    // survives (no census); capped the (band, sig) occupancy census marks
+    // shed buckets ok=false and the surviving rows are re-assembled per doc
+    // (one extra narrow corpus×bands groupBy — capped runs only)
+    val bv =
+      if (maxBucket == Int.MaxValue)
+        sig.select(col("doc_id"),
+          transform(msig, s => struct(s.as("sig"), lit(true).as("ok"))).as("bv"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+        sig.select(col("doc_id"), posexplode(msig).as(Seq("band", "sig")))
+          .withColumn("ok", count(lit(1)).over(w) <= maxBucket)
+          .groupBy(col("doc_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("band"), col("sig"), col("ok")))),
+            x => struct(x.getField("sig").as("sig"), x.getField("ok").as("ok"))).as("bv"))
+      }
+    // corpus-wide shingle sets (every doc's set must reach its buckets —
+    // the corpus×bands replication IS the design), attached on the shared
+    // doc_id partitioning before the bucket explode
+    val sh = repDocs
+      .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
+      .repartition(par, col("doc_id"))
+    val bsh = bv.join(sh, Seq("doc_id"))
+      .select(col("doc_id"), col("bv"), col("sh"),
+        posexplode(col("bv")).as(Seq("band", "bs")))
+      .filter(col("bs.ok"))
+      .select(col("doc_id"), col("band"), col("bs.sig").as("sig"),
+        col("bv"), col("sh"))
+    // least-surviving-colliding-band check: any band BEFORE this one where
+    // both docs' buckets survived and the signatures match ⇒ not ours
+    val earlier = zip_with(
+      slice(col("a.bv"), lit(1), col("a.band")),
+      slice(col("b.bv"), lit(1), col("a.band")),
+      (x, y) => x.getField("ok") && y.getField("ok") &&
+        x.getField("sig") === y.getField("sig"))
+    val (inter, uni) = jaccardCols(col("a.sh"), col("b.sh"))
+    bsh.as("a").join(bsh.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          not(exists(earlier, e => e)))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        inter.as("inter"), uni.as("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
+  }
 
   /** LSH candidate pairs verified by exact Jaccard ≥ num/den.
     *
@@ -421,7 +536,7 @@ object Dedup {
       core: DataFrame, mapping: DataFrame, repN: DataFrame)
 
   private def minhashCollapsed(docs: DataFrame, num: Int, den: Int,
-      maxBucket: Int): LshCollapsed = {
+      maxBucket: Int, bucketLocalVerify: Boolean = false): LshCollapsed = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // ---- identity collapse (r9) — same construction and same measured
     // cliff family as prefixJaccardPairs: byte-identical texts sign, band,
@@ -447,6 +562,24 @@ object Dedup {
       .select(col("doc_id"), col("rep_id"))
     val repDocs = reps.select(col("rep_id").as("doc_id"), col("text"))
 
+    val verified =
+      if (bucketLocalVerify)
+        // opt-in pair-dense tier (r11): J evaluated inside the band
+        // buckets, shuffle ∝ corpus × bands — see [[bucketLocalVerified]]
+        bucketLocalVerified(repDocs, num, den, maxBucket, Bands, RowsPerBand)
+      else defaultVerified(repDocs, num, den, maxBucket)
+    minhashCollapsedCore(verified, mapping, repDocs, maxBucket)
+  }
+
+  /** The default (candidate-distinct) exact-verification tier of
+    * [[minhashCollapsed]]: band-bucket self-join → distinct bare pairs →
+    * candidate-only shingling → two array joins at pair cardinality.
+    * Cheapest when pairs ≪ corpus (shingling is candidate-bounded); its
+    * array-at-pair-cardinality shuffles are exactly the boundary
+    * [[bucketLocalVerified]] exists for. */
+  private def defaultVerified(repDocs: DataFrame, num: Int, den: Int,
+      maxBucket: Int): DataFrame = {
+    val par = repDocs.sparkSession.sparkContext.defaultParallelism
     val buckets = bandBuckets(repDocs, maxBucket, prespread = true)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
@@ -484,13 +617,17 @@ object Dedup {
       // the (interpreted) intersect/union sit above this exchange
       .repartition(par, col("doc_id"))
     val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
-    val verified = cand
+    cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("inter", inter)
       .withColumn("uni", uni)
       .filter(col("inter") * den >= col("uni") * num)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+
+  private def minhashCollapsedCore(verified: DataFrame, mapping: DataFrame,
+      repDocs: DataFrame, maxBucket: Int): LshCollapsed = {
     // Under a cap, rep pairs touching an OVER-CAP identity group are shed
     // (r10, ADVICE): pre-collapse, every bucket containing any member of a
     // byte-identical class of size > maxBucket held the whole class and
@@ -537,9 +674,16 @@ object Dedup {
     LshCollapsed(core, mapping, repN)
   }
 
+  /** `bucketLocalVerify`: opt into the pair-dense verification tier —
+    * identical output (DedupSpec pins equality), shuffle ∝ corpus × bands
+    * instead of ∝ verified pairs × doc size. Choose it when expected true
+    * pairs ≫ corpus × bands (≈ average near-dup family size ≫ √(2·bands),
+    * i.e. families of hundreds of near-twins); the default tier wins below
+    * that because its shingling is candidate-bounded. */
   def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val c = minhashCollapsed(docs, num, den, maxBucket)
+      maxBucket: Int = Int.MaxValue,
+      bucketLocalVerify: Boolean = false): DataFrame = {
+    val c = minhashCollapsed(docs, num, den, maxBucket, bucketLocalVerify)
     // ---- expansion back to member pairs (see prefixJaccardPairs):
     // cross pairs inherit the rep pair's evidence; identity pairs are
     // J = 1 by construction with inter = uni = |shingles(rep)|
@@ -634,8 +778,9 @@ object Dedup {
     * crawl, the same reason the drop anti-join was never hinted. AQE
     * broadcasts them when the runtime size is actually small. */
   def dedupCorpus(docs: DataFrame, num: Int, den: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val c = minhashCollapsed(docs, num, den, maxBucket)
+      maxBucket: Int = Int.MaxValue,
+      bucketLocalVerify: Boolean = false): DataFrame = {
+    val c = minhashCollapsed(docs, num, den, maxBucket, bucketLocalVerify)
     val labels = connectedComponents(c.core.select(col("a_id"), col("b_id")))
       .select(col("node").as("rid"), col("label"))
     val dropIds = c.mapping
@@ -1438,6 +1583,73 @@ object Dedup {
              |SELECT d.doc_id
              |FROM documents d LEFT JOIN labels l USING (doc_id)
              |WHERE l.rep_id IS NULL OR l.rep_id = d.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q224b: CAPPED dedupCorpus end-to-end (r11 directive) --------------
+    // q224 certifies the uncapped contract; this pins the CAP semantics
+    // cross-engine: identity groups larger than maxBucket shed ALL their
+    // pairs (identity and cross) and survive UNDEDUPLICATED. The fixture's
+    // texts are all distinct, so the query plants its own identity groups:
+    // every doc_id ≡ 0 (mod 50) gains 5 byte-identical copies (group size
+    // 6 > cap 4). The DuckDB oracle replays the shed EXACTLY because the
+    // cap can only bind through identity groups here: maxBucket = 4 sits
+    // strictly above the fixture's max distinct-text bucket occupancy
+    // (bucketOccupancyHistogram / tools.BucketOccupancy — occupancy tops
+    // out at the ≤3-member near-dup components), so capBuckets never fires
+    // and byte-equality — which SQL can express — is the whole story: drop
+    // over-cap members from the pair set before reachability, keep them
+    // all as survivors.
+    QueryDef(
+      "q224b_dedup_corpus_capped",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") % 50 === 0)
+          .select(col("text"),
+            explode(sequence(lit(1L), lit(5L))).as("j"), col("doc_id"))
+          .select((col("doc_id") + col("j") * 1000000L).as("doc_id"), col("text"))
+        dedupCorpus(base.unionByName(planted), 4, 5, maxBucket = 4)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + j * 1000000 AS doc_id, text
+             |  FROM documents, unnest(range(1, 6)) AS r(j)
+             |  WHERE doc_id % 50 = 0),
+             |oc AS (
+             |  SELECT doc_id FROM corpus
+             |  WHERE text IN (SELECT text FROM corpus GROUP BY text HAVING count(*) > 4)),
+             |s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s
+             |        WHERE doc_id NOT IN (SELECT doc_id FROM oc)),
+             |cd AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+             |pairs AS (
+             |  SELECT c.a_id, c.b_id
+             |  FROM cd c
+             |  JOIN sz sa ON sa.doc_id = c.a_id
+             |  JOIN sz sb ON sb.doc_id = c.b_id
+             |  WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4),
+             |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+             |      UNION ALL SELECT b_id, a_id FROM pairs),
+             |reach(src, node) AS (
+             |  SELECT u, u FROM e
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+             |labels AS (SELECT src AS doc_id, min(node) AS rep_id
+             |           FROM reach GROUP BY src)
+             |SELECT c.doc_id
+             |FROM corpus c LEFT JOIN labels l USING (doc_id)
+             |WHERE l.rep_id IS NULL OR l.rep_id = c.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- q47: SimHash near-dup sketch --------------------------------------

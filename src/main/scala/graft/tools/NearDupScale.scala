@@ -64,6 +64,14 @@ object NearDupScale {
     }
     val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
       .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 16, 64))
+    // op selection (r11): rungs past 64× are run op-by-op — the default
+    // verify tier is EXPECTED to hit the disk wall there (the named
+    // output-proportional boundary), so it must be optable-out rather than
+    // killing the whole ladder. Keys: q46, q46bl (bucket-local verify),
+    // corpus, corpusbl, q104, q136, refdedup, q110.
+    val ops: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("q46", "q104", "corpus", "q136", "refdedup", "q110"))
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val nd = base.count()
     println(s"[neardup] base corpus = $nd docs ($sfDir)")
@@ -77,36 +85,53 @@ object NearDupScale {
         .reduce(_ union _).repartition(32).localCheckpoint(true)
       println(s"[neardup] corpus ${r}x = ${docs.count()} docs (all texts distinct)")
 
-      measure(s"q46 minhashLshPairs ${r}x", Dedup.minhashLshPairs(docs, 4, 5))
-      measure(s"q104 prefixJaccardPairs ${r}x", Dedup.prefixJaccardPairs(docs, 4, 5))
-      measure(s"dedupCorpus survivors ${r}x", Dedup.dedupCorpus(docs, 4, 5))
+      if (ops("q46"))
+        measure(s"q46 minhashLshPairs ${r}x", Dedup.minhashLshPairs(docs, 4, 5))
+      // r11 directive: the bucket-local verify tier — shuffle ∝ corpus ×
+      // bands, pair-proportional rows are 32 bytes — on the rungs where the
+      // default tier's array-at-pair-cardinality shuffle hits the disk wall
+      if (ops("q46bl"))
+        measure(s"q46 minhashLshPairs BUCKET-LOCAL ${r}x",
+          Dedup.minhashLshPairs(docs, 4, 5, bucketLocalVerify = true))
+      if (ops("q104"))
+        measure(s"q104 prefixJaccardPairs ${r}x", Dedup.prefixJaccardPairs(docs, 4, 5))
+      if (ops("corpus"))
+        measure(s"dedupCorpus survivors ${r}x", Dedup.dedupCorpus(docs, 4, 5))
+      if (ops("corpusbl"))
+        measure(s"dedupCorpus survivors BUCKET-LOCAL ${r}x",
+          Dedup.dedupCorpus(docs, 4, 5, bucketLocalVerify = true))
       // containment's candidate filter is already a narrow chunk-count
       // census (shared*2 >= min chunks), so its honest-regime candidates
       // track TRUE containment pairs — array verification is output-bound,
       // the post-fix q104 shape; measured here to claim it
-      measure(s"q136 containmentPairs capped(4096) ${r}x",
-        Dedup.containmentPairs(docs, maxChunkDocs = 4096))
+      if (ops("q136"))
+        measure(s"q136 containmentPairs capped(4096) ${r}x",
+          Dedup.containmentPairs(docs, maxChunkDocs = 4096))
       // cross-corpus decontamination where (almost) EVERY incoming doc
       // matches the reference: dupIds ∝ incoming — the corpus-proportional
       // frame whose broadcast hint r10 removed (cross-corpus q46 form)
-      measure(s"fuzzyReferenceDedup survivors ${r}x",
-        Dedup.fuzzyReferenceDedup(docs, base, 4, 5))
+      if (ops("refdedup"))
+        measure(s"fuzzyReferenceDedup survivors ${r}x",
+          Dedup.fuzzyReferenceDedup(docs, base, 4, 5))
 
       // q110 face: distinct one-char-mutated title twins, hot-key cap on
-      val titles = (0 until r).map { j =>
-          val t = if (j == 0) substring(col("text"), 1, 24)
-            else concat(
-              substring(col("text"), 1, (j % 20)),
-              lit(('a' + j / 20).toChar.toString),
-              substring(col("text"), (j % 20) + 2, 24 - (j % 20) - 1))
-          base.select((col("doc_id") + lit(j * 10L * nd)).as("doc_id"), t.as("title"))
-        }
-        .reduce(_ union _).repartition(32).localCheckpoint(true)
-      measure(s"q110 editDistancePairs capped(4096) ${r}x",
-        Fuzzy.editDistancePairs(titles, "title", "doc_id",
-          maxDist = 2, maxKeyCount = 4096))
+      if (ops("q110")) {
+        val titles = (0 until r).map { j =>
+            val t = if (j == 0) substring(col("text"), 1, 24)
+              else concat(
+                substring(col("text"), 1, (j % 20)),
+                lit(('a' + j / 20).toChar.toString),
+                substring(col("text"), (j % 20) + 2, 24 - (j % 20) - 1))
+            base.select((col("doc_id") + lit(j * 10L * nd)).as("doc_id"), t.as("title"))
+          }
+          .reduce(_ union _).repartition(32).localCheckpoint(true)
+        measure(s"q110 editDistancePairs capped(4096) ${r}x",
+          Fuzzy.editDistancePairs(titles, "title", "doc_id",
+            maxDist = 2, maxKeyCount = 4096))
+        titles.unpersist()
+      }
 
-      docs.unpersist(); titles.unpersist()
+      docs.unpersist()
     }
     spark.stop()
   }

@@ -57,6 +57,55 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((100L, 101L)))
   }
 
+  test("bucketLocalVerify: identical output to the default tier (uncapped, evidence included)") {
+    // the real fixture (honest near-dups) + planted byte-duplicates so the
+    // identity expansion path is exercised under both tiers
+    val planted = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val corpus = docs.select($"doc_id", $"text").unionByName(planted)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "b_id", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val dflt = rows(Dedup.minhashLshPairs(corpus, 4, 5))
+    val local = rows(Dedup.minhashLshPairs(corpus, 4, 5, bucketLocalVerify = true))
+    assert(dflt.nonEmpty)
+    assert(local == dflt,
+      s"bucket-local != default: missing=${dflt -- local} extra=${local -- dflt}")
+  }
+
+  test("bucketLocalVerify: capped runs agree (least-band check must skip SHED buckets)") {
+    // 40 DISTINCT near-twins (identity collapse vacuous, so the bucket cap
+    // itself binds: most of their band buckets hold ~40 docs > cap) plus a
+    // small true near-dup pair whose buckets stay under the cap. Twin pairs
+    // may still collide in a surviving (≤ cap) band — the ok flags must let
+    // the least-SURVIVING-band check find those, exactly like the default
+    // tier's post-cap candidate distinct.
+    val twins = (0L until 40L).map(i =>
+      (i, s"one two three four five six seven eight nine ten t$i"))
+    val nearDup = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu kappa2"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu lambda"))
+    val others = (200L until 210L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val df = (twins ++ nearDup ++ others).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("a_id", "b_id", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    for (cap <- Seq(10, Int.MaxValue)) {
+      val dflt = rows(Dedup.minhashLshPairs(df, 4, 5, maxBucket = cap))
+      val local = rows(Dedup.minhashLshPairs(df, 4, 5, maxBucket = cap,
+        bucketLocalVerify = true))
+      assert(local == dflt,
+        s"cap=$cap: missing=${dflt -- local} extra=${local -- dflt}")
+      assert(local.exists { case (a, b, _, _) => a == 100L && b == 101L })
+    }
+    // dedupCorpus composes the tier identically
+    val sd = Dedup.dedupCorpus(df, 4, 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val sl = Dedup.dedupCorpus(df, 4, 5, bucketLocalVerify = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sl == sd)
+  }
+
   test("fuzzyReferenceDedup: drops near and exact cross-corpus dups, keeps distinct docs") {
     val reference = Seq(
       (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"),
