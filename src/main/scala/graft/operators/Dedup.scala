@@ -536,7 +536,8 @@ object Dedup {
       core: DataFrame, mapping: DataFrame, repN: DataFrame)
 
   private def minhashCollapsed(docs: DataFrame, num: Int, den: Int,
-      maxBucket: Int, bucketLocalVerify: Boolean = false): LshCollapsed = {
+      maxBucket: Int, bucketLocalVerify: Boolean = false,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): LshCollapsed = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // ---- identity collapse (r9) — same construction and same measured
     // cliff family as prefixJaccardPairs: byte-identical texts sign, band,
@@ -566,8 +567,8 @@ object Dedup {
       if (bucketLocalVerify)
         // opt-in pair-dense tier (r11): J evaluated inside the band
         // buckets, shuffle ∝ corpus × bands — see [[bucketLocalVerified]]
-        bucketLocalVerified(repDocs, num, den, maxBucket, Bands, RowsPerBand)
-      else defaultVerified(repDocs, num, den, maxBucket)
+        bucketLocalVerified(repDocs, num, den, maxBucket, bands, rowsPerBand)
+      else defaultVerified(repDocs, num, den, maxBucket, bands, rowsPerBand)
     minhashCollapsedCore(verified, mapping, repDocs, maxBucket)
   }
 
@@ -578,9 +579,10 @@ object Dedup {
     * array-at-pair-cardinality shuffles are exactly the boundary
     * [[bucketLocalVerified]] exists for. */
   private def defaultVerified(repDocs: DataFrame, num: Int, den: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val par = repDocs.sparkSession.sparkContext.defaultParallelism
-    val buckets = bandBuckets(repDocs, maxBucket, prespread = true)
+    val buckets = bandBuckets(repDocs, maxBucket, prespread = true,
+      bands = bands, rowsPerBand = rowsPerBand)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -679,11 +681,38 @@ object Dedup {
     * instead of ∝ verified pairs × doc size. Choose it when expected true
     * pairs ≫ corpus × bands (≈ average near-dup family size ≫ √(2·bands),
     * i.e. families of hundreds of near-twins); the default tier wins below
-    * that because its shingling is candidate-bounded. */
+    * that because its shingling is candidate-bounded.
+    *
+    * `bands` × `rowsPerBand` (r11 directive 6 — a SIZING RULE, not a
+    * constant; measured curve in SCALING.md §R11):
+    *  - recall: a J-similar pair shares a band bucket with probability
+    *    1 − (1−J^r)^b, so the miss rate at the threshold t is
+    *    (1 − t^r)^b — b buys recall LINEARLY in cost (bucket rows, the
+    *    signature width, and in the bucket-local tier the corpus×bands
+    *    shuffle), while r buys candidate PRECISION exponentially against
+    *    background similarity (spurious candidates per pair ∝ b·J_bg^r)
+    *    but costs recall exponentially (t^r shrinks), which b must then
+    *    buy back. Verification is exact either way: banding only ever
+    *    changes WHO gets compared and what the candidate stage costs,
+    *    never the emitted pair set beyond misses.
+    *  - rule: pick the smallest r with b·J_bg^r ≪ 1 per-pair spurious
+    *    collisions for the corpus's background similarity (shingle
+    *    corpora: r = 2 unless boilerplate pushes J_bg above ~0.3), then
+    *    b = ⌈ln ε / ln(1 − t^r)⌉ for target miss ε — the default 16×2 at
+    *    t = 0.8 gives ε ≈ 8·10⁻⁸. At fixed k = b·r, halving r and
+    *    doubling b (32×1) floods candidates with every pair sharing ONE
+    *    shingle (the q104 honest-regime reject bulk, measured); doubling
+    *    r to 16×4 (k = 64) drops the threshold-pair collision rate to
+    *    t⁴ = 0.41 per band and needs b ≈ 35 for the same ε — wider
+    *    signatures and more buckets for nothing at t = 0.8. 16×2 is the
+    *    measured knee for t ∈ [0.7, 0.9]; lower thresholds (t ≈ 0.5)
+    *    genuinely need r = 1 tiers or more bands. */
   def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
       maxBucket: Int = Int.MaxValue,
-      bucketLocalVerify: Boolean = false): DataFrame = {
-    val c = minhashCollapsed(docs, num, den, maxBucket, bucketLocalVerify)
+      bucketLocalVerify: Boolean = false,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val c = minhashCollapsed(docs, num, den, maxBucket, bucketLocalVerify,
+      bands, rowsPerBand)
     // ---- expansion back to member pairs (see prefixJaccardPairs):
     // cross pairs inherit the rep pair's evidence; identity pairs are
     // J = 1 by construction with inter = uni = |shingles(rep)|
@@ -779,8 +808,10 @@ object Dedup {
     * broadcasts them when the runtime size is actually small. */
   def dedupCorpus(docs: DataFrame, num: Int, den: Int,
       maxBucket: Int = Int.MaxValue,
-      bucketLocalVerify: Boolean = false): DataFrame = {
-    val c = minhashCollapsed(docs, num, den, maxBucket, bucketLocalVerify)
+      bucketLocalVerify: Boolean = false,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val c = minhashCollapsed(docs, num, den, maxBucket, bucketLocalVerify,
+      bands, rowsPerBand)
     val labels = connectedComponents(c.core.select(col("a_id"), col("b_id")))
       .select(col("node").as("rid"), col("label"))
     val dropIds = c.mapping

@@ -1378,13 +1378,22 @@ object Temporal {
       val folded = pm
         .join(v.select(col("t").as("next"), col("p_abs").as("vp")), Seq("next"))
         .groupBy(col("t")).agg(sum(col("p") * col("vp")).as("s"))
-      v = types.join(broadcast(folded), Seq("t"), "left")
+      val next = types.join(broadcast(folded), Seq("t"), "left")
         .select(col("t"),
           when(col("t") === "purchase", 1.0)
             .otherwise(coalesce(col("s"), lit(0.0))).as("p_abs"))
         .cutLineage()
+      // next is materialized (eager cut) → round k's blocks are dead. This
+      // loop ran 4 rounds per call WITHOUT releasing, piling ~7 handles per
+      // bench attempt on already-dead blocks (the r10 driver artifact's
+      // 39–42 live-RDD transient at q217; bytes were flat — GC latency,
+      // not a leak — but the series instrument should read 0-noise).
+      graft.core.Lineage.release(v)
+      v = next
       k += 1
     }
+    // the returned plan reads only the final round's blocks
+    graft.core.Lineage.release(pm); graft.core.Lineage.release(types)
     v.select(col("t").as("event_type"), round(col("p_abs"), 6).as("p_absorb"))
       .orderBy(col("event_type"))
   }

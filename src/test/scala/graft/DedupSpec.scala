@@ -104,6 +104,13 @@ class DedupSpec extends SparkSpec {
     val sl = Dedup.dedupCorpus(df, 4, 5, bucketLocalVerify = true)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sl == sd)
+    // non-default banding threads identically through BOTH tiers: same
+    // banding → same candidate set → byte-equal output (recall itself is
+    // banding-dependent and measured on the ladder, not pinned here)
+    val d82 = rows(Dedup.minhashLshPairs(df, 4, 5, bands = 8, rowsPerBand = 2))
+    val l82 = rows(Dedup.minhashLshPairs(df, 4, 5, bands = 8, rowsPerBand = 2,
+      bucketLocalVerify = true))
+    assert(l82 == d82, s"8x2: missing=${d82 -- l82} extra=${l82 -- d82}")
   }
 
   test("fuzzyReferenceDedup: drops near and exact cross-corpus dups, keeps distinct docs") {

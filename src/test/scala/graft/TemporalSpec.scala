@@ -785,6 +785,24 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map("view" -> 0.9375, "purchase" -> 1.0), s"got $out")
   }
 
+  test("purchaseAbsorption releases superseded rounds: live handles O(1) in steps (r10 d4)") {
+    // the r10 driver bench artifact showed 39–42 live RDD handles piling at
+    // q217 (7 unreleased cuts per call × retry attempts, dead-awaiting-GC);
+    // after the release fix a call must leave exactly ONE live handle (the
+    // returned final round) regardless of the step count
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "purchase", 1L),
+      (2L, "view", 0L), (2L, "view", 1L))
+    val ev = rows.zipWithIndex.map { case ((u, ty, t), i) => (i.toLong, u, ty, t) }
+      .toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", timestamp_micros($"t").as("ts"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    graft.operators.Temporal.purchaseAbsorption(ev, steps = 12).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"expected <= 1 surviving handle (the final round), got ${after - before}")
+  }
+
   test("shipLagQuantiles: exact day-gap order statistics per priority") {
     val dayUs = 86400000000L
     val orders = Seq((1L, 0L, "1-URGENT"))
