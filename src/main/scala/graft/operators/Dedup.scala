@@ -42,9 +42,25 @@ object Dedup {
     docs.select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** Exact Jaccard over shingle sets as (intersection, union) integer sizes. */
+  /** Exact Jaccard over shingle sets as (intersection, union) integer
+    * sizes — the REFERENCE spelling (Spark's own set expressions). Hot
+    * verification joins use [[jaccardColsSorted]] instead: over string
+    * arrays these run an interpreted hash-set build per evaluation (Spark
+    * specializes their codegen sets for primitive types only), which
+    * dominated both verify tiers at pair cardinality (SCALING.md §R11).
+    * DedupSpec pins the two spellings equal on real shingle sets. */
   def jaccardCols(a: Column, b: Column): (Column, Column) =
     (size(array_intersect(a, b)), size(array_union(a, b)))
+
+  /** [[jaccardCols]] for PRE-SORTED distinct shingle arrays: one codegen
+    * merge per pair ([[graft.expressions.SortedInterSizeExpr]]), union by
+    * |A|+|B|−|A∩B| (exact — the arrays are distinct). Callers sort at the
+    * DOCUMENT projection (`array_sort`, corpus-proportional) so the
+    * pair-cardinality evaluations pay a linear merge, not a hash build. */
+  def jaccardColsSorted(a: Column, b: Column): (Column, Column) = {
+    val inter = graft.expressions.SortedInterSizeExpr.interSize(a, b)
+    (inter, size(a) + size(b) - inter)
+  }
 
   /** Prefix-filtered EXACT set-similarity self-join — the All-Pairs /
     * PPJoin candidate scheme (Bayardo et al., WWW'07; Chaudhuri et al.,
@@ -251,12 +267,17 @@ object Dedup {
       .withColumn("bound", least(col("cpf") + col("smin"), col("nmin")))
       .filter(col("bound") * tDen >= (col("nsum") - col("bound")) * tNum)
       .select(col("a_id"), col("b_id"))
-    val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
+    val (inter, uni) = jaccardColsSorted(col("a_sh"), col("b_sh"))
     // verified REPRESENTATIVE pairs — the only frame where full arrays ride
-    // a pair-cardinality join, now bounded by the count filter's survivors
+    // a pair-cardinality join, now bounded by the count filter's survivors.
+    // `toks` is RARITY-ordered (the prefix scheme's order); the verify
+    // copies re-sort lexicographically per DOC so each pair evaluation is
+    // the codegen merge, not an interpreted hash build.
     val core = cands
-      .join(ordered.select(col("doc_id").as("a_id"), col("toks").as("a_sh")), "a_id")
-      .join(ordered.select(col("doc_id").as("b_id"), col("toks").as("b_sh")), "b_id")
+      .join(ordered.select(col("doc_id").as("a_id"),
+        array_sort(col("toks")).as("a_sh")), "a_id")
+      .join(ordered.select(col("doc_id").as("b_id"),
+        array_sort(col("toks")).as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), inter.as("inter"), uni.as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
     // ---- expansion back to member pairs: narrow 8-byte-id joins only.
@@ -403,13 +424,18 @@ object Dedup {
     * Exactly-once emission without a distinct: a pair colliding in k bands
     * would be evaluated k times, so each bucket evaluates a pair iff ITS
     * band is the pair's SMALLEST surviving colliding band — every row
-    * carries its doc's full band-signature vector `bv` (bands × (sig, ok)
-    * structs, ~9 bytes each — noise next to the shingle array) and the
+    * carries its doc's band-signature array (`bands` longs) plus a
+    * survival bitmask (one long — noise next to the shingle array) and the
     * join condition rejects the pair when any earlier band has ok ∧ ok ∧
-    * sig-equal. The ok flag makes the check exact UNDER CAPPING: a bucket
-    * shed by `maxBucket` must not count as "earlier collision" (the pair
-    * may legitimately meet again in a later surviving band — the default
-    * tier keeps it, so this tier must too).
+    * sig-equal, via the allocation-free codegen loop in
+    * [[graft.expressions.EarlierBandCollisionExpr]] (the check runs at
+    * Σ occ² join-fan cardinality, so an interpreted HOF here dominated
+    * the whole tier — measured rungs in SCALING.md §R11). The survival
+    * bit makes
+    * the check exact UNDER CAPPING: a bucket shed by `maxBucket` must not
+    * count as "earlier collision" (the pair may legitimately meet again in
+    * a later surviving band — the default tier keeps it, so this tier must
+    * too).
     *
     * Output equality with the default tier (DedupSpec pins it): both emit
     * exactly {(a, b) : a, b share ≥ 1 surviving bucket ∧ J(a,b) ≥ t} with
@@ -418,55 +444,70 @@ object Dedup {
     * WHO gets compared, never the outcome. */
   private def bucketLocalVerified(repDocs: DataFrame, num: Int, den: Int,
       maxBucket: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands <= 63, "band survival rides a long bitmask")
     val par = repDocs.sparkSession.sparkContext.defaultParallelism
     val sig = minhashSignatures(repDocs, prespread = true, bands, rowsPerBand)
     val msig = array((0 until bands).map(b =>
       xxhash64((0 until rowsPerBand).map(r =>
         element_at(col("ms"), b * rowsPerBand + r + 1)): _*)): _*)
-    // per-doc band vector with survival flags: uncapped every bucket
-    // survives (no census); capped the (band, sig) occupancy census marks
-    // shed buckets ok=false and the surviving rows are re-assembled per doc
-    // (one extra narrow corpus×bands groupBy — capped runs only)
+    // per-doc band-signature array + survival BITMASK (bit b ⇔ the doc's
+    // band-b bucket survived the cap). Flat longs, not (sig, ok) structs:
+    // the exactly-once check below runs once per JOINED row (Σ occ² — 161M
+    // at the NearDupScale 64× rung), so its operands must be readable
+    // without per-row allocation. Uncapped every bucket survives (no
+    // census); capped the (band, sig) occupancy census marks shed buckets
+    // and the per-doc rows re-assemble through one extra narrow
+    // corpus×bands groupBy (capped runs only).
     val bv =
       if (maxBucket == Int.MaxValue)
-        sig.select(col("doc_id"),
-          transform(msig, s => struct(s.as("sig"), lit(true).as("ok"))).as("bv"))
+        sig.select(col("doc_id"), msig.as("sigs"),
+          lit((1L << bands) - 1).as("okm"))
       else {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
         sig.select(col("doc_id"), posexplode(msig).as(Seq("band", "sig")))
           .withColumn("ok", count(lit(1)).over(w) <= maxBucket)
           .groupBy(col("doc_id"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("band"), col("sig"), col("ok")))),
-            x => struct(x.getField("sig").as("sig"), x.getField("ok").as("ok"))).as("bv"))
+          .agg(
+            transform(array_sort(collect_list(struct(col("band"), col("sig")))),
+              x => x.getField("sig")).as("sigs"),
+            sum(when(col("ok"),
+                expr("shiftleft(CAST(1 AS BIGINT), band)"))
+              .otherwise(lit(0L))).as("okm"))
       }
     // corpus-wide shingle sets (every doc's set must reach its buckets —
     // the corpus×bands replication IS the design), attached on the shared
     // doc_id partitioning before the bucket explode
     val sh = repDocs
-      .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
+      .select(col("doc_id"),
+        array_sort(TextOps.shingles(col("text"), ShingleN)).as("sh"))
       .repartition(par, col("doc_id"))
     val bsh = bv.join(sh, Seq("doc_id"))
-      .select(col("doc_id"), col("bv"), col("sh"),
-        posexplode(col("bv")).as(Seq("band", "bs")))
-      .filter(col("bs.ok"))
-      .select(col("doc_id"), col("band"), col("bs.sig").as("sig"),
-        col("bv"), col("sh"))
+      .select(col("doc_id"), col("sigs"), col("okm"), col("sh"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+      .filter(expr("(shiftright(okm, band) & 1) = 1"))
     // least-surviving-colliding-band check: any band BEFORE this one where
-    // both docs' buckets survived and the signatures match ⇒ not ours
-    val earlier = zip_with(
-      slice(col("a.bv"), lit(1), col("a.band")),
-      slice(col("b.bv"), lit(1), col("a.band")),
-      (x, y) => x.getField("ok") && y.getField("ok") &&
-        x.getField("sig") === y.getField("sig"))
-    val (inter, uni) = jaccardCols(col("a.sh"), col("b.sh"))
+    // both docs' buckets survived and the signatures match ⇒ not ours.
+    // Native codegen expression ([[graft.expressions.
+    // EarlierBandCollisionExpr]]): the HOF spelling (exists ∘ zip_with ∘
+    // slice×2) is CodegenFallback and allocated three arrays per joined
+    // row, at Σ occ² join-fan cardinality.
+    val notEarlier = not(graft.expressions.EarlierBandCollisionExpr
+      .earlierCollision(col("a.sigs"), col("a.okm"),
+        col("b.sigs"), col("b.okm"), col("a.band")))
+    val (inter, uni) = jaccardColsSorted(col("a.sh"), col("b.sh"))
+    // The Jaccard threshold sits INSIDE the join condition, as the LAST
+    // conjunct — deliberately. Left as a filter above the join, Catalyst
+    // merges it into the condition anyway (it references both sides), but
+    // then ITS position among the conjuncts is the optimizer's choice;
+    // spelled here, codegen's && short-circuit guarantees the merge runs
+    // only on rows that already passed the cheap band checks — once per
+    // distinct pair (least-band), never per bucket collision.
+    val threshold = inter * den >= uni * num
     bsh.as("a").join(bsh.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          not(exists(earlier, e => e)))
+          col("a.doc_id") < col("b.doc_id") && notEarlier && threshold)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         inter.as("inter"), uni.as("uni"))
-      .filter(col("inter") * den >= col("uni") * num)
   }
 
   /** LSH candidate pairs verified by exact Jaccard ≥ num/den.
@@ -614,11 +655,14 @@ object Dedup {
     // the gate-scale BroadcastHashJoin; the NearDupScale probe shows the
     // same code picking a shuffle join when pairs grow with the corpus).
     val sh = repDocs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
-      // explicit count, same AQE-coalesce hazard: the verification joins and
-      // the (interpreted) intersect/union sit above this exchange
+      // sorted at the DOC projection so each pair evaluation below is the
+      // codegen merge of jaccardColsSorted, not an interpreted hash build
+      .select(col("doc_id"),
+        array_sort(TextOps.shingles(col("text"), ShingleN)).as("sh"))
+      // explicit count, same AQE-coalesce hazard: the verification joins
+      // sit above this exchange
       .repartition(par, col("doc_id"))
-    val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
+    val (inter, uni) = jaccardColsSorted(col("a_sh"), col("b_sh"))
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -679,9 +723,15 @@ object Dedup {
   /** `bucketLocalVerify`: opt into the pair-dense verification tier —
     * identical output (DedupSpec pins equality), shuffle ∝ corpus × bands
     * instead of ∝ verified pairs × doc size. Choose it when expected true
-    * pairs ≫ corpus × bands (≈ average near-dup family size ≫ √(2·bands),
-    * i.e. families of hundreds of near-twins); the default tier wins below
-    * that because its shingling is candidate-bounded.
+    * pairs ≳ 2 × corpus × bands; below that the default tier's
+    * candidate-bounded shingling reads less data. That crossover is
+    * MEASURED (NearDupScale honest-twin ladder, SCALING.md §R11):
+    * through pairs ≈ 2 × corpus×bands the tiers stay within ~1.7× of
+    * each other (regime- and JIT-dependent at probe scale); at ≈ 4×
+    * bucket-local is 3.3× faster; at ≈ 9× (178.7M pairs — past the ~10⁸
+    * output-proportional boundary r10 named) the default tier's
+    * array-at-pair-cardinality shuffle exceeds an 80 GB scratch disk
+    * entirely while this tier completes disk-flat.
     *
     * `bands` × `rowsPerBand` (r11 directive 6 — a SIZING RULE, not a
     * constant; measured curve in SCALING.md §R11):
@@ -1162,9 +1212,9 @@ object Dedup {
       val ids = cand.select(col(s"${idAlias}").as("doc_id")).distinct()
       fanOut(docs.join(ids, Seq("doc_id"), "left_semi"), gauge = docs)
         .select(col("doc_id").as(idAlias),
-          TextOps.shingles(col("text"), ShingleN).as(shAlias))
+          array_sort(TextOps.shingles(col("text"), ShingleN)).as(shAlias))
     }
-    val (inter, uni) = jaccardCols(col("a_sh"), col("b_sh"))
+    val (inter, uni) = jaccardColsSorted(col("a_sh"), col("b_sh"))
     val dupIds = cand
       .join(shinglesOf(incoming, "a_id", "a_sh"), "a_id")
       .join(shinglesOf(reference, "b_id", "b_sh"), "b_id")
@@ -1259,7 +1309,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = withShingles(docs)
-    val (inter, uni) = jaccardCols(col("a.sh"), col("b.sh"))
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+    val (inter, uni) = jaccardColsSorted(col("a.sh"), col("b.sh"))
     val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(inter.as("inter"), uni.as("uni"))
     val thrDf = thresholdTenths.map(t => Tuple1(t.toLong)).toDF("thr_tenths")
@@ -1416,7 +1467,8 @@ object Dedup {
         // doc_id < 2000 bounds the O(n²) verification baseline (covers the
         // whole corpus at the sf0.01 gate; the at-scale path is q46's LSH).
         val sh = withShingles(Tables.documents(s, d).filter($"doc_id" < 2000))
-        val (inter, uni) = jaccardCols($"a.sh", $"b.sh")
+          .select($"doc_id", array_sort($"sh").as("sh"))
+        val (inter, uni) = jaccardColsSorted($"a.sh", $"b.sh")
         sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
             inter.as("inter"), uni.as("uni"))

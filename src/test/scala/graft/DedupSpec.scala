@@ -18,6 +18,27 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == Seq("p q r"))
   }
 
+  test("jaccardColsSorted == jaccardCols on real shingle pairs (the codegen merge kernel)") {
+    // every verification join now runs the sorted-merge kernel; this pins
+    // it pairwise-equal to Spark's own set expressions on the real corpus
+    // (incl. docs sharing nothing and docs paired with themselves)
+    val sh = Dedup.withShingles(docs)
+      .select($"doc_id", array_sort($"sh").as("sh"))
+    val (ri, ru) = Dedup.jaccardCols($"a.sh", $"b.sh")
+    val (si, su) = Dedup.jaccardColsSorted($"a.sh", $"b.sh")
+    val cmp = sh.as("a").join(sh.as("b"), $"a.doc_id" <= $"b.doc_id" && $"b.doc_id" < 300)
+      .select(ri.as("ri"), ru.as("ru"), si.as("si"), su.as("su"))
+    assert(cmp.count() > 1000)
+    assert(cmp.filter($"ri" =!= $"si" || $"ru" =!= $"su").count() == 0)
+    // empty-vs-nonempty and empty-vs-empty corners
+    val e = Seq((Seq.empty[String], Seq("a b c")), (Seq.empty[String], Seq.empty[String]))
+      .toDF("a", "b")
+    val (ei, eu) = Dedup.jaccardColsSorted($"a", $"b")
+    val rows = e.select(ei.as("i"), eu.as("u")).collect()
+    assert(rows(0).getInt(0) == 0 && rows(0).getInt(1) == 1)
+    assert(rows(1).getInt(0) == 0 && rows(1).getInt(1) == 0)
+  }
+
   test("minhash LSH recall vs brute-force jaccard >= 0.8") {
     val sh = Dedup.withShingles(docs)
     val (inter, uni) = Dedup.jaccardCols($"a.sh", $"b.sh")
