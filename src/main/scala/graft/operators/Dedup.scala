@@ -1063,12 +1063,18 @@ object Dedup {
       .join(counts.select(col("doc_id").as("b_id"), col("nc").as("ncb")), "b_id")
       .filter(col("shared") * 2 >= least(col("nca"), col("ncb")))
       .select(col("a_id"), col("b_id"))
-    val sh = repDocs.select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("s"))
+    // sorted at the DOC projection: the verify intersection below runs at
+    // candidate-pair cardinality, where Spark's string-array set ops are
+    // interpreted (the §R11 kernel lesson) — the sorted-merge expression
+    // keeps it in codegen
+    val sh = repDocs.select(col("doc_id"),
+      array_sort(TextOps.shingles(col("text"), ShingleN)).as("s"))
     val core = cand
       .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        graft.expressions.SortedInterSizeExpr.interSize(
+          col("sa"), col("sb")).as("inter"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .filter(col("inter") * tDen >= least(col("na"), col("nb")) * tNum)
       .select(

@@ -89,11 +89,15 @@ object Prof104 {
       .filter(col("bound") * tDen >= (col("nsum") - col("bound")) * tNum)
       .select(col("a_id"), col("b_id"))
     time("count-filter survivors")(println("  pairs=" + cands.count()))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    val uni = size(array_union(col("a_sh"), col("b_sh")))
+    // mirrors the operator's r11 sorted-merge verify kernel (the profile
+    // must replicate the shipped plan, not the pre-kernel spelling)
+    val (inter, uni) = graft.operators.Dedup.jaccardColsSorted(
+      col("a_sh"), col("b_sh"))
     val core = cands
-      .join(ordered.select(col("doc_id").as("a_id"), col("toks").as("a_sh")), "a_id")
-      .join(ordered.select(col("doc_id").as("b_id"), col("toks").as("b_sh")), "b_id")
+      .join(ordered.select(col("doc_id").as("a_id"),
+        array_sort(col("toks")).as("a_sh")), "a_id")
+      .join(ordered.select(col("doc_id").as("b_id"),
+        array_sort(col("toks")).as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), inter.as("inter"), uni.as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
     time("verification (array joins + jaccard)")(println("  verified=" + core.count()))
