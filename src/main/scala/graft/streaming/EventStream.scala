@@ -288,6 +288,65 @@ object EventStream {
       .filter(col("cos") >= tau)
   }
 
+  /** Persist the static side of [[neighborAlerts]] bucket-PARTITIONED:
+    * each LSH bucket becomes its own parquet directory, so a micro-batch
+    * can read exactly the directories it probes ([[probedNeighborAlerts]])
+    * instead of re-scanning the whole index every trigger. Same literal
+    * planes as the probe side — the bucketing is bit-reproducible on any
+    * executor and across restarts (see [[graft.functions.VectorOps.rademacherSigns]]). */
+  def writeBucketIndex(index: DataFrame, signs: Array[Array[Double]],
+      path: String): Unit = {
+    import graft.functions.VectorOps
+    index.select(col("vec_id"), col("embedding"),
+        VectorOps.literalSignature(col("embedding"), signs).as("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(path)
+  }
+
+  /** [[neighborAlerts]] against a bucket-partitioned index
+    * ([[writeBucketIndex]]) — the 100 TB shape, for `foreachBatch`. A
+    * plain stream-static join re-plans but RE-SCANS the full static side
+    * every micro-batch (no dynamic pruning crosses the stream-static
+    * boundary), which at index ≫ batch makes each trigger index-scan-bound.
+    * Here the batch's DISTINCT probed buckets (bounded driver state:
+    * ≤ min(batch rows, 2^planes) longs — hence the planes guard) select
+    * the bucket directories by PATH, so per-trigger index I/O is
+    * ∝ occupancy of the probed buckets, not index size. Alerts are
+    * identical to [[neighborAlerts]] (StreamingSpec pins set equality and
+    * the pruned file set); verification is the same native-codegen exact
+    * cosine, and the output stays append-mode stateless. */
+  def probedNeighborAlerts(batch: DataFrame, indexPath: String,
+      signs: Array[Array[Double]], tau: Double): DataFrame = {
+    import graft.functions.VectorOps
+    require(signs.length <= 24,
+      s"probed-bucket driver state is bounded by 2^planes; got ${signs.length} planes (max 24)")
+    val spark = batch.sparkSession
+    val probes = batch.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"),
+      VectorOps.literalSignature(col("embedding"), signs).as("bucket"))
+    val probed = probes.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bounded listing: one entry per OCCUPIED bucket (≤ 2^planes dirs)
+    val dirs = fs.listStatus(root).toIndexedSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .filter(p => probed.contains(p.getName.stripPrefix("bucket=").toLong))
+    if (dirs.isEmpty)
+      return probes.limit(0).select(col("q_id"), col("q_id").as("n_id"),
+        round(lit(0.0), 6).as("cos"))
+    // basePath keeps `bucket` as a column; the read lists ONLY probed dirs
+    val idx = spark.read.option("basePath", indexPath)
+      .parquet(dirs.map(_.toString): _*)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        col("bucket").cast("long").as("bucket"))
+    probes.join(idx, "bucket")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorOps.cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** documents.parquet schema for streaming document ingest. */
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

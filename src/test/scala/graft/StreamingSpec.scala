@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.streaming.EventStream
 
 /** Streaming/batch agreement: every incremental pipeline must reproduce its
@@ -226,6 +226,63 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == batchTwin)
     // alerts are genuinely verified: every emitted cosine clears τ
     assert(got.forall(_._3 >= 0.4))
+  }
+
+  test("probed-bucket alerts prune the partitioned index to the batch's buckets and equal the full-join twin") {
+    import java.nio.file._
+    val signs = graft.functions.VectorOps.rademacherSigns(4, 64, seed = 91)
+    val staticIndex = graft.core.Tables.embeddings(spark, sf0001)
+    val idxDir = Files.createTempDirectory("graft_bucket_idx").toString
+    EventStream.writeBucketIndex(staticIndex, signs, idxDir)
+    // one micro-batch: a slice of the corpus, probing a strict subset of
+    // the occupied buckets (the pruning must be non-vacuous)
+    val batch = staticIndex.filter($"vec_id" < 8)
+    val got = EventStream.probedNeighborAlerts(batch, idxDir, signs, tau = 0.1)
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twin = EventStream.neighborAlerts(batch, staticIndex, signs, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(twin.nonEmpty, "fixture regression: no same-bucket pair clears tau")
+    assert(gotRows == twin)
+    // the index read touched ONLY probed bucket directories, and fewer
+    // than the index occupies — path-level pruning, no predicate needed
+    val probed = batch.select(
+        graft.functions.VectorOps.literalSignature($"embedding", signs).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val readBuckets = got.inputFiles.toSeq
+      .filter(_.contains("bucket="))
+      .map(f => f.split("bucket=")(1).split("/")(0).toLong).toSet
+    val occupied = new java.io.File(idxDir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName.stripPrefix("bucket=").toLong).toSet
+    assert(readBuckets.subsetOf(probed))
+    assert(readBuckets.size < occupied.size,
+      s"pruning is vacuous: batch probes $readBuckets of occupied $occupied")
+    // empty batch → empty frame with the alert schema, no read at all
+    val empty = EventStream.probedNeighborAlerts(batch.limit(0), idxDir, signs, tau = 0.1)
+    assert(empty.columns.toSeq == Seq("q_id", "n_id", "cos") && empty.count() == 0)
+    // end-to-end in its documented seat: foreachBatch over a file stream
+    val sdir = Files.createTempDirectory("graft_emb_stream_pb")
+    Files.createSymbolicLink(sdir.resolve("embeddings.parquet"),
+      Paths.get(s"$sf0001/embeddings.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType)))
+    val acc = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = spark.readStream.schema(schema).parquet(sdir.toString)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc.synchronized {
+          acc ++= EventStream.probedNeighborAlerts(b, idxDir, signs, tau = 0.4)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val fullTwin = EventStream.neighborAlerts(staticIndex, staticIndex, signs, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(acc.toSet == fullTwin)
   }
 
   test("stateless curation stages run unchanged on a stream (PII scrub + chunking)") {
