@@ -131,9 +131,61 @@ object StreamNearDupScale {
           IvfIndex.indexFrame(spark, idxDir).select(col("vec_id"), col("embedding")),
           sized, tau = 0.9))
 
+      // (4) the at-scale seat (r11): a TRICKLE of queries — the realistic
+      // trigger shape, stream ≪ index — against the grown index, first as
+      // the plain stream-static join (full index scan EVERY trigger), then
+      // through writeBucketIndex + probedNeighborAlerts (per-trigger reads
+      // limited to the batch's probed bucket directories, by path). Alerts
+      // must agree; the reported file fraction is the per-trigger index
+      // I/O the pruning buys, which at 100 TB is the whole game.
+      val grown = IvfIndex.indexFrame(spark, idxDir)
+        .select(col("vec_id"), col("embedding"))
+      val trickleDir = java.nio.file.Files.createTempDirectory(s"snd_trickle_$r").toString
+      spark.read.parquet(srcDir).filter(col("vec_id") % 201 === 0)
+        .repartition(8).write.mode("overwrite").parquet(trickleDir)
+      def trickleStream() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(trickleDir)
+      val nq = spark.read.parquet(trickleDir).count()
+      println(s"[snd]   trickle = $nq queries in ~8 single-file triggers")
+      val fullRows = drain(s"trickle vs grown index FULL-SCAN join ${r}x",
+        EventStream.neighborAlerts(trickleStream(), grown, sized, tau = 0.9))
+      val bIdx = java.nio.file.Files.createTempDirectory(s"snd_bidx_$r").toString
+      time(s"writeBucketIndex (grown, $bits-bit) ${r}x") {
+        EventStream.writeBucketIndex(grown, sized, bIdx)
+      }
+      val idxFiles = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1L else 0L
+        walk(new java.io.File(bIdx))
+      }
+      val probedRows = new LongAdder
+      val filesRead = new LongAdder
+      val batches = new LongAdder
+      time(s"trickle vs grown index PROBED-BUCKET reads ${r}x") {
+        val q = trickleStream().writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val a = EventStream.probedNeighborAlerts(b.toDF(), bIdx, sized, tau = 0.9)
+            probedRows.add(a.count())
+            filesRead.add(a.inputFiles.count(_.contains("bucket=")))
+            batches.add(1L); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      println(f"[snd]   probed rows=${probedRows.sum()} (full-scan twin $fullRows), " +
+        f"index files read ${filesRead.sum()} of ${batches.sum() * idxFiles} " +
+        f"(${100.0 * filesRead.sum() / math.max(1L, batches.sum() * idxFiles)}%.1f%% of a " +
+        f"full-scan-per-trigger read)")
+      require(probedRows.sum() == fullRows,
+        s"probed-bucket alerts diverge: ${probedRows.sum()} vs $fullRows")
+
       deleteRecursively(new java.io.File(srcDir))
       deleteRecursively(new java.io.File(idxDir))
       deleteRecursively(new java.io.File(ckpt))
+      deleteRecursively(new java.io.File(trickleDir))
+      deleteRecursively(new java.io.File(bIdx))
     }
     spark.stop()
   }
