@@ -34,12 +34,20 @@ import graft.operators.{Dedup, Fuzzy}
 object NearDupScale {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+    val b = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // opt into RELIABLE lineage cuts (graft.core.Lineage) — the
+    // 1000-executor deployment shape: round state goes to checkpoint
+    // FILES instead of executor block storage. On the big corpusbl rungs
+    // the localCheckpoint default holds pair-proportional edge blocks in
+    // the one local JVM's heap alongside the verify joins' execution
+    // memory — measured OOM at 384×/80g — while the reliable mode trades
+    // that heap residency for disk.
+    val spark = sys.env.get("SPARK_GRAFT_CKPT_DIR")
+      .fold(b)(d => b.config(graft.core.Lineage.ConfKey, d)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
