@@ -794,6 +794,16 @@ object Dedup {
     * candidate-bounded pair set (tiny relative to the corpus), never the
     * corpus itself. THROWS if the fixpoint is not reached within
     * `maxIters` — a silently partial labeling would dedup incorrectly.
+    *
+    * Sizing note (r11, measured): the edge frame's lineage cut holds the
+    * FULL pair set as executor storage under the default
+    * `localCheckpoint` mode. Past ~4×10⁸ edges in a single JVM that
+    * block residency competes with join execution memory and OOMs
+    * regardless of heap (48g and 80g both died on the honest 384× rung);
+    * setting `spark.graft.checkpointDir` moves round state to files and
+    * the same JVM completes 384× (1533 s) and 512× = 7.2×10⁸ edges
+    * (1881 s) — SCALING.md §R11. On a cluster the conf is simply the
+    * HDFS/S3 checkpoint dir every long iterative job should set anyway.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
