@@ -455,22 +455,37 @@ object Dedup {
     // the exactly-once check below runs once per JOINED row (Σ occ² — 161M
     // at the NearDupScale 64× rung), so its operands must be readable
     // without per-row allocation. Uncapped every bucket survives (no
-    // census); capped the (band, sig) occupancy census marks shed buckets
-    // and the per-doc rows re-assemble through one extra narrow
-    // corpus×bands groupBy (capped runs only).
+    // census); capped (r12 directive 1 — the q89 hot-key rule) the shed
+    // buckets come from a groupBy (band, sig) partial-agg census, NEVER a
+    // window: count(·) OVER (PARTITION BY band, sig) buffers each bucket
+    // in ONE window task, so the over-cap mega-bucket the cap exists to
+    // shed is exactly the partition that would straggle. The census
+    // combines map-side (a bucket duplicated a billion times is a
+    // non-event), its over-cap survivors are ≤ (corpus × bands)/maxBucket
+    // rows and in honest regimes just the boilerplate families — a
+    // runtime-tiny frame AQE broadcasts into the left join, so the
+    // per-doc rows never shuffle on the bucket key at all; they re-enter
+    // the groupBy (doc_id) on the partitioning minhashSignatures already
+    // gave them. count(doc_id), not count(*): both census and join-back
+    // branches must project (doc_id, ms) below the shared doc_id exchange
+    // or the canonical subtrees split and the corpus scans twice (the
+    // q104 census lesson).
     val bv =
       if (maxBucket == Int.MaxValue)
         sig.select(col("doc_id"), msig.as("sigs"),
           lit((1L << bands) - 1).as("okm"))
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-        sig.select(col("doc_id"), posexplode(msig).as(Seq("band", "sig")))
-          .withColumn("ok", count(lit(1)).over(w) <= maxBucket)
+        val expl = sig.select(col("doc_id"), posexplode(msig).as(Seq("band", "sig")))
+        val shed = expl.groupBy(col("band"), col("sig"))
+          .agg(count(col("doc_id")).as("occ"))
+          .filter(col("occ") > maxBucket)
+          .select(col("band"), col("sig"), lit(true).as("over"))
+        expl.join(shed, Seq("band", "sig"), "left")
           .groupBy(col("doc_id"))
           .agg(
             transform(array_sort(collect_list(struct(col("band"), col("sig")))),
               x => x.getField("sig")).as("sigs"),
-            sum(when(col("ok"),
+            sum(when(col("over").isNull,
                 expr("shiftleft(CAST(1 AS BIGINT), band)"))
               .otherwise(lit(0L))).as("okm"))
       }
@@ -756,7 +771,64 @@ object Dedup {
     *    t⁴ = 0.41 per band and needs b ≈ 35 for the same ε — wider
     *    signatures and more buckets for nothing at t = 0.8. 16×2 is the
     *    measured knee for t ∈ [0.7, 0.9]; lower thresholds (t ≈ 0.5)
-    *    genuinely need r = 1 tiers or more bands. */
+    *    genuinely need r = 1 tiers or more bands. The rule is EXECUTABLE:
+    *    [[bandingFor]] returns (b, r) from (t, miss budget, background J)
+    *    and [[bandedMissRate]] is the per-pair model behind it — DedupSpec
+    *    replays the §R11 measured recall table through both. */
+  /** Miss probability of a (bands × rowsPerBand) MinHash banding for a
+    * pair of true Jaccard `j`: (1 − j^r)^b — the pair is found iff it
+    * collides in at least one band. This is the exact per-pair model the
+    * sizing rule above inverts; averaged over a corpus's true-pair J
+    * distribution it PREDICTS the measured recall table (SCALING.md §R11;
+    * DedupSpec replays 8×2 → ~5·10⁻⁶ and 16×4 → ~3·10⁻⁶ from the honest
+    * twin corpus's own (inter, uni) evidence). */
+  def bandedMissRate(bands: Int, rowsPerBand: Int, j: Double): Double = {
+    require(bands >= 1 && rowsPerBand >= 1 && j >= 0.0 && j <= 1.0)
+    math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+  }
+
+  /** The measured banding sizing rule as code (r11 directive 6 →
+    * r12 directive 6): pick (bands b, rowsPerBand r) for a Jaccard
+    * threshold t = tNum/tDen such that
+    *
+    *  1. r is the SMALLEST row count keeping spurious candidates per pair
+    *     bounded — b · backgroundJ^r ≤ maxSpurious — because r buys
+    *     candidate precision exponentially against the corpus's
+    *     background similarity while costing recall exponentially
+    *     (t^r shrinks), which b must then buy back;
+    *  2. b = ⌈ln targetMiss / ln(1 − t^r)⌉ — recall is linear in b (and
+    *     so is cost: bucket rows, signature width, and the bucket-local
+    *     tier's corpus×bands shuffle), so b is set by the miss budget and
+    *     nothing else.
+    *
+    * Defaults reproduce the measured knee: bandingFor(4, 5) = (16, 2),
+    * the shipped default for t ∈ [0.7, 0.9] over shingle corpora with
+    * J_bg ≈ 0.1 (worst-case threshold-pair miss ≈ 8·10⁻⁸; ACTUAL corpus
+    * miss is lower still because true pairs sit above t — see
+    * [[bandedMissRate]]). Lower thresholds genuinely move the answer:
+    * t = 0.5 returns r = 2 with ~3× the bands. The result is worst-case
+    * at the threshold; callers needing the corpus-calibrated prediction
+    * fold [[bandedMissRate]] over their pair evidence.
+    * `bucketLocalVerify` additionally requires b ≤ 63 (long bitmask) —
+    * enforced there, not here, since the default tier has no such bound. */
+  def bandingFor(tNum: Int, tDen: Int, targetMiss: Double = 1e-7,
+      backgroundJ: Double = 0.1, maxSpurious: Double = 0.5): (Int, Int) = {
+    require(tNum > 0 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
+    require(targetMiss > 0 && targetMiss < 1, s"bad targetMiss $targetMiss")
+    val t = tNum.toDouble / tDen
+    require(backgroundJ >= 0 && backgroundJ < t,
+      s"backgroundJ $backgroundJ must sit below the threshold $t")
+    var r = 1
+    while (r <= 32) {
+      val b = math.ceil(math.log(targetMiss) / math.log1p(-math.pow(t, r)))
+      if (b >= 1 && b <= 1e6 && b * math.pow(backgroundJ, r) <= maxSpurious)
+        return (b.toInt, r)
+      r += 1
+    }
+    throw new IllegalArgumentException(
+      s"no banding with <= 32 rows/band satisfies miss $targetMiss at t=$t, J_bg=$backgroundJ")
+  }
+
   def minhashLshPairs(docs: DataFrame, num: Int, den: Int,
       maxBucket: Int = Int.MaxValue,
       bucketLocalVerify: Boolean = false,
@@ -1694,7 +1766,10 @@ object Dedup {
     // cap can only bind through identity groups here: maxBucket = 4 sits
     // strictly above the fixture's max distinct-text bucket occupancy
     // (bucketOccupancyHistogram / tools.BucketOccupancy — occupancy tops
-    // out at the ≤3-member near-dup components), so capBuckets never fires
+    // out at the ≤3-member near-dup components; DedupSpec "q224b fixture
+    // assumption" PINS that margin on the live sf0.01 fixture, so a
+    // testdata regeneration that densifies near-dups fails with a named
+    // invariant, not a hash mismatch), so capBuckets never fires
     // and byte-equality — which SQL can express — is the whole story: drop
     // over-cap members from the pair set before reachability, keep them
     // all as survivors.

@@ -29,6 +29,14 @@ object Graph {
     * the edge payload. The dangling term stays a one-row aggregate crossed
     * back in (broadcast), not a driver value.
     *
+    * Round-state sizing (r12 directive 3): per-round churn is the
+    * |V|-row rank table — the census-bounded family (with HITS/LPA/
+    * seedDistances), measured mode-invariant on the §R12 ladder; block
+    * residency is dominated by the TWO static E-sized cuts (e, trans),
+    * so `spark.graft.checkpointDir` becomes load-bearing only when 2·E
+    * rows approach the ~4e8-row single-JVM yardstick (CC/kCore hit it
+    * per-ROUND instead).
+    *
     * [[graft.core.Lineage.cut]] per iteration cuts the growing lineage —
     * without it iteration i's plan embeds TWO copies of iteration i-1
     * (contribution join + dangling sum), i.e. 2^iterations plan growth.
@@ -140,7 +148,9 @@ object Graph {
     * (never facts), L1 normalization via a one-row aggregate crossed back
     * in broadcast, lineage cut per round. Replay discipline is also
     * PageRank's: both engines walk the identical IEEE dag and only the
-    * output rounds. */
+    * output rounds. Sizing is PageRank's too (§R12 family map): static
+    * E-sized edge cut, |V|-row per-round churn — the census-bounded
+    * family; the reliable knob binds only through the static edge cut. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int): DataFrame = {
     require(iterations >= 1)
@@ -416,7 +426,7 @@ object Graph {
     * oracle-certified by q120 and the edge builder by q91; this entry
     * exists so the production-shaped community pass is timed at bench SF
     * (GraphBenchSpec pins its determinism and label closure). */
-  private[operators] def lpaCellEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def lpaCellEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"),
@@ -537,7 +547,14 @@ object Graph {
     * degree < k until the remaining subgraph is the k-core. Each round is
     * one degree census (partial agg) + two broadcast-semi-join filters on
     * the edge set, lineage-cut per round (the iterative-graph contract —
-    * reliable checkpoints under `spark.graft.checkpointDir`). Rounds are
+    * reliable checkpoints under `spark.graft.checkpointDir`).
+    * Round-state sizing: the per-round cut IS the surviving EDGE set —
+    * this is the pair-proportional family (with
+    * [[graft.operators.Dedup.connectedComponents]]), so past the ~4e8
+    * edge-row single-JVM yardstick set `spark.graft.checkpointDir`;
+    * census-bounded families (PageRank/HITS/LPA/seedDistances) don't
+    * need it until their one static edge cut hits the same wall
+    * (SCALING.md §R12). Rounds are
     * FIXED at `rounds` with no early-exit branching: a converged round is
     * a no-op on a census-sized frame (and equality lets the oracle replay
     * the exact same chain); real deployments size `rounds` ≥ the peeling
@@ -704,13 +721,17 @@ object Graph {
     * hops (unreached nodes stay NULL — a diameter bound, not an error).
     * Per round: ONE co-partitioned neighbor⋈frontier join + a partial-agg
     * min — the Bellman-Ford/BFS hybrid every Pregel system runs, spelled
-    * declaratively; lineage cut per round. */
+    * declaratively; lineage cut per round. Sizing: static E-sized edge
+    * cut + |V|-row round state, the [[labelPropagation]] family — the
+    * reliable knob matters only once the edge frame outgrows block
+    * storage. */
   def seedDistances(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, iters: Int): DataFrame = {
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .cutLineage()
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
     val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
@@ -728,6 +749,7 @@ object Graph {
         .cutLineage()
       Lineage.release(prev)
     }
+    if (iters >= 1) Lineage.release(und)
     dist
   }
 
@@ -740,13 +762,27 @@ object Graph {
     * argmax — edges never materialize per-iteration state beyond (node,
     * label) pairs, and lineage is cut per round (the PageRank/BPE
     * checkpoint discipline), so iterations stay O(E) shuffles at any
-    * scale. Input may be directed/duplicated — symmetrized internally. */
+    * scale. Input may be directed/duplicated — symmetrized internally.
+    *
+    * Round-state sizing (r12 directive 3, the CC lesson's family map):
+    * the symmetrized edge set is cut ONCE at entry (r12: previously it
+    * was re-derived lazily, so every round's job re-executed the
+    * symmetrize/distinct shuffles AND the caller's whole edge-builder
+    * lineage — iters x the front-end for nothing) — so block-manager
+    * residency is one STATIC E-sized frame plus a |V|-row
+    * frame churning per round (eagerly released). That is the
+    * PageRank/HITS shape: the reliable-checkpoint knob
+    * (`spark.graft.checkpointDir`) becomes necessary only when the
+    * static edge frame itself outgrows single-JVM block storage (the
+    * ~4e8-row CC yardstick) — unlike CC/kCore, whose PER-ROUND state is
+    * edge-sized. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .cutLineage()
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
     var labels = nbrs.select(col("node")).distinct()
@@ -762,6 +798,9 @@ object Graph {
         .cutLineage()
       Lineage.release(prev)
     }
+    // after >= 1 round the returned labels are a self-contained cut leaf;
+    // at iters = 0 they still read nbrs, so the edge blocks must live on
+    if (iters >= 1) Lineage.release(und)
     labels
   }
 

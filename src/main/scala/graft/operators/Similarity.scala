@@ -485,7 +485,10 @@ object Similarity {
     * component level). var_ratio is against the ORIGINAL trace, so the
     * rows cumulate toward the total explained variance. Shapes: the one
     * corpus-scale stage is [[covarianceCensus]]; everything after is k ×
-    * iters matvecs over d²/d-row frames. */
+    * iters matvecs over d²/d-row frames — per-round cut state is d/d²
+    * rows, the most tightly census-bounded of the iterative families
+    * (§R12 family map): the reliable-checkpoint knob is never
+    * load-bearing here, only the executor-loss-recovery default. */
   def pcaTopK(embs: DataFrame, k: Int = 3, iters: Int = 6): DataFrame = {
     import graft.core.Lineage.CutOps
     require(k >= 1)

@@ -293,20 +293,46 @@ object EventStream {
     * can read exactly the directories it probes ([[probedNeighborAlerts]])
     * instead of re-scanning the whole index every trigger. Same literal
     * planes as the probe side — the bucketing is bit-reproducible on any
-    * executor and across restarts (see [[graft.functions.VectorOps.rademacherSigns]]). */
+    * executor and across restarts (see [[graft.functions.VectorOps.rademacherSigns]]).
+    *
+    * `saltBuckets`: write-side parallelism for SKEWED buckets (r12
+    * directive 5). With the plain bucket-keyed repartition, a bucket
+    * holding half the index funnels into ONE write task (and one giant
+    * file); salting the repartition key with `pmod(xxhash64(vec_id),
+    * saltBuckets)` spreads each bucket over up to `saltBuckets` tasks and
+    * files — files ∝ buckets × salt, still never tasks × buckets. The
+    * salt is derived, deterministic, and never persisted: the directory
+    * layout stays `bucket=N/`, so [[probedNeighborAlerts]] needs no
+    * changes (StreamingSpec pins alert parity at salt > 1). */
   def writeBucketIndex(index: DataFrame, signs: Array[Array[Double]],
-      path: String): Unit = {
+      path: String, saltBuckets: Int = 1): Unit = {
     import graft.functions.VectorOps
+    // writer mirrors the reader's contracts (ADVICE r11): the planes
+    // guard, so a >2^24-directory index is rejected where it would be
+    // CREATED, and a non-null embedding filter, so a null can never write
+    // a bucket=__HIVE_DEFAULT_PARTITION__ directory for the reader's
+    // bucket-name parse to trip over.
+    require(signs.length <= 24,
+      s"bucket index directories are bounded by 2^planes; got ${signs.length} planes (max 24)")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     // repartition ON the partition column first: otherwise every shuffle
     // partition writes a sliver into every bucket directory (tasks ×
     // buckets files — measured ~10k files on a 34k-vector index, and the
     // per-trigger read pays that listing forever). One exchange keyed by
-    // bucket → one file per occupied bucket. Buckets far larger than a
-    // task's comfort at 100 TB: add a salt column to the repartition
-    // (files ∝ buckets × salt, still not tasks × buckets).
-    index.select(col("vec_id"), col("embedding"),
+    // (bucket[, salt]) → ≤ salt files per occupied bucket.
+    val keyed = index.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
         VectorOps.literalSignature(col("embedding"), signs).as("bucket"))
-      .repartition(col("bucket"))
+    // the salted exchange carries an EXPLICIT partition count: left to
+    // AQE, a small index coalesces to one partition and the salt is a
+    // no-op (the fanOut lesson — explicit counts are how load-bearing
+    // exchanges opt out of coalescing)
+    val parted =
+      if (saltBuckets == 1) keyed.repartition(col("bucket"))
+      else keyed.repartition(
+        index.sparkSession.sparkContext.defaultParallelism,
+        col("bucket"), pmod(xxhash64(col("vec_id")), lit(saltBuckets.toLong)))
+    parted
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)
   }
@@ -339,7 +365,14 @@ object EventStream {
     // bounded listing: one entry per OCCUPIED bucket (≤ 2^planes dirs)
     val dirs = fs.listStatus(root).toIndexedSeq.map(_.getPath)
       .filter(_.getName.startsWith("bucket="))
-      .filter(p => probed.contains(p.getName.stripPrefix("bucket=").toLong))
+      // defensive parse (ADVICE r11): a foreign bucket=… directory that
+      // isn't a long (e.g. __HIVE_DEFAULT_PARTITION__ from some other
+      // writer) must be skipped, not kill every subsequent micro-batch
+      // with NumberFormatException — [[writeBucketIndex]] can no longer
+      // produce one, but the reader doesn't get to assume its input's
+      // provenance.
+      .filter(p => scala.util.Try(p.getName.stripPrefix("bucket=").toLong)
+        .toOption.exists(probed.contains))
     if (dirs.isEmpty)
       return probes.limit(0).select(col("q_id"), col("q_id").as("n_id"),
         round(lit(0.0), 6).as("cos"))

@@ -49,9 +49,22 @@ object NearDupScale {
     val spark = sys.env.get("SPARK_GRAFT_CKPT_DIR")
       .fold(b)(d => b.config(graft.core.Lineage.ConfKey, d)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // straggler witness (r12 directive 1): the longest single task seen
+    // since the last reset — a mega-bucket funneled into one window task
+    // shows up here as one task's duration approaching the stage's wall
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
+        var c = maxTaskMs.get
+        while (d > c && !maxTaskMs.compareAndSet(c, d)) c = maxTaskMs.get
+      }
+    })
     def time[T](label: String)(f: => T): T = {
+      maxTaskMs.set(0)
       val t0 = System.nanoTime(); val r = f
-      println(f"[neardup] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      println(f"[neardup] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(longest task ${maxTaskMs.get / 1e3}%.1f s)"); r
     }
     /** One execution: timed count through the frame's own aggregate, then
       * the finalized adaptive plan's join census from that execution.
@@ -101,6 +114,26 @@ object NearDupScale {
       if (ops("q46bl"))
         measure(s"q46 minhashLshPairs BUCKET-LOCAL ${r}x",
           Dedup.minhashLshPairs(docs, 4, 5, bucketLocalVerify = true))
+      // r12 directive 1: CAPPED bucket-local with a planted 10k-member
+      // NEAR-identical class (distinct texts — the identity collapse is
+      // vacuous, so ~10k-occupancy band buckets genuinely reach the
+      // survival census). The de-windowed census must shed them without a
+      // straggler task dominating the stage (the `longest task` print is
+      // the witness; the old count() OVER (PARTITION BY band, sig) would
+      // buffer each mega-bucket in one window task).
+      if (ops("q46blcap")) {
+        val megaBase = base.orderBy(col("doc_id")).limit(1)
+          .select(col("text")).localCheckpoint(true)
+        val mega = megaBase
+          .select(explode(sequence(lit(0L), lit(9999L))).as("j"), col("text"))
+          .select((lit(900000000L) + col("j")).as("doc_id"),
+            concat(col("text"), lit(" mg"), col("j")).as("text"))
+        val withMega = docs.unionByName(mega).localCheckpoint(true)
+        measure(s"q46 BUCKET-LOCAL capped(512) + 10k mega-class ${r}x",
+          Dedup.minhashLshPairs(withMega, 4, 5, maxBucket = 512,
+            bucketLocalVerify = true))
+        withMega.unpersist()
+      }
       if (ops("q104"))
         measure(s"q104 prefixJaccardPairs ${r}x", Dedup.prefixJaccardPairs(docs, 4, 5))
       if (ops("corpus"))

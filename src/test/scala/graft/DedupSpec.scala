@@ -134,6 +134,64 @@ class DedupSpec extends SparkSpec {
     assert(l82 == d82, s"8x2: missing=${d82 -- l82} extra=${l82 -- d82}")
   }
 
+  test("bandingFor + bandedMissRate replay the measured §R11 recall table") {
+    // the rule inverts to the shipped default and moves with its inputs
+    assert(Dedup.bandingFor(4, 5) == (16, 2))
+    assert(Dedup.bandingFor(4, 5, targetMiss = 5e-6) == (12, 2))
+    // lower thresholds genuinely cost bands: t = 0.5 at a 1e-6 budget
+    assert(Dedup.bandingFor(1, 2, targetMiss = 1e-6) == (49, 2))
+    // heavy boilerplate (high background J) forces more rows per band
+    assert(Dedup.bandingFor(4, 5, backgroundJ = 0.45)._2 > 2)
+    // worst-case threshold-pair miss of the default — the scaladoc's 8e-8
+    val wc = Dedup.bandedMissRate(16, 2, 0.8)
+    assert(wc > 5e-8 && wc < 1e-7, s"worst-case miss $wc")
+    // corpus-calibrated predictions: fold the per-pair model over the
+    // honest twin ladder's OWN exact evidence (16x distinct twins — the
+    // §R11 measurement corpus shape — with J per pair from
+    // prefixJaccardPairs' (inter, uni)). The predictions must land on the
+    // MEASURED recall table: 8x2 missed ~5e-6 of 661,006 pairs, 16x4
+    // ~3e-6, 16x2 zero, 8x4 ~3-4e-4. The tail is carried entirely by the
+    // shortest documents (n = 10 tokens → family J = 0.8), which is why a
+    // threshold-only estimate is 50x pessimistic and the corpus fold is
+    // the right predictor.
+    val base = docs.select($"doc_id", $"text")
+    val nd = base.count()
+    val twins = (0 until 16).map { j =>
+        val t = if (j == 0) $"text" else concat($"text", lit(s" nd$j"))
+        base.select(($"doc_id" + lit(j * 10L * nd)).as("doc_id"), t.as("text"))
+      }.reduce(_ unionByName _)
+    val js = Dedup.prefixJaccardPairs(twins, 4, 5)
+      .select(($"inter".cast("double") / $"uni").as("j"))
+      .collect().map(_.getDouble(0))
+    // 500 families x C(16,2) = 60k family pairs + the organic near-dups
+    assert(js.length > 50000, s"twin fixture regression: ${js.length} pairs")
+    def pred(b: Int, r: Int): Double =
+      js.map(Dedup.bandedMissRate(b, r, _)).sum / js.length
+    val (p82, p162, p164, p84) = (pred(8, 2), pred(16, 2), pred(16, 4), pred(8, 4))
+    assert(p82 > 1e-6 && p82 < 2e-5, s"8x2 predicted $p82, measured ~5e-6")
+    assert(p164 > 3e-7 && p164 < 1.2e-5, s"16x4 predicted $p164, measured ~3e-6")
+    assert(p162 < 1e-7, s"16x2 predicted $p162, measured 0 of 661k")
+    assert(p84 > 5e-5 && p84 < 2e-3, s"8x4 predicted $p84, measured ~3.4e-4")
+    // and the model preserves the measured ORDER of the variants
+    assert(p162 < p164 && p164 < p82 && p82 < p84)
+  }
+
+  test("q224b fixture assumption: sf0.01 distinct-text bucket occupancy stays below the gate's cap") {
+    // r12 directive 2 — the r6 events.ts lesson applied to q224b: the
+    // gate plants its own identity groups and relies on maxBucket = 4
+    // sitting STRICTLY above the live fixture's max distinct-text bucket
+    // occupancy, so capBuckets never fires on organic buckets and the
+    // DuckDB oracle's byte-equality replay of the shed is exact. A driver
+    // testdata regeneration that densifies near-dups must fail HERE with
+    // a named invariant, not as a mysterious q224b hash mismatch.
+    val occ = Dedup.bucketOccupancyHistogram(
+        graft.core.Tables.documents(spark, "/root/testdata/sf0.01"))
+      .agg(max($"occupancy")).head().getLong(0)
+    assert(occ < 4,
+      s"sf0.01 max (band, sig) occupancy $occ >= q224b's maxBucket 4 — " +
+        "the gate's oracle no longer replays the cap; re-size it")
+  }
+
   test("fuzzyReferenceDedup: drops near and exact cross-corpus dups, keeps distinct docs") {
     val reference = Seq(
       (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"),

@@ -279,10 +279,54 @@ class StreamingSpec extends SparkSpec {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    // the boolean matters (ADVICE r11): on a timeout the query is still
+    // running and acc is partially filled — fail with the real cause, not
+    // a confusing set-inequality
+    assert(q.awaitTermination(120000), "stream did not finish within 120 s")
     val fullTwin = EventStream.neighborAlerts(staticIndex, staticIndex, signs, tau = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(acc.toSet == fullTwin)
+  }
+
+  test("salted bucket index (saltBuckets > 1): alert parity, spread write tasks, writer guards") {
+    import java.nio.file._
+    val signs = graft.functions.VectorOps.rademacherSigns(4, 64, seed = 91)
+    val staticIndex = graft.core.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    // planted null embedding: the writer must DROP it rather than write a
+    // bucket=__HIVE_DEFAULT_PARTITION__ directory the reader's bucket-name
+    // parse would choke on (ADVICE r11, both halves)
+    val withNull = staticIndex.unionByName(
+      Seq(-1L).toDF("vec_id").select($"vec_id",
+        lit(null).cast("array<float>").as("embedding")))
+    val idxDir = Files.createTempDirectory("graft_bucket_idx_salt").toString
+    EventStream.writeBucketIndex(withNull, signs, idxDir, saltBuckets = 8)
+    val dirs = new java.io.File(idxDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
+    assert(!dirs.exists(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"null embedding leaked into a partition directory: $dirs")
+    // the salt spreads a populous bucket over >1 write task → >1 file in
+    // its directory (files ∝ buckets × salt, the skew knob's whole point)
+    val filesPerBucket = dirs.map(d =>
+      new java.io.File(s"$idxDir/$d").listFiles()
+        .count(_.getName.endsWith(".parquet")))
+    assert(filesPerBucket.max > 1,
+      s"salt had no effect: files per bucket = $filesPerBucket")
+    // reader is salt-oblivious: identical alerts to the unsalted twin
+    val batch = staticIndex.filter($"vec_id" < 8)
+    val got = EventStream.probedNeighborAlerts(batch, idxDir, signs, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twin = EventStream.neighborAlerts(batch, staticIndex, signs, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(twin.nonEmpty && got == twin)
+    // writer mirrors the reader's planes guard (ADVICE r11): a >24-plane
+    // index is rejected at WRITE time, before 2^planes directories exist
+    val wide = graft.functions.VectorOps.rademacherSigns(25, 64, seed = 7)
+    intercept[IllegalArgumentException] {
+      EventStream.writeBucketIndex(staticIndex, wide,
+        Files.createTempDirectory("graft_bucket_idx_wide").toString)
+    }
   }
 
   test("stateless curation stages run unchanged on a stream (PII scrub + chunking)") {
