@@ -149,7 +149,27 @@ object Dedup {
     * and within a group J = 1 ≥ t always (tDen > tNum), with
     * inter = uni = |shingles(rep)|. Docs too short to shingle never enter
     * `ordered`, so the identity path's inner join on rep sizes excludes
-    * their groups exactly as the un-collapsed pipeline did. */
+    * their groups exactly as the un-collapsed pipeline did.
+    *
+    * DENSE-REGIME HAND-OFF (r12 directive 4, measured on the honest-twin
+    * ladder): this operator's verify stage ships shingle arrays at
+    * CANDIDATE-pair cardinality, and in honest regimes candidates track
+    * true pairs — so its scratch cost is output-proportional no matter
+    * how sharp the count filter is. Measured: 64× = 11.0M pairs,
+    * 177–186 s; 128× = 44.5M pairs, 663 s, ~44 GB peak scratch; 256× =
+    * 178.7M true pairs, KILLED at ~74 GB scratch still climbing (the
+    * same 256× death the default minhash tier measured in r11). Past
+    * true pairs ≈ 5×10⁷ (≈ half the local scratch budget), hand off to
+    * [[minhashLshPairs]]`(bucketLocalVerify = true)` — identical
+    * verification (same shingle sets, same sorted-merge kernel), shuffle
+    * ∝ corpus × bands instead of pairs × doc size (completes 256× in
+    * 576 s and 512× = 0.716G pairs disk-flat). Exactness trade: banding
+    * misses pairs at rate (1 − t^r)^b per pair — size with
+    * [[bandingFor]] (default 16×2 at t = 0.8: corpus-measured miss
+    * ~1×10⁻⁹ — zero missed pairs across every measured rung). This
+    * operator remains the EXACT-BY-THEOREM tier: the banding ladder's
+    * recall truth (BandingScale) and every LSH equality spec anchor on
+    * it, at rungs its scratch affords. */
   def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -496,9 +516,17 @@ object Dedup {
       .select(col("doc_id"),
         array_sort(TextOps.shingles(col("text"), ShingleN)).as("sh"))
       .repartition(par, col("doc_id"))
+    // posexplode_OUTER: sigs is never empty (bands >= 1 literal array), so
+    // outer is semantically identical — but the INNER generator's implicit
+    // non-empty guard pushes through the join into the minhash branch's
+    // scan ONLY, splitting the shared collapse exchange's canonical
+    // subtrees: the uncapped tier scanned + shingled the corpus TWICE (the
+    // q79 guard hazard in its exchange-splitting form; PlanSpec pins one
+    // scan for both tiers now — the capped tier was already immune, its
+    // survival aggregate blocks the pushdown)
     val bsh = bv.join(sh, Seq("doc_id"))
       .select(col("doc_id"), col("sigs"), col("okm"), col("sh"),
-        posexplode(col("sigs")).as(Seq("band", "sig")))
+        posexplode_outer(col("sigs")).as(Seq("band", "sig")))
       .filter(expr("(shiftright(okm, band) & 1) = 1"))
     // least-surviving-colliding-band check: any band BEFORE this one where
     // both docs' buckets survived and the signatures match ⇒ not ours.

@@ -481,4 +481,36 @@ class PlanSpec extends SparkSpec {
         s"$name: consumers must read the materialized census RDD:\n$p")
     }
   }
+
+  test("r12 capped bucket-local verify: survival census is a partial agg — no window, no extra scan") {
+    // the q89 hot-key rule applied to the capped tier (r12 directive 1):
+    // shed buckets come from a groupBy (band, sig) census joined back, so
+    // an over-cap mega-bucket combines map-side instead of buffering in
+    // one window task; and the census branch must not split the shared
+    // doc_id exchange's canonical subtree (scan count pinned EQUAL to the
+    // uncapped tier's)
+    def plan(maxBucket: Int): String = {
+      val df = graft.operators.Dedup.minhashLshPairs(
+        graft.core.Tables.documents(spark, sf0001), 4, 5,
+        maxBucket = maxBucket, bucketLocalVerify = true)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("Initial Plan")
+      if (cut >= 0) s.substring(0, cut) else s
+    }
+    val capped = plan(4)
+    assert(!capped.linesIterator.exists(l =>
+        l.contains("Window") && !l.contains("WindowGroupLimit")),
+      s"capped survival census regressed to a window over the bucket key:\n$capped")
+    val scans = (p: String) => p.linesIterator.count(_.contains("FileScan parquet"))
+    // ONE corpus scan in BOTH tiers: the capped census must not split the
+    // shared doc_id exchange, and the uncapped explode must stay
+    // posexplode_outer — its inner form's implicit guard pushes into the
+    // minhash branch's scan only and splits the collapse exchange (2
+    // scans + 2 shingle passes, caught by this pin)
+    assert(scans(capped) == 1, s"capped: expected 1 corpus scan:\n$capped")
+    val uncapped = plan(Int.MaxValue)
+    assert(scans(uncapped) == 1,
+      s"uncapped: expected 1 corpus scan:\n$uncapped")
+  }
 }
