@@ -53,18 +53,31 @@ object NearDupScale {
     // since the last reset — a mega-bucket funneled into one window task
     // shows up here as one task's duration approaching the stage's wall
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    // per-stage task census: (tasks, total ms, max ms) keyed by stageId —
+    // a long max task means nothing without knowing WHICH stage and how
+    // its siblings fared (straggler vs genuinely serial stage)
+    val stageStats = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
         var c = maxTaskMs.get
         while (d > c && !maxTaskMs.compareAndSet(c, d)) c = maxTaskMs.get
+        stageStats.merge(t.stageId, (1L, d, d), (a, b) =>
+          (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
       }
     })
     def time[T](label: String)(f: => T): T = {
-      maxTaskMs.set(0)
+      maxTaskMs.set(0); stageStats.clear()
       val t0 = System.nanoTime(); val r = f
       println(f"[neardup] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"(longest task ${maxTaskMs.get / 1e3}%.1f s)"); r
+        f"(longest task ${maxTaskMs.get / 1e3}%.1f s)")
+      import scala.jdk.CollectionConverters._
+      val top = stageStats.asScala.toSeq.sortBy(-_._2._3).take(3)
+      top.foreach { case (sid, (n, tot, mx)) =>
+        println(f"[neardup]     stage $sid: tasks=$n max=${mx / 1e3}%.1f s " +
+          f"mean=${tot / math.max(n, 1) / 1e3}%.1f s total=${tot / 1e3}%.1f s")
+      }
+      r
     }
     /** One execution: timed count through the frame's own aggregate, then
       * the finalized adaptive plan's join census from that execution.
