@@ -675,22 +675,45 @@ object Curation {
     // Raw quality scores are not comparable across domains (a mid-tier
     // academic page outscores a top-tier forum post), so mixture policies
     // threshold the WITHIN-DOMAIN percentile, not the raw score — the
-    // rank-normalization step of curation pipelines. percent_rank =
-    // (rank−1)/(n−1) and cume_dist = n_≤/n are divisions of identical
-    // integers on identical quantized quality values → bit-equal doubles
-    // cross-engine, no rounding needed. One hash shuffle on the domain
-    // key; ties (quantized scores collide) resolve identically by SQL
-    // window semantics on both engines.
+    // rank-normalization step of curation pipelines. NOT a percent_rank
+    // window over the corpus (r12): a per-source window funnels
+    // corpus/n_sources rows into each window task — with a handful of
+    // sources EVERY task is corpus-sized, the q89 hot-key hazard as a
+    // uniform funnel. Instead the (source, quality) CENSUS carries the
+    // ranks: quality is quantized, so the census is vocabulary-sized, its
+    // per-source running sum is a census-sized window, and docs join their
+    // percentile back on (source, quality) — a composite key AQE can
+    // skew-split, unlike a window partition. percent_rank = (rank−1)/(n−1)
+    // with rank = n_< + 1 = cum − c + 1, cume_dist = cum/n — divisions of
+    // identical integers on identical quantized quality values → bit-equal
+    // doubles against the oracle's window form, tie semantics included
+    // (every row of a tie group gets the group's min rank = cum − c + 1).
+    // The projected (doc_id, source, quality) frame is cut (materialized)
+    // so the census branch and the join-back branch read it once — without
+    // the cut each branch would scan + re-score the corpus.
     QueryDef(
       "q115_quality_calibration",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("source")).orderBy(col("quality"))
-        Tables.documents(s, d)
+        val q = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             TextOps.qualityScore(col("text")).as("quality"))
-          .withColumn("pr", percent_rank().over(w))
-          .withColumn("cd", cume_dist().over(w))
+          .cutLineage()
+        val census = q.groupBy(col("source"), col("quality"))
+          .agg(count(col("doc_id")).as("c"))
+        val wc = Window.partitionBy(col("source")).orderBy(col("quality"))
+        val wall = Window.partitionBy(col("source"))
+        val ranked = census
+          .withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("n", sum(col("c")).over(wall))
+          .select(col("source"), col("quality"),
+            when(col("n") === 1, lit(0.0)).otherwise(
+              (col("cum") - col("c")).cast("double") /
+                (col("n") - 1).cast("double")).as("pr"),
+            (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+        q.join(ranked, Seq("source", "quality"))
+          .select(col("doc_id"), col("source"), col("quality"),
+            col("pr"), col("cd"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (
@@ -892,8 +915,17 @@ object Curation {
     // ---- q75: quality-based cluster representatives ------------------------
     // The dedup RETENTION POLICY: for every near-dup cluster (q66's
     // connected components), keep the highest-quality member (doc_id
-    // tiebreak) instead of the arbitrary min-id. Oracle = q66's recursive
-    // reachability CTE + the same windowed argmax.
+    // tiebreak) instead of the arbitrary min-id. The argmax is a min_by
+    // over the ordering struct (−quality, member_id) — a partial-agg
+    // aggregate, NOT a row_number window: the window form had no rank
+    // FILTER (the rank fed a CASE inside a later groupBy), so Spark's
+    // WindowGroupLimit could not prune it and a mega-cluster (the
+    // boilerplate family near-dup CCs produce at 100 TB) would buffer in
+    // ONE window task (the q89 hot-key rule, r12). −quality is an exact
+    // double negation (quantized rationals, no NaN), and the ordering is
+    // total (member_id unique), so both min_by calls pick the same row.
+    // Oracle = q66's recursive reachability CTE + a windowed argmax
+    // (DuckDB replays the same total order at oracle scale).
     QueryDef(
       "q75_cluster_best",
       (s, d) => {
@@ -902,13 +934,13 @@ object Curation {
         val cc = Dedup.connectedComponents(pairs)
           .select(col("label").as("rep_id"), col("node").as("member_id"))
         val q = docs.select(col("doc_id"), quality.as("quality"))
-        val w = Window.partitionBy("rep_id").orderBy(desc("quality"), asc("member_id"))
+        val ord = struct((col("quality") * lit(-1.0)).as("nq"),
+          col("member_id").as("mid"))
         cc.join(q, cc("member_id") === q("doc_id"))
-          .withColumn("rk", row_number().over(w))
           .groupBy(col("rep_id"))
           .agg(count(lit(1)).as("n_members"),
-            min(when(col("rk") === 1, col("member_id"))).as("best_doc_id"),
-            min(when(col("rk") === 1, col("quality"))).as("best_quality"))
+            min_by(col("member_id"), ord).as("best_doc_id"),
+            min_by(col("quality"), ord).as("best_quality"))
           .orderBy(col("rep_id"))
       },
       Some(s"""WITH RECURSIVE sh AS (

@@ -393,15 +393,28 @@ object Dedup {
       .repartition(toks.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
   }
 
-  /** Apply the hot-bucket cap to a (doc_id, band, sig) bucket table. The
-    * bucket census is a window over the same (band, sig) key the candidate
-    * join shuffles on, so it adds no extra exchange. */
+  /** Apply the hot-bucket cap to a (doc_id, band, sig) bucket table via an
+    * over-cap census + anti-join — the q89 hot-key rule, the same shape the
+    * bucket-local tier's survival census uses (r12 directive 1): a
+    * `count(·) OVER (PARTITION BY band, sig)` window would buffer each
+    * bucket in ONE task, so the over-cap mega-bucket the cap exists to shed
+    * is exactly the partition that would straggle. The census combines
+    * map-side (a bucket duplicated a billion times collapses per input
+    * partition), its over-cap survivors are ≤ rows/maxBucket and in honest
+    * regimes just the boilerplate families — a runtime-tiny frame AQE
+    * broadcasts into the anti-join, so the bucket rows never shuffle on the
+    * bucket key here at all. count(doc_id), not count(*): both the census
+    * and the kept branch must project (doc_id, band, sig) below the shared
+    * signature exchange or the canonical subtrees split and the signatures
+    * compute twice (the q104 census lesson; DedupPlanSpec pins one scan). */
   private def capBuckets(buckets: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) buckets
     else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-      buckets.withColumn("bsz", count(lit(1)).over(w))
-        .filter(col("bsz") <= maxBucket).drop("bsz")
+      val over = buckets.groupBy(col("band"), col("sig"))
+        .agg(count(col("doc_id")).as("occ"))
+        .filter(col("occ") > maxBucket)
+        .select(col("band"), col("sig"))
+      buckets.join(over, Seq("band", "sig"), "left_anti")
     }
 
   /** Histogram of (band, sig) bucket occupancies over the distinct-text
@@ -1307,9 +1320,9 @@ object Dedup {
     * ([[referenceSignatures]]) — persist them like `IvfIndex` and each
     * incoming batch pays one signature pass over ITSELF plus a bucket
     * join. `maxBucket` is applied to BOTH sides, including a supplied
-    * `refBuckets` table (re-capping a persisted table is the same window
-    * the join shuffles on — a stricter cap at probe time needs no
-    * rebuild). */
+    * `refBuckets` table (re-capping a persisted table is a column-pruned
+    * census scan + broadcast anti-join, no shuffle of the table — a
+    * stricter cap at probe time needs no rebuild). */
   def fuzzyReferenceDedup(incoming: DataFrame, reference: DataFrame,
       num: Int, den: Int, maxBucket: Int = Int.MaxValue,
       refBuckets: Option[DataFrame] = None): DataFrame = {

@@ -67,10 +67,10 @@ object Fuzzy {
     * back through id joins, with the cap applied to the group census under
     * the same contract), so the variant cap guards the remaining hot case:
     * DISTINCT keys that share a variant (e.g. one-char-apart boilerplate
-    * families). The census is a window over the SAME variant key the
-    * candidate join shuffles on — it adds no exchange and no hazard the
-    * join does not already have: both co-locate a hot variant's rows,
-    * and the cap exists precisely to stop the quadratic OUTPUT — which
+    * families). The census is a map-side-combining groupBy over the
+    * variant key plus a broadcast anti-join (r12 — never a window, which
+    * would buffer the over-cap bucket in one task); the cap exists
+    * precisely to stop the quadratic OUTPUT — which
     * since r10 it does on BOTH axes: variant buckets over the cap are
     * skipped, and rep pairs touching an over-cap identical-key class are
     * shed before expansion (see the body comment), so no capped run can
@@ -106,9 +106,23 @@ object Fuzzy {
     val variants =
       if (maxKeyCount == Int.MaxValue) raw
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
-        raw.withColumn("vsz", count(lit(1)).over(w))
-          .filter(col("vsz") <= maxKeyCount).drop("vsz")
+        // over-cap census + anti-join, NOT a count window over v (the q89
+        // hot-key rule, r12): the window buffers each variant bucket in ONE
+        // task, so the over-cap bucket the cap exists to shed is exactly
+        // the partition that would straggle. The census combines map-side,
+        // its over-cap survivors are tiny → AQE broadcasts the anti-join,
+        // and the variant rows reach the candidate join on the partitioning
+        // they already have. count(when(s.isNotNull, id)) ≡ count(id) here
+        // (s is non-null by the hoisted filter above) but keeps BOTH
+        // branches' projections below the shared variant exchange
+        // identical: prune s from the census branch and the canonical
+        // subtrees split, computing and shuffling the deletion
+        // neighborhoods twice (the q104 census lesson in projection form).
+        val over = raw.groupBy(col("v"))
+          .agg(count(when(col("s").isNotNull, col("id"))).as("vsz"))
+          .filter(col("vsz") > maxKeyCount)
+          .select(col("v"))
+        raw.join(over, Seq("v"), "left_anti")
       }
     val verified = variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id") &&

@@ -29,7 +29,11 @@ object Pipeline {
     // 1. composite quality rules (q70 semantics) as a pure map filter —
     //    full rows survive with NO re-join to recover the payload
     val passing = docs.filter(Curation.qualityPredicate(col("text")))
-    // 2. exact dedup on the canonical fingerprint, min doc_id wins (q44)
+    // 2. exact dedup on the canonical fingerprint, min doc_id wins (q44).
+    //    Skew-safe despite the window: the rn === 1 filter lets Spark's
+    //    InferWindowGroupLimit plant a map-side WindowGroupLimit below the
+    //    exchange, so a mega-duplicate class ships ≤ 1 row per input
+    //    partition — effectively a partial agg (PlanSpec pins the node).
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val deduped = passing
       .withColumn("fp", TextOps.fingerprint(col("text")))

@@ -147,6 +147,22 @@ object NearDupScale {
             bucketLocalVerify = true))
         withMega.unpersist()
       }
+      // r12: the DEFAULT tier's capBuckets got the same de-windowing (the
+      // census anti-join replaces count() OVER (PARTITION BY band, sig)) —
+      // same planted mega-class witness: the ~10k-occupancy buckets must
+      // shed via the map-side census, not straggle in one window task
+      if (ops("q46cap")) {
+        val megaBase = base.orderBy(col("doc_id")).limit(1)
+          .select(col("text")).localCheckpoint(true)
+        val mega = megaBase
+          .select(explode(sequence(lit(0L), lit(9999L))).as("j"), col("text"))
+          .select((lit(900000000L) + col("j")).as("doc_id"),
+            concat(col("text"), lit(" mg"), col("j")).as("text"))
+        val withMega = docs.unionByName(mega).localCheckpoint(true)
+        measure(s"q46 DEFAULT capped(512) + 10k mega-class ${r}x",
+          Dedup.minhashLshPairs(withMega, 4, 5, maxBucket = 512))
+        withMega.unpersist()
+      }
       if (ops("q104"))
         measure(s"q104 prefixJaccardPairs ${r}x", Dedup.prefixJaccardPairs(docs, 4, 5))
       if (ops("corpus"))
@@ -180,6 +196,41 @@ object NearDupScale {
           }
           .reduce(_ union _).repartition(32).localCheckpoint(true)
         measure(s"q110 editDistancePairs capped(4096) ${r}x",
+          Fuzzy.editDistancePairs(titles, "title", "doc_id",
+            maxDist = 2, maxKeyCount = 4096))
+        titles.unpersist()
+      }
+      // r12: the fuzzy variant cap's de-windowed census, witnessed with a
+      // planted mega VARIANT bucket: 10k DISTINCT titles, each = the base
+      // 23-char prefix with one char INSERTED at a j-dependent position
+      // plus one char APPENDED (distinct (pos, c, d) triples — the
+      // identity collapse is vacuous). Deleting the two planted chars maps
+      // every one of them into the SAME deletion-variant bucket (~2.5x the
+      // 4096 cap) — the census must shed that bucket map-side while the
+      // per-(pos, c) sub-buckets (occupancy 26, under cap) still verify
+      // their true lev-1 pairs
+      if (ops("q110cap")) {
+        val megaT = base.orderBy(col("doc_id")).limit(1)
+          .select(substring(col("text"), 1, 23).as("t0")).localCheckpoint(true)
+        val megaTitles = megaT
+          .select(explode(sequence(lit(0L), lit(9999L))).as("j"), col("t0"))
+          .select((lit(900000000L) + col("j")).as("doc_id"),
+            expr("concat(" +
+              "substring(t0, 1, 1 + CAST(j DIV 676 AS INT) % 15), " +
+              "char(97 + CAST(j % 26 AS INT)), " +
+              "substring(t0, 2 + CAST(j DIV 676 AS INT) % 15), " +
+              "char(97 + CAST((j DIV 26) % 26 AS INT)))").as("title"))
+        val titles = (0 until r).map { j =>
+            val t = if (j == 0) substring(col("text"), 1, 24)
+              else concat(
+                substring(col("text"), 1, (j % 20)),
+                lit(('a' + j / 20).toChar.toString),
+                substring(col("text"), (j % 20) + 2, 24 - (j % 20) - 1))
+            base.select((col("doc_id") + lit(j * 10L * nd)).as("doc_id"), t.as("title"))
+          }
+          .reduce(_ union _).unionByName(megaTitles)
+          .repartition(32).localCheckpoint(true)
+        measure(s"q110 editDistancePairs capped(4096) + 10k mega-variant ${r}x",
           Fuzzy.editDistancePairs(titles, "title", "doc_id",
             maxDist = 2, maxKeyCount = 4096))
         titles.unpersist()

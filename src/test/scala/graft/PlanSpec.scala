@@ -513,4 +513,75 @@ class PlanSpec extends SparkSpec {
     assert(scans(uncapped) == 1,
       s"uncapped: expected 1 corpus scan:\n$uncapped")
   }
+
+  test("r12 capped default tier: bucket cap is a census anti-join — no window, scan parity") {
+    // capBuckets (the DEFAULT tier's cap) follows the same q89 hot-key rule
+    // as the bucket-local tier's survival census: over-cap buckets come
+    // from a groupBy (band, sig) partial-agg census anti-joined back, never
+    // a count window over the bucket key (which buffers the over-cap
+    // mega-bucket — the one the cap exists to shed — in ONE task). Scan
+    // parity with the uncapped run pins that the census branch reuses the
+    // shared signature exchange instead of splitting it (the q104 census
+    // lesson: count(doc_id), not count(*)).
+    def plan(maxBucket: Int): String = {
+      val df = graft.operators.Dedup.minhashLshPairs(
+        graft.core.Tables.documents(spark, sf0001), 4, 5,
+        maxBucket = maxBucket)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("Initial Plan")
+      if (cut >= 0) s.substring(0, cut) else s
+    }
+    val capped = plan(4)
+    assert(!capped.linesIterator.exists(l =>
+        l.contains("Window") && !l.contains("WindowGroupLimit")),
+      s"default-tier bucket cap regressed to a window over the bucket key:\n$capped")
+    val scans = (p: String) => p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans(capped) == scans(plan(Int.MaxValue)),
+      s"capped default tier scans the corpus more often than uncapped:\n$capped")
+  }
+
+  test("r12 fuzzy variant cap: census anti-join — no window, scan parity") {
+    // editDistancePairs' maxKeyCount cap: over-cap deletion-variant buckets
+    // come from a groupBy(v) partial-agg census anti-joined back, never a
+    // count window over v. Scan parity pins that the census's
+    // count(when(s.isNotNull, id)) spelling keeps both branches'
+    // projections below the shared variant exchange identical — prune s
+    // from the census branch and the canonical subtrees split, computing
+    // and shuffling the deletion neighborhoods twice.
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"),
+        substring(col("text"), 1, 12).as("title"))
+    def plan(cap: Int): String = {
+      val df = graft.operators.Fuzzy.editDistancePairs(
+        docs, keyCol = "title", idCol = "id", maxDist = 1, maxKeyCount = cap)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("Initial Plan")
+      if (cut >= 0) s.substring(0, cut) else s
+    }
+    val capped = plan(64)
+    assert(!capped.linesIterator.exists(l =>
+        l.contains("Window") && !l.contains("WindowGroupLimit")),
+      s"fuzzy variant cap regressed to a window over the variant key:\n$capped")
+    val scans = (p: String) => p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans(capped) == scans(plan(Int.MaxValue)),
+      s"capped fuzzy run scans the corpus more often than uncapped:\n$capped")
+  }
+
+  test("q86: exact-dedup rank window is WindowGroupLimit-pruned (rn === 1 pushes a map-side limit)") {
+    // Pipeline.curate's exact dedup keeps min-doc_id per fingerprint via
+    // row_number + filter(rn === 1). That shape is skew-safe ONLY because
+    // Spark's InferWindowGroupLimit plants a map-side WindowGroupLimit
+    // below the exchange (each input partition ships at most 1 row per
+    // fp), making a mega-duplicate class combine like a partial agg. If a
+    // refactor breaks the rank-filter pattern the full class would buffer
+    // in one window task — this pin fails first.
+    val df = SparkEntry.queries("q86_curation_pipeline")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"exact-dedup rank filter lost its WindowGroupLimit pushdown:\n$p")
+  }
 }
