@@ -151,26 +151,34 @@ object Dedup {
     * `ordered`, so the identity path's inner join on rep sizes excludes
     * their groups exactly as the un-collapsed pipeline did.
     *
-    * DENSE-REGIME HAND-OFF (r12 directive 4, measured on the honest-twin
-    * ladder): this operator's verify stage ships shingle arrays at
-    * CANDIDATE-pair cardinality, and in honest regimes candidates track
-    * true pairs — so its scratch cost is output-proportional no matter
-    * how sharp the count filter is. Measured: 64× = 11.0M pairs,
-    * 177–186 s; 128× = 44.5M pairs, 663 s, ~44 GB peak scratch; 256× =
-    * 178.7M true pairs, KILLED at ~74 GB scratch still climbing (the
-    * same 256× death the default minhash tier measured in r11). Past
-    * true pairs ≈ 5×10⁷ (≈ half the local scratch budget), hand off to
-    * [[minhashLshPairs]]`(bucketLocalVerify = true)` — identical
-    * verification (same shingle sets, same sorted-merge kernel), shuffle
-    * ∝ corpus × bands instead of pairs × doc size (completes 256× in
-    * 576 s and 512× = 0.716G pairs disk-flat). Exactness trade: banding
-    * misses pairs at rate (1 − t^r)^b per pair — size with
-    * [[bandingFor]] (default 16×2 at t = 0.8: corpus-measured miss
-    * ~1×10⁻⁹ — zero missed pairs across every measured rung). This
-    * operator remains the EXACT-BY-THEOREM tier: the banding ladder's
-    * recall truth (BandingScale) and every LSH equality spec anchor on
-    * it, at rungs its scratch affords. */
-  def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    * DENSE-REGIME TIERS (r12 directive 4). The DEFAULT verify stage ships
+    * shingle arrays at CANDIDATE-pair cardinality, and in honest regimes
+    * candidates track true pairs — so its scratch cost is
+    * output-proportional no matter how sharp the count filter is.
+    * Measured: 64× = 11.0M pairs, 177–186 s; 128× = 44.5M pairs, 663 s,
+    * ~44 GB peak scratch; 256× = 178.7M true pairs, KILLED at ~74 GB
+    * scratch still climbing (the same 256× death the default minhash tier
+    * measured in r11). Past true pairs ≈ 5×10⁷ (≈ half the local scratch
+    * budget) set `bucketLocalVerify = true`: each doc's shingle set
+    * replicates into its PREFIX-HASH buckets (shuffle ∝ corpus × prefix
+    * length, independent of pair count — the [[minhashLshPairs]]
+    * bucket-local construction with prefix tokens as the bucket keys) and
+    * pairs verify IN the bucket of the first hash in the smaller doc's
+    * rarity-ordered prefix that also occurs in the other doc's prefix
+    * ([[graft.expressions.FirstSharedPrefixExpr]] — exactly once, no
+    * distinct). Unlike the minhash hand-off this tier is still EXACT:
+    * completeness is the same prefix theorem (a qualifying pair shares a
+    * both-prefix token, hence a both-prefix hash a fortiori — hash
+    * equality can only ADD meeting buckets, and the exact string
+    * verification decides every pair), so the dense regime no longer
+    * costs banding miss. [[minhashLshPairs]]`(bucketLocalVerify = true)`
+    * remains the cheaper choice when a [[bandingFor]]-sized miss budget
+    * is acceptable (16 buckets/doc vs prefix's ≈ (1−t)·n + 1). The
+    * default tier remains the low-replication choice at sparse pair
+    * densities; both tiers anchor the recall ladders (BandingScale) and
+    * the LSH equality specs. */
+  def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int,
+      bucketLocalVerify: Boolean = false): DataFrame = {
     require(tNum > 0 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // ---- identity collapse: one repartition(text) exchange feeds BOTH the
@@ -259,6 +267,8 @@ object Dedup {
     // (16-byte rows, same order of volume as the census exchange this
     // pipeline already pays) — traded against array payloads at candidate
     // cardinality, which are quadratic in near-dup density.
+    val core = if (bucketLocalVerify) prefixBucketLocalCore(ordered, tNum, tDen)
+    else {
     val prefixes = ordered.select(col("doc_id"), n.as("n"), p.as("p"),
       explode(slice(col("toks"), lit(1), p)).as("tok"))
     val fulls = ordered.select(col("doc_id"), n.as("n"), p.as("p"),
@@ -293,13 +303,14 @@ object Dedup {
     // `toks` is RARITY-ordered (the prefix scheme's order); the verify
     // copies re-sort lexicographically per DOC so each pair evaluation is
     // the codegen merge, not an interpreted hash build.
-    val core = cands
+    cands
       .join(ordered.select(col("doc_id").as("a_id"),
         array_sort(col("toks")).as("a_sh")), "a_id")
       .join(ordered.select(col("doc_id").as("b_id"),
         array_sort(col("toks")).as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), inter.as("inter"), uni.as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
+    }
     // ---- expansion back to member pairs: narrow 8-byte-id joins only.
     // Cross pairs (different reps) hit each (x, y) exactly once — members
     // of distinct groups are disjoint — but member ids are not ordered by
@@ -319,6 +330,63 @@ object Dedup {
       .select(col("xa").as("a_id"), col("xb").as("b_id"),
         col("nsz").as("inter"), col("nsz").as("uni"))
     cross.unionByName(ident)
+  }
+
+  /** Bucket-local verification core for [[prefixJaccardPairs]] (r12): the
+    * [[bucketLocalVerified]] construction with PREFIX-HASH buckets instead
+    * of minhash bands — ONE shuffle ∝ corpus × prefix length, never
+    * pair-proportional array payloads, and still EXACT.
+    *
+    *  - Each rep doc carries its rarity-ordered prefix hashes `ph`
+    *    (xxhash64 of the p rarest shingles, first-occurrence-deduped so a
+    *    hash collision inside one prefix cannot double-emit) and its
+    *    lex-sorted shingle strings `sh`, and explodes one bucket row per
+    *    prefix hash.
+    *  - Candidates meet in every shared prefix-hash bucket; the pair is
+    *    evaluated exactly once, in the bucket elected by
+    *    [[graft.expressions.FirstSharedPrefixExpr]] (the first hash in the
+    *    smaller doc's prefix order that occurs in the other doc's prefix —
+    *    sharedness BY HASH, the same predicate as bucket membership, so
+    *    collisions add evaluations but never lose or duplicate a pair).
+    *  - Completeness is the prefix theorem unchanged: J ≥ t ⇒ the pair
+    *    shares a both-prefix token ⇒ shares that token's hash bucket.
+    *  - The exact Jaccard threshold is the LAST conjunct of the join
+    *    condition (the r11 ordering rule): the sorted-merge kernel runs
+    *    once per pair that survived the cheap checks, never per bucket
+    *    collision.
+    *
+    * The expression is symmetric in column usage (both sides contribute
+    * doc_id, n, ph, sh, hk), so the self-join's two branches prune
+    * identically and share one exchange (PlanSpec pins scan parity with
+    * the default tier). No hot-bucket cap: prefix buckets are smallest for
+    * exactly the rarest shingles (the scheme's own selectivity), and the
+    * operator's contract is exactness — boilerplate-cluster regimes that
+    * need shedding belong to [[minhashLshPairs]]'s capped tiers. */
+  private def prefixBucketLocalCore(ordered: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
+    val n = size(col("toks"))
+    val p = (n - floor((n * tNum + (tDen - 1)) / lit(tDen)) + 1).cast("int")
+    val perDoc = ordered.select(col("doc_id"), n.as("n"),
+      array_distinct(transform(slice(col("toks"), lit(1), p),
+        x => xxhash64(x))).as("ph"),
+      array_sort(col("toks")).as("sh"))
+    // explode_outer: ph is never empty (every doc in `ordered` has ≥ 1
+    // shingle, so p ≥ 1) — the inner generator's implicit non-empty guard
+    // would push below the shared exchange on one branch and split it
+    // (the q79 guard hazard, as in bucketLocalVerified)
+    val bsh = perDoc.select(col("doc_id"), col("n"), col("ph"), col("sh"),
+      explode_outer(col("ph")).as("hk"))
+    val canonical = graft.expressions.FirstSharedPrefixExpr
+      .isFirstShared(col("a.ph"), col("b.ph"), col("a.hk"))
+    val (inter, uni) = jaccardColsSorted(col("a.sh"), col("b.sh"))
+    val threshold = inter * tDen >= uni * tNum
+    bsh.as("a").join(bsh.as("b"),
+        col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * tNum <=
+            least(col("a.n"), col("b.n")) * tDen &&
+          canonical && threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        inter.as("inter"), uni.as("uni"))
   }
 
   /** Fan a few-split source out across the session's parallelism BEFORE an
@@ -1674,6 +1742,39 @@ object Dedup {
              |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni
              |FROM s a JOIN s b ON a.doc_id < b.doc_id
              |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(list_distinct(list_concat(a.sh, b.sh))) * 4
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- q104b: bucket-local EXACT set-similarity join (r12) ---------------
+    // Same truth as q104 through the tier that survives the dense regime:
+    // prefix-hash bucket replication + in-bucket exactly-once verification
+    // (prefixBucketLocalCore). The gate pins the tier LOSSLESS against an
+    // independent oracle — the inverted shingle→doc spelling (q46's), which
+    // scales past the gate SF unlike q104's all-pairs form.
+    QueryDef(
+      "q104b_setsim_bucket_local",
+      (s, d) => prefixJaccardPairs(Tables.documents(s, d), tNum = 4, tDen = 5,
+        bucketLocalVerify = true)
+        .orderBy(col("a_id"), col("b_id")),
+      // headline: the dense-regime exact tier is timed at bench SF so its
+      // bucket self-join stays regression-visible next to q104's default.
+      headline = true,
+      oracle = Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |                   for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |cand AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM s)
+             |SELECT c.a_id, c.b_id, c.inter, sa.n + sb.n - c.inter AS uni
+             |FROM cand c
+             |JOIN sz sa ON sa.doc_id = c.a_id
+             |JOIN sz sb ON sb.doc_id = c.b_id
+             |WHERE c.inter * 5 >= (sa.n + sb.n - c.inter) * 4
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // ---- q46: MinHash + banded LSH (the at-scale dedup path) ---------------

@@ -165,6 +165,13 @@ object NearDupScale {
       }
       if (ops("q104"))
         measure(s"q104 prefixJaccardPairs ${r}x", Dedup.prefixJaccardPairs(docs, 4, 5))
+      // r12 directive 4, the "or implement it" arm: the bucket-local
+      // PREFIX tier — exact like q104, shuffle ∝ corpus × prefix length
+      // like the minhash bucket-local tier — on the rungs where the
+      // default prefix verify hits the pair-proportional scratch wall
+      if (ops("q104bl"))
+        measure(s"q104 prefixJaccardPairs BUCKET-LOCAL ${r}x",
+          Dedup.prefixJaccardPairs(docs, 4, 5, bucketLocalVerify = true))
       if (ops("corpus"))
         measure(s"dedupCorpus survivors ${r}x", Dedup.dedupCorpus(docs, 4, 5))
       if (ops("corpusbl"))

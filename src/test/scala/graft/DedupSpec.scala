@@ -134,6 +134,39 @@ class DedupSpec extends SparkSpec {
     assert(l82 == d82, s"8x2: missing=${d82 -- l82} extra=${l82 -- d82}")
   }
 
+  test("prefixJaccardPairs bucketLocalVerify: identical output to the default tier (r12)") {
+    // real fixture + planted byte-duplicates (exercises the identity
+    // expansion under both tiers) + a boundary near-dup pair (J = 9/11 just
+    // over 0.8). Both tiers are EXACT, so they must agree pair-for-pair
+    // WITH evidence: the prefix theorem says a J >= t pair shares a
+    // both-prefix token, hence that token's hash bucket, and the
+    // canonical-bucket rule (FirstSharedPrefixExpr) evaluates it exactly
+    // once — never zero times, never twice (a duplicate would double rows
+    // and break the set equality below only if values differed; the
+    // distinct-free join makes duplicates visible as extra rows, so
+    // compare COUNTS too).
+    val planted = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val nearDup = Seq(
+      (900100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu kappa2"),
+      (900101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu lambda"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select($"doc_id", $"text")
+      .unionByName(planted).unionByName(nearDup)
+    def all(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "b_id", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val dflt = all(Dedup.prefixJaccardPairs(corpus, 4, 5))
+    val local = all(Dedup.prefixJaccardPairs(corpus, 4, 5,
+      bucketLocalVerify = true))
+    assert(dflt.nonEmpty)
+    assert(local.size == dflt.size,
+      s"row counts differ (duplicate or missing emission): ${local.size} vs ${dflt.size}")
+    assert(local.toSet == dflt.toSet,
+      s"bucket-local != default: missing=${dflt.toSet -- local.toSet} extra=${local.toSet -- dflt.toSet}")
+    assert(local.exists(t => t._1 == 900100L && t._2 == 900101L))
+  }
+
   test("bandingFor + bandedMissRate replay the measured §R11 recall table") {
     // the rule inverts to the shipped default and moves with its inputs
     assert(Dedup.bandingFor(4, 5) == (16, 2))

@@ -215,6 +215,27 @@ class PlanSpec extends SparkSpec {
       s"document-frequency census regressed to a window over the tok stream:\n$p")
   }
 
+  test("q104b: bucket-local prefix tier — ONE corpus scan, reused exchanges, no window") {
+    val p = finalizedPlan("q104b_setsim_bucket_local")
+    // the identity-collapse text exchange, the census exchange, and the
+    // bucket self-join's exchange must all reuse: the kernel's SYMMETRIC
+    // column usage (both sides contribute doc_id, n, ph, sh, hk) keeps the
+    // self-join branches' pruning identical — an asymmetric spelling
+    // (a-side position + b-side sorted probes) splits them and the corpus
+    // scans + shingles twice
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"expected exactly 1 documents scan in the finalized plan:\n$p")
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"shared lineage must resolve to ReusedExchange at runtime:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && !l.contains("WindowGroupLimit")),
+      s"no window may appear in the bucket-local prefix plan:\n$p")
+    // the exactly-once check and the Jaccard threshold live INSIDE the
+    // join condition (the r11 conjunct rule), not in a filter above it
+    assert(p.contains("is_first_shared_prefix"),
+      s"canonical-bucket check missing from the plan:\n$p")
+  }
+
   test("q108: ADC sums partial-aggregate map-side; distance tables broadcast; rank limit reaches the map side") {
     val p = finalizedPlan("q108_pq_adc")
     // the (qid, nid) sum must combine map-side: the shuffle carries one
