@@ -350,12 +350,12 @@ object Dedup {
     *    collisions add evaluations but never lose or duplicate a pair).
     *  - Completeness is the prefix theorem unchanged: J ≥ t ⇒ the pair
     *    shares a both-prefix token ⇒ shares that token's hash bucket.
-    *  - The exact Jaccard threshold is the LAST conjunct of the join
-    *    condition (the r11 ordering rule): the sorted-merge kernel runs
-    *    once per pair that survived the cheap checks, never per bucket
-    *    collision.
+    *  - The exact Jaccard threshold runs in a pushdown-BLOCKED projection
+    *    ABOVE the join, once per candidate pair — never per bucket combo
+    *    (see the body comment: the join condition must stay array-free or
+    *    the shingle payloads ride the Σ occ² fan).
     *
-    * The expression is symmetric in column usage (both sides contribute
+    * The kernel is symmetric in column usage (both sides contribute
     * doc_id, n, ph, sh, hk), so the self-join's two branches prune
     * identically and share one exchange (PlanSpec pins scan parity with
     * the default tier). No hot-bucket cap: prefix buckets are smallest for
@@ -369,24 +369,93 @@ object Dedup {
     val perDoc = ordered.select(col("doc_id"), n.as("n"),
       array_distinct(transform(slice(col("toks"), lit(1), p),
         x => xxhash64(x))).as("ph"),
+      array_sort(array_distinct(transform(col("toks"),
+        x => xxhash64(x)))).as("fh"),
       array_sort(col("toks")).as("sh"))
+      .select(col("doc_id"), col("n"), col("ph"),
+        array_sort(col("ph")).as("ps"), col("fh"), col("sh"))
     // explode_outer: ph is never empty (every doc in `ordered` has ≥ 1
     // shingle, so p ≥ 1) — the inner generator's implicit non-empty guard
     // would push below the shared exchange on one branch and split it
     // (the q79 guard hazard, as in bucketLocalVerified)
-    val bsh = perDoc.select(col("doc_id"), col("n"), col("ph"), col("sh"),
-      explode_outer(col("ph")).as("hk"))
+    val bsh = perDoc.select(col("doc_id"), col("n"), col("ph"), col("ps"),
+      col("fh"), col("sh"), explode_outer(col("ph")).as("hk"))
     val canonical = graft.expressions.FirstSharedPrefixExpr
       .isFirstShared(col("a.ph"), col("b.ph"), col("a.hk"))
-    val (inter, uni) = jaccardColsSorted(col("a.sh"), col("b.sh"))
-    val threshold = inter * tDen >= uni * tNum
-    bsh.as("a").join(bsh.as("b"),
+    // The Jaccard threshold lives in a PROJECTION + blocked filter ABOVE
+    // the join, NOT in the join condition — the r11 conjunct rule, refined
+    // by this tier's own measurement (Prof104BL, SCALING §R12): SMJ codegen
+    // splits variable extraction by condition — columns the CONDITION
+    // references are extracted for EVERY key-matched combo (Σ occ², 19.6G
+    // at the 256× rung), columns only the OUTPUT references are extracted
+    // once per surviving match. With the threshold as a conjunct the 2 KB
+    // shingle arrays rode the combo fan (measured 20 µs/combo,
+    // memory-bandwidth-bound, 64× = 1,332 s); with a thin condition
+    // (hk/doc_id/n/ph — ~120 B) the fan traverses at ~40 ns/combo and the
+    // arrays are touched once per candidate pair. The minhash tier keeps
+    // its threshold in the condition because banding's fan is
+    // similarity-weighted (combos ≈ pairs); the prefix fan is not.
+    // The `_mid` guard makes the filter UNPUSHABLE: a bare filter above a
+    // join is merged into the condition at a position of the optimizer's
+    // choosing (the r11 lesson), which would re-fatten the combo fan. A
+    // non-deterministic projection column referenced by the filter's one
+    // un-splittable OR disjunct (monotonically_increasing_id() ≥ 0 always,
+    // so `|| _mid < 0` is an identity) pins the filter above the project
+    // (PlanSpec asserts the join condition stays array-free).
+    val cand = bsh.as("a").join(bsh.as("b"),
         col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * tNum <=
             least(col("a.n"), col("b.n")) * tDen &&
-          canonical && threshold)
+          canonical)
+    // ---- stage 1: the r10 COUNT-FILTER bound, in-bucket, on HASHES.
+    // Candidates (pairs sharing ≥ 1 prefix hash) are barely selective in
+    // the honest regime (176M candidates for 11M pairs at 64× — the r10
+    // measurement), so the string merge must not run per candidate. The
+    // bound needs only hash intersections over ~400 B sorted long arrays
+    // (the codegen SortedLongInterSizeExpr, zero allocation):
+    //   cpf ≤ |psA ∩ fhB| + |psB ∩ fhA| − |psA ∩ psB|
+    //   inter ≤ min(cpf + min(nA − |phA|, nB − |phB|), min(nA, nB))
+    // LOSSLESS: every hash-collision effect errs UPWARD — a spurious
+    // match in the Z = |psA ∩ psB| term is accompanied by spurious X and
+    // Y units (the colliding prefix hashes are in both full sets), so
+    // X + Y − Z never undercounts the true cpf; |ph| ≤ p (dedup) makes
+    // n − |ph| over-estimate the suffix; and fh shrinking under in-doc
+    // collisions only raises the intersections. The exact string merge
+    // (stage 2) runs only on bound survivors ≈ true pairs.
+    val cpfH = graft.expressions.SortedLongInterSizeExpr.interSize(
+        col("psA"), col("fhB")) +
+      graft.expressions.SortedLongInterSizeExpr.interSize(
+        col("psB"), col("fhA")) -
+      graft.expressions.SortedLongInterSizeExpr.interSize(
+        col("psA"), col("psB"))
+    val bound = least(
+      col("cpf") + least(col("na") - col("pa"), col("nb") - col("pb")),
+      least(col("na"), col("nb")))
+    val stage1 = cand
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        inter.as("inter"), uni.as("uni"))
+        col("a.n").as("na"), col("b.n").as("nb"),
+        size(col("a.ph")).as("pa"), size(col("b.ph")).as("pb"),
+        col("a.ps").as("psA"), col("b.ps").as("psB"),
+        col("a.fh").as("fhA"), col("b.fh").as("fhB"),
+        col("a.sh").as("shA"), col("b.sh").as("shB"),
+        monotonically_increasing_id().as("_mid"))
+      .withColumn("cpf", cpfH)
+      // bound·tDen ≥ (na + nb − bound)·tNum, OR-guarded on the
+      // non-deterministic _mid so the filter cannot merge into the join
+      // condition (it never fires: monotonically_increasing_id ≥ 0)
+      .filter(bound * (tDen + tNum) >= (col("na") + col("nb")) * tNum ||
+        col("_mid") < 0)
+    // ---- stage 2: exact string evidence on survivors only
+    val inter1 = graft.expressions.SortedInterSizeExpr.interSize(
+      col("shA"), col("shB"))
+    stage1
+      .select(col("a_id"), col("b_id"), inter1.as("inter"),
+        (size(col("shA")) + size(col("shB"))).as("ssum"), col("_mid"))
+      // inter·tDen ≥ (ssum − inter)·tNum ⟺ inter·(tDen + tNum) ≥ ssum·tNum
+      .filter(col("inter") * (tDen + tNum) >= col("ssum") * tNum ||
+        col("_mid") < 0)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("ssum") - col("inter")).as("uni"))
   }
 
   /** Fan a few-split source out across the session's parallelism BEFORE an
@@ -1755,9 +1824,12 @@ object Dedup {
       (s, d) => prefixJaccardPairs(Tables.documents(s, d), tNum = 4, tDen = 5,
         bucketLocalVerify = true)
         .orderBy(col("a_id"), col("b_id")),
-      // headline: the dense-regime exact tier is timed at bench SF so its
-      // bucket self-join stays regression-visible next to q104's default.
-      headline = true,
+      // NOT headline: this is the DENSE-regime tier — at the bench's
+      // sparse 1× scale its corpus × prefix replication is pure overhead
+      // (~8-20 s against the default tier's 3 s), so benching it would
+      // measure the wrong regime; NearDupScale's honest ladder is its
+      // performance instrument (SCALING §R12).
+      headline = false,
       oracle = Some("""WITH s AS (
              |  SELECT doc_id,
              |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]

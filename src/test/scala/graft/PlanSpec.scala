@@ -230,10 +230,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
         l.contains("Window") && !l.contains("WindowGroupLimit")),
       s"no window may appear in the bucket-local prefix plan:\n$p")
-    // the exactly-once check and the Jaccard threshold live INSIDE the
-    // join condition (the r11 conjunct rule), not in a filter above it
+    // the exactly-once election lives in the join condition; the Jaccard
+    // threshold must NOT — a condition-referenced column is extracted for
+    // every key-matched combo in SMJ codegen, so a threshold conjunct puts
+    // the 2 KB shingle arrays on the Σ occ² fan (measured 20 µs/combo,
+    // Prof104BL). The _mid guard pins the threshold filter above the join;
+    // this assert fails if the optimizer ever merges it back.
     assert(p.contains("is_first_shared_prefix"),
       s"canonical-bucket check missing from the plan:\n$p")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("SortMergeJoin") && l.contains("is_first_shared_prefix"))
+      .orElse(p.linesIterator.find(_.contains("is_first_shared_prefix")))
+      .getOrElse("")
+    assert(!joinLine.contains("sorted_inter_size"),
+      s"Jaccard threshold leaked into the bucket join condition:\n$joinLine")
+    assert(p.contains("sorted_inter_size"),
+      s"exact verify kernel missing from the plan:\n$p")
   }
 
   test("q108: ADC sums partial-aggregate map-side; distance tables broadcast; rank limit reaches the map side") {
