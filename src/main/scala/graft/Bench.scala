@@ -55,6 +55,18 @@ object Bench {
     // competing for the vCPUs during the measurement.
     def load1: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // Hypervisor steal (r12): load1 only sees THIS guest's runnable
+    // queue — a noisy hypervisor neighbor slows every query uniformly
+    // while load1 stays clean (measured: a ~2× whole-bench inflation at
+    // load1 ≈ 1 with /proc/stat steal ticking 1-3% even at idle). Sample
+    // the steal/total jiffy counters around each iteration so the
+    // artifact carries the multiplier's OTHER channel too.
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Throwable => (0L, 1L) }
     val loadStart = load1
     val loadGate = 1.5 * cpus.toInt
     // Block-hygiene probe (r8 finding 1): live persistent RDDs and their
@@ -82,17 +94,21 @@ object Bench {
       // the driver-vs-judge delta was adjudicated by INFERENCE from the
       // run-level start/end loads; a per-query series makes the contention
       // multiplier measurable per row instead)
-      val times = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val times = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
       var clean = 0
       var attempts = 0
       var converged = false
       while (attempts < maxAttempts && !converged) {
         attempts += 1
         val pre = load1
+        val j0 = cpuJiffies()
         val t0 = System.nanoTime()
         try {
           q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
-          times += (((System.nanoTime() - t0) / 1e9, pre))
+          val j1 = cpuJiffies()
+          val stealPct =
+            100.0 * (j1._1 - j0._1).max(0L) / (j1._2 - j0._2).max(1L)
+          times += (((System.nanoTime() - t0) / 1e9, pre, stealPct))
           if (pre <= loadGate) clean += 1
           else System.err.println(
             f"[bench] ${q.name} iter $attempts contended (load1 $pre%.1f > $loadGate%.1f) — re-running")
@@ -127,6 +143,13 @@ object Bench {
     val loadSeries = results.collect { case (n, ts, _, _, _) if ts.nonEmpty =>
       "\"" + n + f"\":${ts.minBy(_._1)._2}%.2f"
     }.mkString("{", ",", "}")
+    // Per-query hypervisor-steal series (r12): steal % of total CPU jiffies
+    // during the REPORTED (best) iteration — the contention channel load1
+    // cannot see. A round-over-round slowdown with flat load1 and raised
+    // steal is the host, not the code.
+    val stealSeries = results.collect { case (n, ts, _, _, _) if ts.nonEmpty =>
+      "\"" + n + f"\":${ts.minBy(_._1)._3}%.2f"
+    }.mkString("{", ",", "}")
     // Attempts per query where the adaptive policy went past the base
     // quota — which rows needed retries, and how many, is part of the
     // artifact (silent retries would hide a chronically noisy row).
@@ -148,7 +171,7 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val loadEnd = load1
     val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"live_rdds_max":$liveMax,"storage_mb_max":$storageMaxMb%.1f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir""""
-    println(s"""{$summary,"queries":$qs,"queries_sd":$sds$failedJson$extraJson,"live_rdds":$liveSeries,"storage_mb":$mbSeries,"load1":$loadSeries}""")
+    println(s"""{$summary,"queries":$qs,"queries_sd":$sds$failedJson$extraJson,"live_rdds":$liveSeries,"storage_mb":$mbSeries,"load1":$loadSeries,"steal_pct":$stealSeries}""")
     // The full line above can exceed the driver artifact's byte-limited
     // tail window (the r9 artifact lost the line's HEAD, total included) —
     // repeat the summary fields as a short, complete, parseable JSON line
