@@ -53,20 +53,17 @@ object Bench {
     // 1-min system load at start/end makes a contaminated run self-
     // diagnosing: load >> allotted CPUs means foreign processes were
     // competing for the vCPUs during the measurement.
-    def load1: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def load1: Double = graft.tools.HostLoad.load1
     // Hypervisor steal (r12): load1 only sees THIS guest's runnable
     // queue — a noisy hypervisor neighbor slows every query uniformly
     // while load1 stays clean (measured: a ~2× whole-bench inflation at
     // load1 ≈ 1 with /proc/stat steal ticking 1-3% even at idle). Sample
     // the steal/total jiffy counters around each iteration so the
-    // artifact carries the multiplier's OTHER channel too.
-    def cpuJiffies(): (Long, Long) =
-      try {
-        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
-          .trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
-      } catch { case _: Throwable => (0L, 1L) }
+    // artifact carries the multiplier's OTHER channel too. The sampler
+    // is shared with the probe harness (HostLoad, r13) and sums only
+    // fields user..steal — the raw line sum double-counted guest jiffies
+    // and deflated steal% (r12 ADVICE).
+    def cpuJiffies(): (Long, Long) = graft.tools.HostLoad.cpuJiffies()
     val loadStart = load1
     val loadGate = 1.5 * cpus.toInt
     // Block-hygiene probe (r8 finding 1): live persistent RDDs and their
@@ -150,6 +147,14 @@ object Bench {
     val stealSeries = results.collect { case (n, ts, _, _, _) if ts.nonEmpty =>
       "\"" + n + f"\":${ts.minBy(_._1)._3}%.2f"
     }.mkString("{", ",", "}")
+    // Max steal across ALL iterations of the query (r12 ADVICE): a
+    // contended-then-clean query reports 0 steal on its best iteration
+    // even when earlier attempts were stolen — the max exposes
+    // contaminated attempts the best-of-n policy absorbed, so a row with
+    // high attempts + high max-steal reads as host churn, not code noise.
+    val stealMaxSeries = results.collect { case (n, ts, _, _, _) if ts.nonEmpty =>
+      "\"" + n + f"\":${ts.map(_._3).max}%.2f"
+    }.mkString("{", ",", "}")
     // Attempts per query where the adaptive policy went past the base
     // quota — which rows needed retries, and how many, is part of the
     // artifact (silent retries would hide a chronically noisy row).
@@ -171,7 +176,7 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val loadEnd = load1
     val summary = f""""metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"live_rdds_max":$liveMax,"storage_mb_max":$storageMaxMb%.1f,"load1_start":$loadStart%.2f,"load1_end":$loadEnd%.2f,"sf":"$sfDir""""
-    println(s"""{$summary,"queries":$qs,"queries_sd":$sds$failedJson$extraJson,"live_rdds":$liveSeries,"storage_mb":$mbSeries,"load1":$loadSeries,"steal_pct":$stealSeries}""")
+    println(s"""{$summary,"queries":$qs,"queries_sd":$sds$failedJson$extraJson,"live_rdds":$liveSeries,"storage_mb":$mbSeries,"load1":$loadSeries,"steal_pct":$stealSeries,"steal_max_pct":$stealMaxSeries}""")
     // The full line above can exceed the driver artifact's byte-limited
     // tail window (the r9 artifact lost the line's HEAD, total included) —
     // repeat the summary fields as a short, complete, parseable JSON line

@@ -10,10 +10,11 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** Native exactly-once check for the bucket-local PREFIX verification tier
   * ([[graft.operators.Dedup.prefixJaccardPairs]]): true iff `h` is the
-  * FIRST element of `phA` (the smaller doc's rarity-ordered prefix-hash
-  * array) that also occurs in `phB` — i.e. this bucket IS the pair's
-  * canonical evaluation bucket and every other shared bucket must skip the
-  * pair.
+  * FIRST element of `phA` (the rarity-ordered prefix-hash array of the
+  * ELECTING side — the call site passes the lower-doc_id side's ph/hk;
+  * any deterministic side works) that also occurs in `phB` — i.e. this
+  * bucket IS the pair's canonical evaluation bucket and every other
+  * shared bucket must skip the pair.
   *
   * Sharedness is defined BY HASH, exactly as bucket membership is: if two
   * distinct shingles collide in xxhash64, the pair still meets in that

@@ -651,6 +651,50 @@ object Curation {
        |    * 1e6 + 0.5) / 1e6 AS compression
        |FROM agg ORDER BY source""".stripMargin
 
+  /** Per-domain quality calibration (q115): within-source percent_rank /
+    * cume_dist of the quantized quality score, WITHOUT a per-source window
+    * (r12) — a percent_rank window over the corpus funnels
+    * corpus/n_sources rows into each window task, so with a handful of
+    * sources EVERY task is corpus-sized (the q89 hot-key hazard as a
+    * uniform funnel, and a planted mega-source makes one task HALF the
+    * corpus). Instead the (source, quality) CENSUS carries the ranks:
+    * quality is quantized, so the census is vocabulary-sized, its
+    * per-source running sum is a census-sized window, and docs join their
+    * percentile back on (source, quality) — a composite key AQE can
+    * skew-split, unlike a window partition (witnessed r13,
+    * RankCalibScale: one planted source holding half a 320k-doc corpus —
+    * see SCALING §R13 for the task census in both the broadcast join-back
+    * and the forced-SMJ form). percent_rank = (rank−1)/(n−1) with
+    * rank = n_< + 1 = cum − c + 1, cume_dist = cum/n — divisions of
+    * identical integers on identical quantized quality values → bit-equal
+    * doubles against the oracle's window form, tie semantics included
+    * (every row of a tie group gets the group's min rank = cum − c + 1).
+    * The projected (doc_id, source, quality) frame is cut (materialized)
+    * so the census branch and the join-back branch read it once — without
+    * the cut each branch would scan + re-score the corpus. */
+  def rankCalibration(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .cutLineage()
+    val census = q.groupBy(col("source"), col("quality"))
+      .agg(count(col("doc_id")).as("c"))
+    val wc = Window.partitionBy(col("source")).orderBy(col("quality"))
+    val wall = Window.partitionBy(col("source"))
+    val ranked = census
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wall))
+      .select(col("source"), col("quality"),
+        when(col("n") === 1, lit(0.0)).otherwise(
+          (col("cum") - col("c")).cast("double") /
+            (col("n") - 1).cast("double")).as("pr"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+    q.join(ranked, Seq("source", "quality"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("pr"), col("cd"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q69: per-domain frequency capping ---------------------------------
@@ -675,47 +719,12 @@ object Curation {
     // Raw quality scores are not comparable across domains (a mid-tier
     // academic page outscores a top-tier forum post), so mixture policies
     // threshold the WITHIN-DOMAIN percentile, not the raw score — the
-    // rank-normalization step of curation pipelines. NOT a percent_rank
-    // window over the corpus (r12): a per-source window funnels
-    // corpus/n_sources rows into each window task — with a handful of
-    // sources EVERY task is corpus-sized, the q89 hot-key hazard as a
-    // uniform funnel. Instead the (source, quality) CENSUS carries the
-    // ranks: quality is quantized, so the census is vocabulary-sized, its
-    // per-source running sum is a census-sized window, and docs join their
-    // percentile back on (source, quality) — a composite key AQE can
-    // skew-split, unlike a window partition. percent_rank = (rank−1)/(n−1)
-    // with rank = n_< + 1 = cum − c + 1, cume_dist = cum/n — divisions of
-    // identical integers on identical quantized quality values → bit-equal
-    // doubles against the oracle's window form, tie semantics included
-    // (every row of a tie group gets the group's min rank = cum − c + 1).
-    // The projected (doc_id, source, quality) frame is cut (materialized)
-    // so the census branch and the join-back branch read it once — without
-    // the cut each branch would scan + re-score the corpus.
+    // rank-normalization step of curation pipelines. Shape rationale
+    // (census-carried ranks instead of a per-source window, bit-equal
+    // division argument, skew witness): [[rankCalibration]].
     QueryDef(
       "q115_quality_calibration",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val q = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            TextOps.qualityScore(col("text")).as("quality"))
-          .cutLineage()
-        val census = q.groupBy(col("source"), col("quality"))
-          .agg(count(col("doc_id")).as("c"))
-        val wc = Window.partitionBy(col("source")).orderBy(col("quality"))
-        val wall = Window.partitionBy(col("source"))
-        val ranked = census
-          .withColumn("cum", sum(col("c")).over(wc))
-          .withColumn("n", sum(col("c")).over(wall))
-          .select(col("source"), col("quality"),
-            when(col("n") === 1, lit(0.0)).otherwise(
-              (col("cum") - col("c")).cast("double") /
-                (col("n") - 1).cast("double")).as("pr"),
-            (col("cum").cast("double") / col("n").cast("double")).as("cd"))
-        q.join(ranked, Seq("source", "quality"))
-          .select(col("doc_id"), col("source"), col("quality"),
-            col("pr"), col("cd"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => rankCalibration(Tables.documents(s, d)).orderBy(col("doc_id")),
       Some(s"""WITH t AS (
              |  $QualityCte)
              |SELECT doc_id, source, quality,

@@ -163,8 +163,9 @@ object Dedup {
     * replicates into its PREFIX-HASH buckets (shuffle ∝ corpus × prefix
     * length, independent of pair count — the [[minhashLshPairs]]
     * bucket-local construction with prefix tokens as the bucket keys) and
-    * pairs verify IN the bucket of the first hash in the smaller doc's
-    * rarity-ordered prefix that also occurs in the other doc's prefix
+    * pairs verify IN the bucket of the first hash in the LOWER-doc_id
+    * side's rarity-ordered prefix that also occurs in the other doc's
+    * prefix
     * ([[graft.expressions.FirstSharedPrefixExpr]] — exactly once, no
     * distinct). Unlike the minhash hand-off this tier is still EXACT:
     * completeness is the same prefix theorem (a qualifying pair shares a
@@ -345,7 +346,9 @@ object Dedup {
     *  - Candidates meet in every shared prefix-hash bucket; the pair is
     *    evaluated exactly once, in the bucket elected by
     *    [[graft.expressions.FirstSharedPrefixExpr]] (the first hash in the
-    *    smaller doc's prefix order that occurs in the other doc's prefix —
+    *    lower-doc_id side's prefix order that occurs in the other doc's
+    *    prefix — any deterministic side works; the call site passes the
+    *    `doc_id <` side's ph/hk —
     *    sharedness BY HASH, the same predicate as bucket membership, so
     *    collisions add evaluations but never lose or duplicate a pair).
     *  - Completeness is the prefix theorem unchanged: J ≥ t ⇒ the pair

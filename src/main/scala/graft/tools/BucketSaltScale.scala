@@ -40,9 +40,11 @@ object BucketSaltScale {
     })
     def time[T](label: String)(f: => T): T = {
       maxTaskMs.set(0)
-      val t0 = System.nanoTime(); val r = f
-      println(f"[salt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"(longest task ${maxTaskMs.get / 1e3}%.1f s)"); r
+      // host channels per rung (r13 directive 2)
+      val (r, secs, l1, steal) = HostLoad.measured(f)
+      println(f"[salt] $label: $secs%.2f s " +
+        f"(longest task ${maxTaskMs.get / 1e3}%.1f s, " +
+        f"load1 $l1%.2f, steal $steal%.2f%%)"); r
     }
 
     val hot = sys.env.getOrElse("SPARK_GRAFT_HOT", "250000").toLong

@@ -76,9 +76,12 @@ object GraphIterScale {
 
     def time[T](label: String)(f: => T): T = {
       peakMem.set(0); peakDisk.set(0)
-      val t0 = System.nanoTime(); val r = f
-      println(f"[graphiter] $label [$mode]: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"peakBlocks mem=${peakMem.get / 1e6}%.1f MB disk=${peakDisk.get / 1e6}%.1f MB")
+      // host channels per rung (r13 directive 2): single-run rungs are
+      // only adjudicable host-vs-code when the row carries load1 + steal%
+      val (r, secs, l1, steal) = HostLoad.measured(f)
+      println(f"[graphiter] $label [$mode]: $secs%.2f s " +
+        f"peakBlocks mem=${peakMem.get / 1e6}%.1f MB disk=${peakDisk.get / 1e6}%.1f MB " +
+        f"(load1 $l1%.2f, steal $steal%.2f%%)")
       r
     }
     def measure(label: String, mk: => DataFrame): Long = {

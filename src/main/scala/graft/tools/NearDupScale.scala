@@ -57,6 +57,23 @@ object NearDupScale {
     // a long max task means nothing without knowing WHICH stage and how
     // its siblings fared (straggler vs genuinely serial stage)
     val stageStats = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    // min-free-disk sampler (r13 directive 1): the bucket-local tiers'
+    // claim is a corpus-bounded footprint — "free disk never moving" must
+    // be a measured series per rung, not a post-hoc glance (a transient
+    // spill peak between samples of a manual `df` check would hide)
+    val minFree = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+    @volatile var diskSampling = true
+    val tmpDir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val diskSampler = new Thread(() => {
+      while (diskSampling) {
+        val f = tmpDir.getUsableSpace
+        var c = minFree.get
+        while (f < c && !minFree.compareAndSet(c, f)) c = minFree.get
+        Thread.sleep(200)
+      }
+    })
+    diskSampler.setDaemon(true); diskSampler.start()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
@@ -68,9 +85,14 @@ object NearDupScale {
     })
     def time[T](label: String)(f: => T): T = {
       maxTaskMs.set(0); stageStats.clear()
-      val t0 = System.nanoTime(); val r = f
-      println(f"[neardup] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"(longest task ${maxTaskMs.get / 1e3}%.1f s)")
+      val free0 = tmpDir.getUsableSpace; minFree.set(free0)
+      // host channels per rung (r13 directive 2): single-run rungs are
+      // only adjudicable host-vs-code when the row carries load1 + steal%
+      val (r, secs, l1, steal) = HostLoad.measured(f)
+      println(f"[neardup] $label: $secs%.2f s " +
+        f"(longest task ${maxTaskMs.get / 1e3}%.1f s, " +
+        f"load1 $l1%.2f, steal $steal%.2f%%, " +
+        f"disk free ${free0 / 1e9}%.1f -> min ${minFree.get / 1e9}%.1f GB)")
       import scala.jdk.CollectionConverters._
       val top = stageStats.asScala.toSeq.sortBy(-_._2._3).take(3)
       top.foreach { case (sid, (n, tot, mx)) =>
@@ -172,6 +194,60 @@ object NearDupScale {
       if (ops("q104bl"))
         measure(s"q104 prefixJaccardPairs BUCKET-LOCAL ${r}x",
           Dedup.prefixJaccardPairs(docs, 4, 5, bucketLocalVerify = true))
+      // r13 directive 1: the ladder's cross-check rung — materialize BOTH
+      // bucket-local tiers (prefix = exact, minhash = banding-miss budget)
+      // to parquet and diff the pair sets. The exact tier must be a
+      // SUPERSET (spurious = 0 always — minhash verifies exact Jaccard
+      // too); missed = the realized banding miss at this corpus, the
+      // number `bandingFor` budgets. Writes go to parquet (not
+      // localCheckpoint) so 10⁸-pair sets never live in the probe JVM's
+      // block storage next to the verify joins' execution memory.
+      if (ops("q104blx")) {
+        def mat(label: String, mk: => DataFrame): DataFrame = {
+          val dir = s"/tmp/graft_nd_pairs_${label.replaceAll("[^a-zA-Z0-9]", "_")}"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+          time(s"$label (materialize)") {
+            mk.select(col("a_id"), col("b_id"))
+              .write.mode("overwrite").parquet(dir)
+          }
+          spark.read.parquet(dir)
+        }
+        val pfx = mat(s"q104 prefix BUCKET-LOCAL ${r}x",
+          Dedup.prefixJaccardPairs(docs, 4, 5, bucketLocalVerify = true))
+        val mh = mat(s"q46 minhash BUCKET-LOCAL ${r}x",
+          Dedup.minhashLshPairs(docs, 4, 5, bucketLocalVerify = true))
+        val np = pfx.count(); val nm = mh.count()
+        val missed = pfx.join(mh, Seq("a_id", "b_id"), "left_anti").count()
+        val spurious = mh.join(pfx, Seq("a_id", "b_id"), "left_anti").count()
+        println(s"[neardup]   cross-check ${r}x: prefix=$np minhash=$nm " +
+          s"bandingMiss=$missed spurious=$spurious")
+        require(spurious == 0L,
+          s"minhash tier emitted pairs the exact tier lacks: $spurious")
+      }
+      // r13 directive 3: the prefix bucket-local tier's planted
+      // mega-family witness — 10k DISTINCT-text near-identical docs (the
+      // q46cap construction: identity collapse is vacuous). In the PREFIX
+      // scheme each member's df=1 variant shingles head its rarity-ordered
+      // prefix, but the remaining ~p−ShingleN slots are the family's
+      // SHARED rare base shingles — so those buckets go ~10k deep
+      // (Σ occ² ≈ p·10⁸ combos) and, because every family pair shares the
+      // same first-shared base hash, the election funnels all C(10k,2)
+      // surviving verifications into ONE bucket = one SMJ task. This op
+      // measures whether that degrades smoothly (fan model: combos are
+      // thin-condition cheap; the single-task verify is the open question)
+      // or cliffs — the scaladoc records the outcome either way.
+      if (ops("q104blmega")) {
+        val megaBase = base.orderBy(col("doc_id")).limit(1)
+          .select(col("text")).localCheckpoint(true)
+        val mega = megaBase
+          .select(explode(sequence(lit(0L), lit(9999L))).as("j"), col("text"))
+          .select((lit(900000000L) + col("j")).as("doc_id"),
+            concat(col("text"), lit(" mg"), col("j")).as("text"))
+        val withMega = docs.unionByName(mega).localCheckpoint(true)
+        measure(s"q104 prefix BUCKET-LOCAL + 10k mega-family ${r}x",
+          Dedup.prefixJaccardPairs(withMega, 4, 5, bucketLocalVerify = true))
+        withMega.unpersist()
+      }
       if (ops("corpus"))
         measure(s"dedupCorpus survivors ${r}x", Dedup.dedupCorpus(docs, 4, 5))
       if (ops("corpusbl"))

@@ -238,12 +238,16 @@ class PlanSpec extends SparkSpec {
     // this assert fails if the optimizer ever merges it back.
     assert(p.contains("is_first_shared_prefix"),
       s"canonical-bucket check missing from the plan:\n$p")
+    // no getOrElse("") fallback (r12 ADVICE): an empty joinLine would make
+    // the array-free assertion pass vacuously if a Spark upgrade renders
+    // the election on an unexpected line — fail loudly instead
     val joinLine = p.linesIterator
       .find(l => l.contains("SortMergeJoin") && l.contains("is_first_shared_prefix"))
       .orElse(p.linesIterator.find(_.contains("is_first_shared_prefix")))
-      .getOrElse("")
-    assert(!joinLine.contains("sorted_inter_size"),
-      s"Jaccard threshold leaked into the bucket join condition:\n$joinLine")
+    assert(joinLine.nonEmpty,
+      s"no plan line containing is_first_shared_prefix found:\n$p")
+    assert(!joinLine.get.contains("sorted_inter_size"),
+      s"Jaccard threshold leaked into the bucket join condition:\n${joinLine.get}")
     assert(p.contains("sorted_inter_size"),
       s"exact verify kernel missing from the plan:\n$p")
   }
