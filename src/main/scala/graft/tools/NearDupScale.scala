@@ -109,7 +109,11 @@ object NearDupScale {
     def measure(label: String, mk: => DataFrame): Long = {
       val (cnt, n) = time(label) {
         val c = mk.groupBy().count()
-        (c, c.head().getLong(0))
+        // collect(), NEVER head() (r13): head(n) runs a SEPARATE limit(n)
+        // QueryExecution, so the join census below would read the STATIC
+        // plan (isFinalPlan=false) — the r12 censuses printed through
+        // head() under-reported AQE's actual join choices
+        (c, c.collect()(0).getLong(0))
       }
       val p = cnt.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
