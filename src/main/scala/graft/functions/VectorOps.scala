@@ -69,8 +69,20 @@ object VectorOps {
       lit(0.0), (acc, x) => acc + x)
 
   /** LSH bucket id from literal planes: bit p = sign of projection p.
-    * Same planes → same buckets on any engine (see rademacherSigns). */
+    * Same planes → same buckets on any engine (see rademacherSigns).
+    * Native codegen ([[graft.expressions.LiteralSignatureExpr]], r13): the
+    * HOF spelling below is CodegenFallback and runs at SCAN cardinality on
+    * the index-build/stream-bucketing paths — measured ~300 µs/row
+    * interpreted (a 4.25M-vector index write sat in ZipWith.eval for 20+
+    * minutes) vs fused multiply-adds in whole-stage codegen. Bit-equal by
+    * construction (same element widening, same left-to-right fold, same
+    * null/length poisoning to bucket 0) — VectorOpsSpec pins it. */
   def literalSignature(v: Column, signs: Array[Array[Double]]): Column =
+    graft.expressions.LiteralSignatureExpr.signature(v, signs)
+
+  /** The interpreted HOF spelling of [[literalSignature]] — kept as the
+    * cross-check reference for the native expression (spec-pinned equal). */
+  def literalSignatureHof(v: Column, signs: Array[Array[Double]]): Column =
     signs.zipWithIndex.map { case (s, p) =>
       when(literalProj(v, s) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -79,7 +91,10 @@ object VectorOps {
     * projections onto deterministic Rademacher (±1) hyperplanes derived from
     * `hash(dimension, plane)` — no stored model, any executor recomputes the
     * same planes, so signatures are consistent across a 1000-node cluster.
-    * Returns a BIGINT bucket id (nBits ≤ 63). */
+    * Returns a BIGINT bucket id (nBits ≤ 63). Interpreted HOF spelling
+    * (CodegenFallback) — the model-free alternative, spec-covered; every
+    * production index/stream path buckets with [[literalSignature]]
+    * (native codegen, r13) instead. */
   def hyperplaneSignature(v: Column, nBits: Int): Column = {
     require(nBits > 0 && nBits <= 63)
     val bits: Seq[Column] = (0 until nBits).map { p =>

@@ -64,7 +64,12 @@ object BucketSaltScale {
     val hotRows = hotVec
       .select(explode(sequence(lit(0L), lit(hot - 1))).as("j"), col("embedding"))
       .select((lit(800000000L) + col("j")).as("vec_id"), col("embedding"))
-    val index = organic.unionByName(hotRows).localCheckpoint(true)
+    // repartition BEFORE the checkpoint: the hot rows explode from ONE
+    // row in one task, and an un-spread checkpoint would hand a single
+    // 4M-row partition to the signature projection (r13: that partition
+    // sat alone in the scan stage while 31 threads idled)
+    val index = organic.unionByName(hotRows)
+      .repartition(32).localCheckpoint(true)
     val total = index.count()
     val hotBucket = hotVec
       .select(VectorOps.literalSignature(col("embedding"), signs).as("b"))
