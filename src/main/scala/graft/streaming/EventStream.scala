@@ -303,7 +303,21 @@ object EventStream {
     * files — files ∝ buckets × salt, still never tasks × buckets. The
     * salt is derived, deterministic, and never persisted: the directory
     * layout stays `bucket=N/`, so [[probedNeighborAlerts]] needs no
-    * changes (StreamingSpec pins alert parity at salt > 1). */
+    * changes (StreamingSpec pins alert parity at salt > 1).
+    *
+    * SIZING (measured r13, BucketSaltScale: 2.12M distinct vectors, 94%
+    * in one bucket): at salt = 1 the write wall IS the hot bucket's
+    * single task (17.1 s of a 20.1 s wall — one file, one thread, however
+    * many executors the cluster has); at salt = 16 the same index writes
+    * in 5.0 s with the hot bucket split across 16 tasks (longest 2.8 s)
+    * and the probed hot-bucket read runs 2× faster from the parallel
+    * splits. Size `saltBuckets ≈ ceil(largest-bucket bytes / target file
+    * size)` (0.5–1 GB files); the exchange is RANGE-partitioned on
+    * (bucket, salt), so per-task directory spread — and with it the
+    * dynamic-partition writer's per-file cost — stays O(1) no matter how
+    * large the salt (the hash-keyed spelling scattered every task across
+    * ~every bucket directory: measured 65× the unsalted write's
+    * core-seconds before the range fix). */
   def writeBucketIndex(index: DataFrame, signs: Array[Array[Double]],
       path: String, saltBuckets: Int = 1): Unit = {
     import graft.functions.VectorOps
@@ -326,10 +340,21 @@ object EventStream {
     // the salted exchange carries an EXPLICIT partition count: left to
     // AQE, a small index coalesces to one partition and the salt is a
     // no-op (the fanOut lesson — explicit counts are how load-bearing
-    // exchanges opt out of coalescing)
+    // exchanges opt out of coalescing). RANGE partitioning, not hash
+    // (r13): hash(bucket, salt) scatters every task across ~all bucket
+    // directories, so each task pays the dynamic-partition writer's
+    // per-file cost for dozens of files — measured 65x the unsalted
+    // write's core-seconds (1,305 vs 20 core-s on a 2.12M-vector index,
+    // 809 files vs 64; ~1.7 core-s per extra file). A range exchange on
+    // (bucket, salt) gives each task a CONTIGUOUS key range — a handful
+    // of directories per task, total files ≈ partitions + buckets — while
+    // a hot bucket still splits across up to `saltBuckets` tasks (range
+    // boundaries can fall between salt values inside one bucket, never
+    // inside one (bucket, salt) cell, so the ≤ salt files-per-bucket
+    // contract is unchanged).
     val parted =
       if (saltBuckets == 1) keyed.repartition(col("bucket"))
-      else keyed.repartition(
+      else keyed.repartitionByRange(
         index.sparkSession.sparkContext.defaultParallelism,
         col("bucket"), pmod(xxhash64(col("vec_id")), lit(saltBuckets.toLong)))
     parted

@@ -31,20 +31,33 @@ object BucketSaltScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    // per-stage census (r13): a longest-task number alone cannot say WHICH
+    // stage funnels — the write job has a scan+signature map stage, the
+    // salted exchange, and the per-directory write tasks
+    val stageStats = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val d = if (t.taskInfo != null) t.taskInfo.duration else 0L
         var c = maxTaskMs.get
         while (d > c && !maxTaskMs.compareAndSet(c, d)) c = maxTaskMs.get
+        stageStats.merge(t.stageId, (1L, d, d), (a, b) =>
+          (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
       }
     })
     def time[T](label: String)(f: => T): T = {
-      maxTaskMs.set(0)
+      maxTaskMs.set(0); stageStats.clear()
       // host channels per rung (r13 directive 2)
       val (r, secs, l1, steal) = HostLoad.measured(f)
       println(f"[salt] $label: $secs%.2f s " +
         f"(longest task ${maxTaskMs.get / 1e3}%.1f s, " +
-        f"load1 $l1%.2f, steal $steal%.2f%%)"); r
+        f"load1 $l1%.2f, steal $steal%.2f%%)")
+      import scala.jdk.CollectionConverters._
+      stageStats.asScala.toSeq.sortBy(-_._2._3).take(3).foreach {
+        case (sid, (n, tot, mx)) =>
+          println(f"[salt]     stage $sid: tasks=$n max=${mx / 1e3}%.1f s " +
+            f"mean=${tot / math.max(n, 1) / 1e3}%.1f s total=${tot / 1e3}%.1f s")
+      }
+      r
     }
 
     val hot = sys.env.getOrElse("SPARK_GRAFT_HOT", "250000").toLong
@@ -61,9 +74,21 @@ object BucketSaltScale {
       .reduce(_ unionAll _)
     val hotVec = base.orderBy(col("vec_id")).limit(1)
       .select(col("embedding")).localCheckpoint(true)
-    val hotRows = hotVec
-      .select(explode(sequence(lit(0L), lit(hot - 1))).as("j"), col("embedding"))
-      .select((lit(800000000L) + col("j")).as("vec_id"), col("embedding"))
+    // DISTINCT hot vectors (r13): positive per-copy scaling keeps every
+    // copy in the SAME bucket (sign bits are scale-invariant) and at
+    // cosine 1.0 with its siblings (alerts unchanged), but makes the
+    // bytes real — 4M byte-IDENTICAL copies dictionary-encode to almost
+    // nothing, which made the write wall vanish and let the salted files
+    // coalesce into one read task (file packing), neither of which a
+    // production hot bucket (distinct near-dup vectors) exhibits
+    // spark.range (32 splits) x broadcast 1-row vector, NOT an explode
+    // from one row: the jitter projection must not serialize in one task
+    val hotRows = spark.range(hot).select(col("id").as("j"))
+      .crossJoin(broadcast(hotVec))
+      .select((lit(800000000L) + col("j")).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * (lit(1.0) + col("j").cast("double") / lit(1e6)))
+            .cast("float")).as("embedding"))
     // repartition BEFORE the checkpoint: the hot rows explode from ONE
     // row in one task, and an un-spread checkpoint would hand a single
     // 4M-row partition to the signature projection (r13: that partition
