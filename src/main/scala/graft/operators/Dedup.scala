@@ -177,7 +177,14 @@ object Dedup {
     * is acceptable (16 buckets/doc vs prefix's ≈ (1−t)·n + 1). The
     * default tier remains the low-replication choice at sparse pair
     * densities; both tiers anchor the recall ladders (BandingScale) and
-    * the LSH equality specs. */
+    * the LSH equality specs. r13 closure: the bucket-local tier
+    * COMPLETES the 256× rung the default dies on — 1,982.7 s, disk
+    * transient 46 GB fully drained, 178,676,206 pairs — a strict
+    * superset of the bucket-local minhash tier's 178,676,204 (the 2
+    * extra are the ladder's first measured banding misses, 1.1×10⁻⁸ of
+    * true pairs at 16×2 banding; spurious = 0 at every rung). SCALING
+    * §R13 has the ladder; the mega-family boundary is documented on
+    * [[prefixBucketLocalCore]]. */
   def prefixJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int,
       bucketLocalVerify: Boolean = false): DataFrame = {
     require(tNum > 0 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
@@ -364,7 +371,24 @@ object Dedup {
     * the default tier). No hot-bucket cap: prefix buckets are smallest for
     * exactly the rarest shingles (the scheme's own selectivity), and the
     * operator's contract is exactness — boilerplate-cluster regimes that
-    * need shedding belong to [[minhashLshPairs]]'s capped tiers. */
+    * need shedding belong to [[minhashLshPairs]]'s capped tiers.
+    *
+    * MEGA-FAMILY BOUNDARY (measured r13, NearDupScale q104blmega): a
+    * 10k-member DISTINCT-text near-identical family (byte-identical
+    * families are absorbed by the identity collapse; distinct variants —
+    * boilerplate with per-page noise — are not) COMPLETES, disk-flat,
+    * but not balanced: every family pair shares the same first-shared
+    * base hash, so the exactly-once election funnels all C(10k,2) ≈
+    * 5×10⁷ surviving verifications into ONE bucket = one task (64× rung:
+    * 810.0 s wall with 764.9 s in that task, siblings' mean 174.9 s; the
+    * ~16 other shared buckets' 10⁸-combo REJECTIONS spread fine — the
+    * fan is not the funnel, the elected verify is). The wall therefore
+    * grows quadratically in the largest distinct-variant family and is
+    * single-task-bound past ~10⁴ members: when a corpus carries such
+    * clusters and their pairs are not individually needed, hand off to
+    * [[minhashLshPairs]]`(maxBucket = …, bucketLocalVerify = true)` —
+    * the capped tier sheds exactly those buckets under the documented
+    * census contract; this tier stays the exact instrument. */
   private def prefixBucketLocalCore(ordered: DataFrame, tNum: Int,
       tDen: Int): DataFrame = {
     val n = size(col("toks"))
