@@ -37,9 +37,20 @@ import graft.core.{QueryDef, Tables}
 object Fuzzy {
 
   /** All strings obtainable from `s` by deleting at most `d` characters
-    * (d ∈ {1, 2}), the string itself included, distinct. Empty-range
-    * `sequence` guards matter: `sequence(1, 0)` counts DOWN, not empty. */
-  def deletionVariants(s: Column, d: Int): Column = {
+    * (d ∈ {1, 2}), the string itself included, distinct. Native codegen
+    * since r13: the HOF spelling below is CodegenFallback at every layer
+    * (interpreted lambdas + a boxed array per layer per key) AND evicts
+    * its enclosing operator from whole-stage codegen — measured ~600 µs
+    * vs ~4 µs per 24-char key on the q110b variant stage. The HOF form is
+    * kept as the independent reference; FuzzySpec pins native ≡ HOF,
+    * element order included. */
+  def deletionVariants(s: Column, d: Int): Column =
+    graft.expressions.DeletionVariantsExpr.deletionVariants(s, d)
+
+  /** Reference HOF spelling (pre-r13 production form) — spec twin only.
+    * Empty-range `sequence` guards matter: `sequence(1, 0)` counts DOWN,
+    * not empty. */
+  private[graft] def deletionVariantsHof(s: Column, d: Int): Column = {
     require(d >= 1 && d <= 2, s"supported d in {1,2}, got $d")
     val len = length(s)
     val none = array().cast("array<string>")
@@ -96,11 +107,27 @@ object Fuzzy {
     val mapping = byKey.join(reps.hint("merge"), Seq("s"))
       .select(col("id"), col("rep_id"))
     val base = reps.select(col("rep_id").as("id"), col("s"))
-    // materialize the variant arrays through the exchange, THEN explode —
-    // and explode_outer so no generator guard rewrites into the scan
+    // r13 shape: a THIN repartition below the variant projection, then a
+    // cheap-inline outer explode (no materializing exchange).
+    //  - The thin REPARTITION_BY_NUM is load-bearing: without it the
+    //    O(L²)-splice variant projection fuses into the reps aggregate,
+    //    which AQE coalesces by BYTES (a key census is tiny at any corpus
+    //    size), so the neighborhood generation — whose cost is ~300× its
+    //    input bytes — ran on ONE task (measured 2×~2.9 s serial at bench
+    //    SF). An explicit numbered repartition is never coalesced, so the
+    //    splice work runs at full parallelism at every scale.
+    //  - Inline is now the fast explode shape (CLAUDE.md: cheap-inline OR
+    //    shuffle-materialized): deletionVariants is a native codegen
+    //    expression since r13, evaluated once per INPUT row inside the
+    //    same WholeStageCodegen span as the Generate (verified in the
+    //    finalized plan), and explode_outer keeps the generator guard out
+    //    of the scan. The pre-r13 interpreted HOF needed materializing
+    //    through the exchange; spelling that with two same-key
+    //    repartitions now just collapses to this plan anyway, minus the
+    //    variant-array shuffle bytes.
     val raw = base
-      .withColumn("vs", deletionVariants(col("s"), maxDist))
       .repartition(par, col("id"))
+      .withColumn("vs", deletionVariants(col("s"), maxDist))
       .select(col("id"), col("s"), explode_outer(col("vs")).as("v"))
       .filter(col("v").isNotNull)
     val variants =

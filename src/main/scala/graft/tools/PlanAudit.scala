@@ -13,8 +13,11 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // default 4 for quick shape reads; set SPARK_GRAFT_CPUS=32 to audit
+    // the BENCH session shape (AQE decisions are partition-count sensitive)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -25,7 +28,10 @@ object PlanAudit {
         "q82_upsert_merge", "q83_zorder_stats", "q84_chunk_windows")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      // allDefs, not queries: headline-only twins (gate = false) are
+      // bench rows too and need plan audits (r13)
+      val df = SparkEntry.allDefs.find(_.name == n)
+        .getOrElse(sys.error(s"no such query: $n")).build(spark, sfDir)
       if (exec) {
         // collect() drives df's OWN QueryExecution so the printed plan is
         // the FINALIZED adaptive one (a noop write would execute a copy)

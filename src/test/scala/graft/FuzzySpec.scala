@@ -16,6 +16,26 @@ class FuzzySpec extends SparkSpec {
     assert(d2 == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
   }
 
+  test("native deletion variants ≡ HOF reference, element order included (r13)") {
+    // the codegen expression must replay the array_distinct(concat(...))
+    // spelling exactly: same elements, same order, keep-first dedup —
+    // including multi-byte code points (splices on byte ranges must land
+    // on code-point boundaries) and repeated chars (dedup pressure)
+    val keys = Seq("", "x", "ab", "aaa", "abca", "hello world",
+      "caté-μ☃x", "ααββ", "a b  c", "zzzzzzzzzzzzzzzzzzzzzzzz")
+    val df = keys.toDF("s")
+    for (d <- Seq(1, 2)) {
+      val native = df.select($"s", Fuzzy.deletionVariants($"s", d).as("v"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val hof = df.select($"s", Fuzzy.deletionVariantsHof($"s", d).as("v"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      keys.foreach { k =>
+        assert(native(k) == hof(k),
+          s"d=$d key='$k': native=${native(k)} hof=${hof(k)}")
+      }
+    }
+  }
+
   test("degenerate keys: empty and single-char strings keep well-formed neighborhoods") {
     val rows = Seq("", "x").toDF("s")
       .select($"s", Fuzzy.deletionVariants($"s", 2).as("v"))
