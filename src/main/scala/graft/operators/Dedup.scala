@@ -216,7 +216,18 @@ object Dedup {
     // CLAUDE.md per-branch-filter hazard, observed here as a second corpus
     // scan before this spelling). No fanOut: the text exchange already
     // spreads the shingle projection across the session's parallelism.
+    // doc_id.isNotNull is HOISTED here for the same reason as text's above
+    // (r13): the rep id is min()-typed nullable, and the verification
+    // joins on doc_id downstream infer isnotnull(doc_id) on the STREAM
+    // branch only — pushed below the shared (tok, salt) exchange, it made
+    // the census and stream subtrees canonically unequal, so the exchange
+    // materialized twice and the SHINGLE PASS RAN TWICE (the one-scan
+    // PlanSpec pin can't see it: both copies sit above the reused text
+    // exchange). With the filter in the shared lineage both branches
+    // match; the inferred copy is then implied by constraints and not
+    // re-added.
     val toks = reps.select(col("rep_id").as("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), TextOps.shingles(col("text"), ShingleN).as("sh"))
       .select(col("doc_id"), explode_outer(col("sh")).as("tok"))
       .filter(col("tok").isNotNull)
@@ -548,10 +559,14 @@ object Dedup {
     val toks = (if (prespread) base else fanOut(base, gauge = docs))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
+    // arrayXxhash64, not transform(t, xxhash64): the transform layer is
+    // CodegenFallback and evicted this whole signature aggregate from
+    // whole-stage codegen (r13; bit-equal kernel, MinHashSigSpec pins it)
     toks
       .select(col("doc_id"),
         graft.expressions.MinHashSigExpr.minhashSig(
-          transform(col("t"), x => xxhash64(x)), bands * rowsPerBand).as("ms"))
+          graft.expressions.ArrayXxhash64Expr.arrayXxhash64(col("t")),
+          bands * rowsPerBand).as("ms"))
       // explicit partition count: AQE would coalesce this (tiny) exchange to
       // one partition and single-thread the band join above it — see fanOut
       .repartition(toks.sparkSession.sparkContext.defaultParallelism, col("doc_id"))

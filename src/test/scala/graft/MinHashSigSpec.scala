@@ -26,6 +26,24 @@ class MinHashSigSpec extends SparkSpec {
     assert(both.filter(!($"native" <=> $"hof")).count() == 0)
   }
 
+  test("arrayXxhash64 ≡ transform(xxhash64): elements, null element, null array (r13)") {
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "caté-μ", "", "alpha")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "t")
+    val both = df.select(
+      graft.expressions.ArrayXxhash64Expr.arrayXxhash64($"t").as("native"),
+      transform($"t", x => xxhash64(x)).as("hof"))
+    assert(both.filter(!($"native" <=> $"hof")).count() == 0)
+    // null ELEMENT: xxhash64(null) passes the seed through — pin 42L parity
+    val withNull = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS t")
+    val r = withNull.select(
+      graft.expressions.ArrayXxhash64Expr.arrayXxhash64($"t").as("native"),
+      transform($"t", x => xxhash64(x)).as("hof")).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](0)(1) == 42L)
+  }
+
   test("fewer than 3 tokens yields null; empty array yields null") {
     val df = Seq(Seq("a", "b"), Seq.empty[String]).toDF("t")
     val r = df.select(

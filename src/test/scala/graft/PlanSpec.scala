@@ -213,6 +213,22 @@ class PlanSpec extends SparkSpec {
     // partial aggregation, so one boilerplate shingle = one straggler task
     assert(!p.linesIterator.exists(l => l.contains("Window") && !l.contains("WindowGroupLimit")),
       s"document-frequency census regressed to a window over the tok stream:\n$p")
+    // r13: "ONE shingle pass" must hold ABOVE the text exchange too — the
+    // 1-scan pin alone cannot see it. The shared (tok, salt) repartition
+    // feeds census + stream; a per-branch inferred filter (the verify
+    // joins' isnotnull(doc_id), before the r13 hoist) splits the canonical
+    // subtrees and the shingle projection materializes TWICE. Pin: exactly
+    // one (tok, salt) exchange body in the finalized plan (the second
+    // consumer resolves to ReusedExchange, which prints no partitioning).
+    // (the censusFan join-back adds its own ENSURE_REQUIREMENTS (tok, salt)
+    // exchange — only the explicit REPARTITION_BY_NUM one is the shared
+    // shingle-bearing exchange this pin guards)
+    val saltedBodies = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(tok") && l.contains("salt") &&
+        l.contains("REPARTITION_BY_NUM") && !l.contains("ReusedExchange"))
+    assert(saltedBodies == 1,
+      s"expected exactly 1 materialized (tok, salt) exchange — " +
+        s"$saltedBodies means the shingle pass is duplicated:\n$p")
   }
 
   test("q104b: bucket-local prefix tier — ONE corpus scan, reused exchanges, no window") {
