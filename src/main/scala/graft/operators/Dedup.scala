@@ -1283,8 +1283,36 @@ object Dedup {
 
   /** The chunking half of [[cdcChunkDups]]: (doc_id, cid, chunk) rows,
     * chunk = the ordered tokens between content-defined boundaries —
-    * shared with [[containmentPairs]]' candidate generation. */
+    * shared with [[containmentPairs]]' candidate generation.
+    *
+    * One per-doc codegen pass ([[graft.expressions.CdcChunksExpr]], r13):
+    * chunking is doc-local, so the previous explode → corpus-wide
+    * (doc, pos) window → collect_list/array_sort regroup spelling
+    * shuffled and sorted every token only to reassemble rows it already
+    * had (guide §2.4 — removable shuffle; measured 2 Exchange + Window +
+    * ObjectHashAggregate → 0 on the chunking half, q133 steady wall
+    * ~1.5 → ~0.9 s). `posexplode_outer` + null filter is the q79/q104
+    * generator-guard rule: a plain posexplode would push an implicit
+    * non-empty guard on the EXPENSIVE chunk expression into the scan and
+    * evaluate it per input row; empty/null token arrays yield no rows
+    * either way, so the frames are identical ([[cdcChunksWindowed]] is
+    * the spec-pinned reference twin). cid is the 0-based chunk index
+    * (cast long, the windowed sum's type); no consumer reads its VALUE —
+    * q133 groups it away and q136 takes distinct (doc_id, chunk). */
   private[graft] def cdcChunks(docs: DataFrame, modulus: Int): DataFrame = {
+    require(modulus >= 2, s"bad cdc modulus $modulus")
+    docs.select(col("doc_id"),
+        posexplode_outer(graft.expressions.CdcChunksExpr.cdcChunks(
+          TextOps.tokens(col("text")), modulus)).as(Seq("cid", "chunk")))
+      .filter(col("chunk").isNotNull)
+      .select(col("doc_id"), col("cid").cast("long").as("cid"), col("chunk"))
+  }
+
+  /** The r1–r12 windowed spelling of [[cdcChunks]] — kept as the
+    * cross-check reference twin for the native expression (DedupSpec pins
+    * chunk-set equality per doc; cid is a per-doc running index in both,
+    * off by the first token's boundary flag, which no consumer reads). */
+  private[graft] def cdcChunksWindowed(docs: DataFrame, modulus: Int): DataFrame = {
     require(modulus >= 2, s"bad cdc modulus $modulus")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -440,9 +440,75 @@ object Similarity {
     census
   }
 
+  /** Spark's `round(col, 6)` on DoubleType, replicated for the driver-side
+    * power rounds: identity on NaN/±Inf, else decimal HALF_UP on the
+    * double's canonical decimal form (what `BigDecimal(double)` builds) —
+    * SimilaritySpec pins equality against the Column round on a value
+    * grid. */
+  private def r6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The collected covariance census as (sorted positions, dense matrix) —
+    * d² doubles of MODEL state (d is a schema parameter like k-means' k:
+    * 64 here, d²·8 B = 32 KB; corpus size never enters), the same bounded
+    * driver-state class as the CMS/HLL sketch cells. Collecting it lets
+    * the k·iters power rounds run as driver arithmetic instead of ~40
+    * Spark jobs over 64-row frames (r13: q145's wall was round
+    * orchestration — per-round localCheckpoint + release — not compute;
+    * measured 2.32 → ~1.1 s best-of-3). */
+  private def covMatrix(cov: DataFrame): (Array[Int], Array[Array[Double]]) = {
+    val rows = cov.select(col("i"), col("j"), col("c")).collect()
+    val poss = rows.map(_.getInt(0)).distinct.sorted
+    val idx = poss.zipWithIndex.toMap
+    val m = Array.fill(poss.length, poss.length)(0.0)
+    rows.foreach(r => m(idx(r.getInt(0)))(idx(r.getInt(1))) = r.getDouble(2))
+    (poss, m)
+  }
+
+  /** Driver twin of [[powerRounds]]: `iters` rounds of
+    * v ← round(normalize(C·v), 6) from the 0.125 seed, mirroring the
+    * distributed dag's expression shapes ((c*w) products summed, u/nm
+    * rounded) — summation ORDER is ascending-j, a reordering the same
+    * round-6 noise-domination contract that lets DuckDB replay these
+    * rounds already absorbs. SimilaritySpec pins driver ≡ distributed on
+    * the gate corpus. */
+  private def powerRoundsDriver(m: Array[Array[Double]], iters: Int): Array[Double] = {
+    val d = m.length
+    var w = Array.fill(d)(0.125)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * w(j); j += 1 }
+        s
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < d) { n2 += u(i) * u(i); i += 1 }
+      val nm = math.sqrt(n2)
+      w = u.map(x => r6(x / nm))
+    }
+    w
+  }
+
+  /** Driver twin of [[rayleigh]]: round(Σ (c·w_i)·w_j, 6). */
+  private def rayleighDriver(m: Array[Array[Double]], w: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < m.length) {
+      var j = 0
+      while (j < m.length) { s += m(i)(j) * w(i) * w(j); j += 1 }
+      i += 1
+    }
+    r6(s)
+  }
+
   /** `iters` rounds of v ← round(normalize(C·v), 6) from the constant
-    * seed, lineage-cut per round — the replayable power-iteration core. */
-  private def powerRounds(cov: DataFrame, iters: Int): DataFrame = {
+    * seed, lineage-cut per round — the replayable power-iteration core.
+    * Distributed spelling, kept as the spec-pinned reference twin of
+    * [[powerRoundsDriver]] (and the shape a deployment with d large
+    * enough that d² stops being driver-safe would revert to). */
+  private[operators] def powerRounds(cov: DataFrame, iters: Int): DataFrame = {
     import graft.core.Lineage.CutOps
     var v = cov.filter(col("i") === col("j"))
       .select(col("i").as("pos"), lit(0.125).as("w"))
@@ -460,20 +526,25 @@ object Similarity {
     v
   }
 
-  /** Rayleigh quotient round(vᵀCv, 6) as a one-row frame. */
-  private def rayleigh(cov: DataFrame, v: DataFrame): DataFrame = cov
+  /** Rayleigh quotient round(vᵀCv, 6) as a one-row frame — distributed
+    * reference twin of [[rayleighDriver]] (spec-pinned). */
+  private[operators] def rayleigh(cov: DataFrame, v: DataFrame): DataFrame = cov
     .join(v.select(col("pos").as("i"), col("w").as("wi")), "i")
     .join(v.select(col("pos").as("j"), col("w").as("wj")), "j")
     .agg(round(sum(col("c") * col("wi") * col("wj")), 6).as("eigval"))
 
   def pcaPower(embs: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
     val cov = covarianceCensus(embs)
-    val v = powerRounds(cov, iters)
-    val lam = rayleigh(cov, v)
-    val tr = cov.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
-    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-      .select(col("pos"), col("w").as("loading"), col("eigval"),
-        round(col("eigval") / col("tr"), 6).as("var_ratio"))
+    val (poss, m) = covMatrix(cov) // d²-bounded model state (see covMatrix)
+    Lineage.release(cov) // census collected — its blocks are dead
+    val w = powerRoundsDriver(m, iters)
+    val lam = rayleighDriver(m, w)
+    var tr = 0.0 // Σ diagonal, ascending — the same reorder class as lam
+    for (i <- m.indices) tr += m(i)(i)
+    import spark.implicits._
+    poss.indices.map(k => (poss(k), w(k), lam, r6(lam / tr)))
+      .toDF("pos", "loading", "eigval", "var_ratio")
       .orderBy(col("pos"))
   }
 
@@ -490,38 +561,25 @@ object Similarity {
     * (§R12 family map): the reliable-checkpoint knob is never
     * load-bearing here, only the executor-loss-recovery default. */
   def pcaTopK(embs: DataFrame, k: Int = 3, iters: Int = 6): DataFrame = {
-    import graft.core.Lineage.CutOps
     require(k >= 1)
+    val spark = embs.sparkSession
     val cov0 = covarianceCensus(embs)
-    // tr is cut (one row) so the ORIGINAL census can be released after the
-    // first deflation — a lazy tr would pin cov0's blocks for all k rounds
-    val tr = cov0.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
-      .cutLineage()
-    var cov = cov0
-    val frames = (1 to k).map { comp =>
-      val v = powerRounds(cov, iters)
-      val lam = rayleigh(cov, v)
-      // out is cut: it materializes lam's read of THIS round's cov, so the
-      // superseded census (and v) can be freed — the returned union then
-      // references only k tiny self-contained blocks, not every deflation
-      val out = v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-        .select(lit(comp).as("component"), col("pos"), col("w").as("loading"),
-          col("eigval"), round(col("eigval") / col("tr"), 6).as("var_ratio"))
-        .cutLineage()
-      val prev = cov
+    val (poss, m0) = covMatrix(cov0) // d²-bounded model state (see covMatrix)
+    Lineage.release(cov0) // census collected — its blocks are dead
+    var tr = 0.0
+    for (i <- m0.indices) tr += m0(i)(i)
+    var m = m0
+    val rows = (1 to k).flatMap { comp =>
+      val w = powerRoundsDriver(m, iters)
+      val lam = rayleighDriver(m, w)
       if (comp < k) // the k-th deflation has no consumer — skip building it
-        cov = cov
-          .join(v.select(col("pos").as("i"), col("w").as("wi")), "i")
-          .join(v.select(col("pos").as("j"), col("w").as("wj")), "j")
-          .crossJoin(broadcast(lam))
-          .select(col("i"), col("j"),
-            round(col("c") - col("eigval") * col("wi") * col("wj"), 6).as("c"))
-          .cutLineage()
-      Lineage.release(v); Lineage.release(prev)
-      out
+        m = Array.tabulate(m.length, m.length)((i, j) =>
+          r6(m(i)(j) - lam * w(i) * w(j))) // round(c − (λ·wi)·wj, 6)
+      poss.indices.map(p => (comp, poss(p), w(p), lam, r6(lam / tr)))
     }
-    Lineage.release(tr)
-    frames.reduce(_ unionByName _).orderBy(col("component"), col("pos"))
+    import spark.implicits._
+    rows.toDF("component", "pos", "loading", "eigval", "var_ratio")
+      .orderBy(col("component"), col("pos"))
   }
 
   /** Maximal-marginal-relevance re-ranking — diversified top-k: greedily

@@ -16,10 +16,11 @@ object PlanAudit {
     // default 4 for quick shape reads; set SPARK_GRAFT_CPUS=32 to audit
     // the BENCH session shape (AQE decisions are partition-count sensitive)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = graft.core.SessionTuning.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
